@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical heart: the 17-column daily rollup shared by
+  * both stored procedures (/root/reference/Load-gcs-to-bq/
+  * sp_raw_to_transformed_create_weather_data_query.sql:24-55 and
+  * sp_raw_to_transformed_update_weather_data_query.sql:4-36 — identical
+  * SELECT, differing only in the `WHERE dt = CURRENT_DATE()` scope).
+  *
+  * SURVEY.md §2d A1-A6 + §2c P8-P11 + §2f W1. Covered semantics:
+  *  - Kelvin→Celsius `x - 273.15` inside the aggregate, then `ROUND(.., 2)`
+  *    (create sql:27-30); zero-digit `ROUND` for pressure/humidity/clouds
+  *    (create sql:31,34,37);
+  *  - NULL-skipping MAX over the usually-all-NULL rain columns
+  *    (create sql:40-41) — Spark max returns NULL on an all-NULL group,
+  *    matching BigQuery;
+  *  - lexicographic string MAX + strict-`>` EOD CASE over `"HH:MM:SS"`
+  *    strings (create sql:45-49) — Spark string comparison is also
+  *    binary-lexicographic;
+  *  - `EXTRACT(MONTH FROM dt)` (create sql:43-44), `ORDER BY dt`
+  *    (create sql:54-55).
+  *
+  * Scale notes: single hash aggregation keyed on `dt` → Catalyst plans
+  * partial (map-side) + final HashAggregate, so the shuffle carries one
+  * row per (input-partition × day), not per input row. The `scope` filter
+  * lands on the partition column of the raw table and prunes to one day's
+  * files before any scan. The trailing global sort is on the already tiny
+  * one-row-per-day aggregate — harmless at any scale.
+  */
+object DailyRollup {
+
+  /** `scope = None` ⇒ create-mode (full history); `Some(d)` ⇒ update-mode,
+    * mirroring update sql:32's `WHERE dt = CURRENT_DATE()` with the date
+    * injected for determinism.
+    */
+  def rollup(hourly: DataFrame, scope: Option[Date] = None): DataFrame = {
+    val scoped = scope.fold(hourly)(d => hourly.filter(col("dt") === lit(d)))
+    scoped
+      .groupBy(col("dt"))
+      .agg(
+        round(avg(col("main.temp") - 273.15), 2).as("avg_temp"),
+        round(max(col("main.temp_max") - 273.15), 2).as("max_temp"),
+        round(min(col("main.temp_min") - 273.15), 2).as("min_temp"),
+        round(avg(col("main.feels_like") - 273.15), 2).as("feels_like"),
+        round(avg(col("main.pressure")), 0).as("avg_pressure"),
+        max(col("main.pressure")).cast("double").as("max_pressure"),
+        min(col("main.pressure")).cast("double").as("min_pressure"),
+        round(avg(col("main.humidity")), 0).as("avg_humidity"),
+        max(col("main.humidity")).cast("double").as("max_humidity"),
+        min(col("main.humidity")).cast("double").as("min_humidity"),
+        round(avg(col("clouds.all")), 0).as("avg_cloud_coverage"),
+        max(col("clouds.all")).cast("double").as("max_cloud_coverage"),
+        min(col("clouds.all")).cast("double").as("min_cloud_coverage"),
+        max(col("rain.rain_1h")).as("max_rain_1h"),
+        max(col("rain.rain_3h")).as("max_rain_3h"),
+        when(max(col("current_time")) > "23:00:00", lit("EOD"))
+          .otherwise(max(col("current_time"))).as("till_time"))
+      .select(
+        col("avg_temp"), col("max_temp"), col("min_temp"), col("feels_like"),
+        col("avg_pressure"), col("max_pressure"), col("min_pressure"),
+        col("avg_humidity"), col("max_humidity"), col("min_humidity"),
+        col("avg_cloud_coverage"), col("max_cloud_coverage"), col("min_cloud_coverage"),
+        col("max_rain_1h"), col("max_rain_3h"),
+        col("dt"),
+        month(col("dt")).as("month"),
+        col("till_time"))
+      .orderBy(col("dt"))
+  }
+}

@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generic relational capability surface (SURVEY.md §2d "not present"
+  * list, §2e joins, §2f windows/sorts/limits/set-ops) demonstrated over
+  * the TPC-H-ish test tables, each with a DuckDB oracle.
+  *
+  * Scale posture, per query: dimension sides of joins are explicitly
+  * `broadcast()`; aggregations are single hash-aggregates with map-side
+  * partials; sorts ride on already-reduced outputs; no driver-side
+  * collection anywhere.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2d A1-A6 analogue + COUNT/SUM/COUNT DISTINCT (the "not present"
+    // aggregates): TPC-H Q1-shaped pricing summary.
+    "q01_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+          countDistinct(col("l_orderkey")).as("distinct_orders"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // §2e: multi-way join, dimensions broadcast (region/nation/customer
+    // are tiny at any SF relative to the fact side).
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // §2e left_semi (EXISTS)
+    "q03_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))),
+
+    // §2e left_anti (NOT EXISTS)
+    "q04_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))),
+
+    // §2f windows: per-group top-k via row_number (deterministic
+    // tie-break on c_custkey).
+    "q05_topk_per_segment" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // §2f global top-k: order + limit with total tie-break.
+    "q06_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // §2f set operations: INTERSECT / EXCEPT summarized into one frame.
+    "q07_set_ops" -> ((s, dir) => {
+      val s1 = s
+      import s1.implicits._
+      val custKeys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val ordKeys = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val inter = custKeys.intersect(ordKeys).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val exc = custKeys.except(ordKeys).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      inter.unionByName(exc).select(col("op"), col("n")).orderBy(col("op"))
+    }),
+
+    // §2f windows: running sum / lag / rank over an event-time ordering.
+    "q08_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          rank().over(w).cast("long").as("rnk"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2c P7: JSON parse over the events stream table.
+    "q09_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // §2c P9/P10 date parts + bucketing on the events table.
+    "q10_monthly_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(date_trunc("month", col("ts"))).as("mon"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("mon"), col("event_type"))),
+
+    // §2d grouping sets: ROLLUP with explicit NULLS FIRST ordering.
+    "q11_rollup_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // §2d HAVING + scalar subquery threshold (self-scaling across SFs).
+    "q12_having_above_avg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grouped = li.groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("supp_qty"), count(lit(1)).as("n_items"))
+      val thr = li.agg((sum(col("l_quantity")) / countDistinct(col("l_suppkey"))).as("thr"))
+      grouped.crossJoin(broadcast(thr))
+        .filter(col("supp_qty") > col("thr"))
+        .select(col("l_suppkey"), col("supp_qty"), col("n_items"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // §2d scalar subquery in a row filter.
+    "q13_above_avg_parts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val avgPrice = p.agg(avg(col("p_retailprice")).as("avg_price"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2c P5/P11 + string surface: concat, substring, case, upper, length.
+    "q14_string_projection" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 12).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          when(col("p_size") >= 30, lit("large"))
+            .when(col("p_size") >= 10, lit("medium"))
+            .otherwise(lit("small")).as("size_class"))
+        .orderBy(col("p_partkey"))),
+
+    // §2c P3: the reference's filename-cleanup regex transplanted
+    // (strip `-json-\d{8}-\d{2}:\d{2}:\d{2}`, then take the stem).
+    "q15_regexp_cleanup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("hourly-weather-data-json-19950617-12:34:56_"),
+            col("o_orderpriority")).as("fname"))
+        .select(
+          col("o_orderkey"),
+          regexp_replace(col("fname"),
+            "-json-\\d{8}-\\d{2}:\\d{2}:\\d{2}", "").as("cleaned"),
+          regexp_extract(col("fname"), "^([a-z]+)-", 1).as("stem"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2c P6: base64 encode/decode round-trip.
+    "q16_base64_roundtrip" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          base64(col("p_brand").cast("binary")).as("b64"),
+          unbase64(base64(col("p_brand").cast("binary"))).cast("string").as("roundtrip"))
+        .orderBy(col("p_partkey"))),
+
+    // DISTINCT projection (§2f "not present" list).
+    "q17_distinct_pairs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS distinct_orders
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q05_topk_per_segment" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q07_set_ops" ->
+      """SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey AS k FROM orders)
+        |ORDER BY op""".stripMargin,
+
+    "q08_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS running_total,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  rank() OVER w AS rnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q10_monthly_events" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS mon, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('month', ts), event_type
+        |ORDER BY mon, event_type""".stripMargin,
+
+    "q11_rollup_status" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q12_having_above_avg" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS supp_qty, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING round(sum(l_quantity), 2) >
+        |  (SELECT sum(l_quantity) / count(DISTINCT l_suppkey) FROM lineitem)
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q13_above_avg_parts" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q14_string_projection" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_uc,
+        |  substr(p_name, 1, 12) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  CASE WHEN p_size >= 30 THEN 'large'
+        |       WHEN p_size >= 10 THEN 'medium'
+        |       ELSE 'small' END AS size_class
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q15_regexp_cleanup" ->
+      """SELECT o_orderkey,
+        |  regexp_replace(
+        |    concat('hourly-weather-data-json-19950617-12:34:56_', o_orderpriority),
+        |    '-json-\d{8}-\d{2}:\d{2}:\d{2}', '') AS cleaned,
+        |  regexp_extract(
+        |    concat('hourly-weather-data-json-19950617-12:34:56_', o_orderpriority),
+        |    '^([a-z]+)-', 1) AS stem
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_base64_roundtrip" ->
+      """SELECT p_partkey,
+        |  to_base64(encode(p_brand)) AS b64,
+        |  decode(from_base64(to_base64(encode(p_brand)))) AS roundtrip
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q17_distinct_pairs" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{DailyRollup, Retention, Weatherize}
+
+/** Oracle-checked queries exercising the weather-domain pipeline
+  * (SURVEY.md §2d rollup, §2c scalar surface, §2b retention) on the shared
+  * lineitem table via the deterministic [[graft.ops.Weatherize]] mapping.
+  * Because the mapping is pure column arithmetic, the composed pipeline is
+  * expressible as plain DuckDB SQL for the oracle.
+  */
+object WeatherQueries {
+
+  val incrementalDate: java.sql.Date = java.sql.Date.valueOf("1995-06-17")
+
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    Weatherize.lineitemAsHourly(Tables(s, dir, "lineitem"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_daily_rollup_full" -> ((s, dir) =>
+      DailyRollup.rollup(hourly(s, dir))),
+
+    "w02_daily_rollup_incremental" -> ((s, dir) =>
+      DailyRollup.rollup(hourly(s, dir), Some(incrementalDate))),
+
+    "w03_retention_keep" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      // asOf = max(dt) derived from the data (never wall-clock); tiny
+      // 1-row aggregate broadcast to every partition of the filter.
+      val asOf = h.agg(max(col("dt")).as("as_of"))
+      Retention.keep(h.crossJoin(broadcast(asOf)), col("as_of"))
+        .groupBy(col("dt")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("dt"))
+    }),
+  )
+
+  /** Shared 17-column rollup SELECT, written against lineitem with the
+    * Weatherize arithmetic inlined. Expression shapes mirror the Spark
+    * side exactly (same operation order) so non-avg aggregates are
+    * bit-identical and avg aggregates agree after ROUND.
+    */
+  private def rollupSql(where: String): String = {
+    val t = "printf('%02d:%02d:%02d', l_orderkey % 24, (l_linenumber * 9) % 60, l_suppkey % 60)"
+    s"""SELECT
+       |  round(avg((l_extendedprice / 100.0 + 273.15) - 273.15), 2) AS avg_temp,
+       |  round(max(((l_extendedprice / 100.0 + 273.15) * (1.0 + l_tax)) - 273.15), 2) AS max_temp,
+       |  round(min(((l_extendedprice / 100.0 + 273.15) * (1.0 - l_discount)) - 273.15), 2) AS min_temp,
+       |  round(avg(((l_extendedprice * (1.0 - l_discount)) / 100.0 + 273.15) - 273.15), 2) AS feels_like,
+       |  round(avg(950 + l_partkey % 100), 0) AS avg_pressure,
+       |  CAST(max(950 + l_partkey % 100) AS DOUBLE) AS max_pressure,
+       |  CAST(min(950 + l_partkey % 100) AS DOUBLE) AS min_pressure,
+       |  round(avg(l_suppkey % 101), 0) AS avg_humidity,
+       |  CAST(max(l_suppkey % 101) AS DOUBLE) AS max_humidity,
+       |  CAST(min(l_suppkey % 101) AS DOUBLE) AS min_humidity,
+       |  round(avg(l_orderkey % 101), 0) AS avg_cloud_coverage,
+       |  CAST(max(l_orderkey % 101) AS DOUBLE) AS max_cloud_coverage,
+       |  CAST(min(l_orderkey % 101) AS DOUBLE) AS min_cloud_coverage,
+       |  max(CASE WHEN l_returnflag = 'R' THEN l_quantity / 25.0 END) AS max_rain_1h,
+       |  max(CASE WHEN l_returnflag = 'R' THEN l_quantity / 10.0 END) AS max_rain_3h,
+       |  CAST(l_shipdate AS DATE) AS dt,
+       |  CAST(EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) AS INTEGER) AS month,
+       |  CASE WHEN max($t) > '23:00:00' THEN 'EOD' ELSE max($t) END AS till_time
+       |FROM lineitem
+       |$where
+       |GROUP BY CAST(l_shipdate AS DATE)
+       |ORDER BY dt""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "w01_daily_rollup_full" -> rollupSql(""),
+    "w02_daily_rollup_incremental" ->
+      rollupSql("WHERE CAST(l_shipdate AS DATE) = DATE '1995-06-17'"),
+    "w03_retention_keep" ->
+      """SELECT dt, count(*) AS n_rows
+        |FROM (SELECT CAST(l_shipdate AS DATE) AS dt FROM lineitem)
+        |WHERE dt > (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem) - 15
+        |GROUP BY dt
+        |ORDER BY dt""".stripMargin,
+  )
+}
