@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** §2j of SURVEY.md: the cross-cutting logging dataflow.
+  *
+  * Every reference function publishes a success- or error-typed JSON
+  * envelope to Pub/Sub (K6) which a dedicated function lands as one file
+  * per message under a two-level `log_type/message_type/` partition path
+  * in GCS (K7, /root/reference/Load-logs/main.py:43-50). Envelope fields:
+  * Load-Data-From-API/main.py:32-38,192-195.
+  *
+  * Spark mapping: a typed Dataset[LogEvent] appended as JSON partitioned
+  * by (log_type, message_type) — identical directory contract, but with
+  * Spark's atomic job commit instead of per-message blob uploads.
+  * `message_type` is normalized to lowercase: the reference emits "Error"
+  * from the cleanup job (Cleanup-job/main.py:60) and "error" everywhere
+  * else — an inconsistency SURVEY.md §2j says to fix, not reproduce.
+  */
+final case class LogEvent(
+    project: String,
+    service: String,
+    process: String,
+    runtime: String,
+    log_type: String,
+    file_name: Option[String],
+    gcs_uri: Option[String],
+    bq_uri: Option[String],
+    message_type: String,
+    message: String)
+
+object LogEvents {
+  val ApiLogging = "api-logging"
+  val BqLoadLogging = "bq-load-logging"
+  val BqCleanupLogging = "bq-cleanup-logging"
+
+  def normalize(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events.map(e => e.copy(message_type = e.message_type.toLowerCase))
+  }
+
+  def append(events: Dataset[LogEvent], root: String): Unit =
+    normalize(events).write
+      .partitionBy("log_type", "message_type")
+      .mode("append")
+      .json(root)
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(graft.schema.WeatherSchema.logEvent).json(root)
+}
