@@ -1,24 +1,50 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): runs every registered query
+  * on `SPARK_GRAFT_SF_DIR` and emits ONE machine-readable JSON line.
+  *
+  * Round-1 verdict fixes (VERDICT.md "What's wrong" #4/#5):
+  *  - results are fully materialized via `queryExecution.toRdd` instead
+  *    of `count()` — `count()` lets Catalyst prune every projection, so
+  *    projection-heavy queries were under-measured;
+  *  - the JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
+  *    default `BENCH.json` in the working dir) because sbt prefixes
+  *    stdout with `[info]`, which broke the driver's parse in round 1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Full materialization: iterate every InternalRow of every partition
+      // on the executors. Unlike count(), nothing upstream can be pruned.
+      try fn(spark, sfDir).queryExecution.toRdd
+        .foreachPartition(it => while (it.hasNext) it.next())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    Files.writeString(Paths.get(out), line + "\n")
+    println(line)
     spark.stop()
   }
 }

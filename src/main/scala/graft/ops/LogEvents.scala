@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** §2j of SURVEY.md: the cross-cutting logging dataflow.
   *
@@ -34,9 +35,12 @@ object LogEvents {
   val BqLoadLogging = "bq-load-logging"
   val BqCleanupLogging = "bq-cleanup-logging"
 
+  /** Column expression, not a typed map: `lower()` stays inside
+    * whole-stage codegen, no case-class round-trip (VERDICT.md #7).
+    */
   def normalize(events: Dataset[LogEvent]): Dataset[LogEvent] = {
     import events.sparkSession.implicits._
-    events.map(e => e.copy(message_type = e.message_type.toLowerCase))
+    events.withColumn("message_type", lower(col("message_type"))).as[LogEvent]
   }
 
   def append(events: Dataset[LogEvent], root: String): Unit =
@@ -47,4 +51,20 @@ object LogEvents {
 
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(graft.schema.WeatherSchema.logEvent).json(root)
+
+  /** K6 envelope serialization — the `json.dumps(MESSAGE_DATA)` half of P7
+    * (Load-Data-From-API/main.py:197): one JSON string per event, the shape
+    * published to the log topic.
+    */
+  def toEnvelope(events: Dataset[LogEvent]): DataFrame =
+    normalize(events).select(to_json(struct(col("*"))).as("value"))
+
+  /** S4 envelope parse — the `ast.literal_eval` half (Load-logs/main.py:41). */
+  def fromEnvelope(envelopes: DataFrame): Dataset[LogEvent] = {
+    import envelopes.sparkSession.implicits._
+    envelopes
+      .select(from_json(col("value"), graft.schema.WeatherSchema.logEvent).as("e"))
+      .select(col("e.*"))
+      .as[LogEvent]
+  }
 }

@@ -24,9 +24,12 @@ object RelationalQueries {
 
     // §2d A1-A6 analogue + COUNT/SUM/COUNT DISTINCT (the "not present"
     // aggregates): TPC-H Q1-shaped pricing summary.
+    // Filter on the raw timestamp column (not a function of it) so the
+    // predicate pushes to the parquet reader as a row-group min/max skip
+    // — `to_date(l_shipdate) <= d` cannot push down (VERDICT.md #6).
     "q01_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-09-03 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -207,6 +210,32 @@ object RelationalQueries {
         .select(col("o_orderstatus"), col("o_orderpriority"))
         .distinct()
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // §2c P7 both halves: to_json (serialize, main.py:197) then parse the
+    // envelope back out — values must survive the round trip.
+    "q18_json_roundtrip" -> ((s, dir) => {
+      val j = to_json(struct(col("event_type"), col("value")))
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(j, "$.event_type").as("rt_type"),
+          round(get_json_object(j, "$.value").cast("double"), 4).as("rt_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2c P3+P4+P13: filename cleanup → stem → table dispatch with the
+    // reference's silent skip of unmapped stems (Load-gcs-to-bq/main.py:70).
+    "q19_dispatch" -> ((s, dir) => {
+      val files = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(
+          when(col("o_orderkey") % 3 === 1, lit("unknown-export"))
+            .otherwise(lit("hourly-weather-data")),
+          lit("-json-19950617-12:34:56.json")).as("file_name"))
+      graft.ops.Dispatch.dispatch(files, "file_name")
+        .select(col("o_orderkey"), col("stem"), col("target_table"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -221,7 +250,7 @@ object RelationalQueries {
         |  count(*) AS count_order,
         |  count(DISTINCT l_orderkey) AS distinct_orders
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -359,5 +388,31 @@ object RelationalQueries {
       """SELECT DISTINCT o_orderstatus, o_orderpriority
         |FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q18_json_roundtrip" ->
+      """SELECT event_id,
+        |  json_extract_string(j, '$.event_type') AS rt_type,
+        |  round(CAST(json_extract(j, '$.value') AS DOUBLE), 4) AS rt_value
+        |FROM (
+        |  SELECT event_id,
+        |    to_json(struct_pack(event_type := event_type, value := value)) AS j
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q19_dispatch" ->
+      """SELECT o_orderkey, stem,
+        |  'weather-data-hourly' AS target_table
+        |FROM (
+        |  SELECT o_orderkey,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        (CASE WHEN o_orderkey % 3 = 1 THEN 'unknown-export'
+        |              ELSE 'hourly-weather-data' END)
+        |          || '-json-19950617-12:34:56.json',
+        |        '-json-\d{8}-\d{2}:\d{2}:\d{2}', ''),
+        |      '\.[A-Za-z0-9]+$', '') AS stem
+        |  FROM orders)
+        |WHERE stem = 'hourly-weather-data'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
