@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{DailyRollup, Weatherize}
-import graft.queries.{RelationalQueries, WeatherQueries}
+import graft.queries.{ExtQueries, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WeatherQueries.queries ++ RelationalQueries.queries
+    WeatherQueries.queries ++ RelationalQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    WeatherQueries.oracles ++ RelationalQueries.oracles
+    WeatherQueries.oracles ++ RelationalQueries.oracles ++ ExtQueries.oracles
 }

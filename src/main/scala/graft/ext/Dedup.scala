@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large document corpora (north-star
+  * extension; the reference has no dedup — its raw table double-counts on
+  * replay, SURVEY.md §2 bug list).
+  *
+  * Scale posture: every flavor here avoids the O(n²) all-pairs trap.
+  *  - exact dedup: one hash-partitioned window over md5(text) — one
+  *    shuffle keyed on the content hash, no joins;
+  *  - MinHash/LSH: candidate pairs come from an equi-join on
+  *    (band index, band hash) — only docs agreeing on a full band ever
+  *    meet, so the join output is ~(true near-dups + tiny noise), not
+  *    n²/2. Exact Jaccard is then computed only on those candidates;
+  *  - SimHash: constant-size fingerprint per doc; grouping identical
+  *    fingerprints (or banded prefixes) again replaces all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one survivor per identical text (lowest id —
+    * deterministic, mirrors "keep first seen"). The window shuffles on
+    * the content hash, so each group lands in one partition regardless
+    * of corpus size; no join, no collect.
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * salted md5 (min over the shingle set of md5(shingle + '#' + i)).
+    * String min is total and identical across engines, so no hex→int
+    * parsing is needed anywhere. The signature pass is a narrow
+    * per-row computation — callers must ensure the input is spread
+    * across partitions (compute-bound, embarrassingly parallel).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(shingles, s =>
+        md5(concat(s, lit("#"), h.cast("string"))))))
+
+  /** LSH band hashes: the signature split into `bands` runs of
+    * `rowsPerBand`, each run collapsed to one md5. Two docs collide on a
+    * band iff that band of their signatures matches exactly — P ≈ J^rows
+    * per band, the classic S-curve.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat((0 until rowsPerBand).map(r =>
+        element_at(sig, b * lit(rowsPerBand) + lit(r) + 1)): _*)))
+
+  /** Exact Jaccard over two (distinct) shingle arrays. |A∪B| is computed
+    * as |A|+|B|−|A∩B| — one hash probe pass instead of also
+    * materializing the union array.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Banded-LSH candidate pairs: explode each doc to its (bandIdx,
+    * bandHash) keys and equi-join on them. The join shuffles on the band
+    * hash, so only same-band docs are ever compared — the non-negotiable
+    * property at 100 TB. Returns distinct (id_a < id_b) pairs.
+    */
+  def bandedPairs(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val keyed = docs
+      .withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
+      .select(col(idCol).as("id"),
+        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+          .as(Seq("band_idx", "band_hash")))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** bandedPairs + exact-Jaccard confirmation in ONE pass: the shingle
+    * arrays ride along through the band explode, so the pair join emits
+    * (id_a, id_b, jaccard) directly instead of re-joining the corpus
+    * twice to fetch shingles back (which would re-run the whole
+    * tokenize→shingle→signature pipeline per reference — the self-join
+    * already costs two pipeline passes; re-joins made it four).
+    * Tradeoff: the band shuffle carries each shingle set `bands` times —
+    * the standard LSH space/recompute trade, the right default when the
+    * shingle sets are much smaller than the documents.
+    */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val keyed = docs
+      .withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
+      .select(col(idCol).as("id"), col(shinglesCol).as("s"),
+        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+          .as(Seq("band_idx", "band_hash")))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.s"), col("b.s")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+}

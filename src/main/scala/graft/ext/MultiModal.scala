@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (north-star extension surface).
+  *
+  * The decode step is STUBBED — no image/audio codec libraries exist in
+  * this environment — with a deterministic byte-math fake, clearly
+  * marked below. Everything around it is the real Spark shape:
+  *  - a fixed media schema (content bytes + mime + dimensions);
+  *  - per-partition batch processing via `Dataset.mapPartitions` (the
+  *    Scala analogue of a batched pandas UDF: one task consumes a whole
+  *    partition's iterator, so a real decoder would amortize model/codec
+  *    init across the batch exactly like `mapInPandas`);
+  *  - column-level byte ops (length / slice / hash) that stay in
+  *    whole-stage codegen and never deserialize the payload to the JVM
+  *    heap more than once.
+  *
+  * Scale posture: media rows are large and skew-prone — the partitioning
+  * unit is the row (payloads are opaque), `maxPartitionBytes` governs
+  * scan parallelism, and nothing here collects payloads to the driver.
+  */
+object MultiModal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long, mime: String, width: Int, height: Int,
+      content: Array[Byte])
+
+  /** Output of the (stubbed) decode/feature-extract stage. */
+  final case class MediaFeatures(
+      doc_id: Long, byte_len: Long, checksum: Long,
+      brightness: Double, n_frames: Int)
+
+  /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes). The
+    * driver provides no true binary fixtures, so tests and demo queries
+    * derive payloads deterministically from `documents.text`.
+    */
+  def packFromText(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id"),
+      lit("image/fake").as("mime"),
+      pmod(col("n_chars"), lit(640)).cast("int").as("width"),
+      pmod(col("doc_id") * 7, lit(480)).cast("int").as("height"),
+      col("text").cast("binary").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: deterministic byte math standing in for a real codec.
+    * A production build swaps only this function's body for e.g. a JNI
+    * image decoder; the partition-batched dataflow around it is final.
+    */
+  private def decodeStub(bytes: Array[Byte]): (Long, Double) = {
+    var checksum = 0L
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L
+      sum += (bytes(i) & 0xff)
+      i += 1
+    }
+    val brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
+    (checksum, brightness)
+  }
+
+  /** Batched feature extraction: one task drains one partition's
+    * iterator (the `mapInPandas` batch shape). Codec init would go at
+    * the top of the lambda, once per partition.
+    */
+  def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // real impl: val codec = Codec.open() — once per batch, here
+      batch.map { r =>
+        val (checksum, brightness) = decodeStub(r.content)
+        val frames = 1 + (r.content.length % 4) // stub "frame sample" count
+        MediaFeatures(r.doc_id, r.content.length.toLong, checksum, brightness, frames)
+      }
+    }
+  }
+}

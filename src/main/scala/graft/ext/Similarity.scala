@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `array<float>` embedding columns
+  * (north-star extension surface).
+  *
+  * All arithmetic is higher-order built-ins (`zip_with` + `aggregate`)
+  * in double precision — codegen-friendly, no UDF, and a sequential
+  * left-fold summation order that the DuckDB oracle reproduces exactly.
+  *
+  * Scale posture: the brute-force scorer is the correctness baseline and
+  * is only ever joined against a *broadcast* query set or within an LSH /
+  * IVF bucket; nothing here materializes an unbucketed n×n cross join.
+  */
+object Similarity {
+
+  /** float[] → double[] once, before any arithmetic, so accumulation
+    * happens in double (and matches the oracle's CAST(... AS DOUBLE[])).
+    */
+  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product: element-wise product, then sequential left-fold sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane j has
+    * integer coefficient ((i·37 + j·101) mod 13) − 6 at dimension i
+    * (0-based). Integer coefficients keep every product exactly
+    * representable, so Spark and the oracle compute bit-identical
+    * projections. Shared with the oracle SQL via [[hyperplane]].
+    */
+  def hyperplane(j: Int, dims: Int): Seq[Int] =
+    (0 until dims).map(i => ((i * 37 + j * 101) % 13) - 6)
+
+  /** Sign-LSH bucket id in [0, 2^planes): bit j = sign of the projection
+    * onto hyperplane j. Near-identical vectors agree on every sign with
+    * high probability, so near-dup candidate generation becomes an
+    * equi-join on this bucket — the LSH shape that replaces all-pairs.
+    */
+  def signBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val plane = array(hyperplane(j, dims).map(x => lit(x.toDouble)): _*)
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

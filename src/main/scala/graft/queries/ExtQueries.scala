@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, Text}
+
+/** The LLM-data-pipeline operator surface (north-star extensions), each
+  * oracle-checked over the driver's `documents` / `embeddings` tables.
+  *
+  * The driver corpus contains no planted duplicates (500 distinct texts,
+  * embeddings with max pairwise cosine ≈ 0.4), so the dedup/near-dup
+  * demos first build a corpus with known duplicates: deterministic
+  * id-shifted copies (exact) or mutated copies (near). The construction
+  * is pure column arithmetic, reproduced verbatim in the oracle SQL.
+  *
+  * Scale posture per query is documented inline; the common rule is that
+  * candidate generation is always an equi-join on a hash/bucket key
+  * (band hash, sign bucket, IVF cell) — never an unbucketed n² cross
+  * join — and the only broadcast cross join is a bounded query set.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def toD(c: Column): Column = Similarity.toDoubleArray(c)
+
+  /** The documents/embeddings tables are one small parquet file per SF,
+    * so Spark plans a single input partition — fine for plain scans,
+    * fatal for the compute-bound HOF stages (minhash md5, simhash bit
+    * math, cosine folds), which would run on 1 core of 32. Spreading
+    * rows across the cluster first makes those stages embarrassingly
+    * parallel — at production scale the file count does this
+    * automatically and the repartition becomes a no-op to delete.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: corpus = documents ∪ identical copies (id+10000);
+    // keep the lowest id per content hash. One window over md5(text) —
+    // a single shuffle keyed on the content hash, no join.
+    "x01_exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactDedup(corpus, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash/LSH near-dup pairs: corpus = documents ∪ truncated copies
+    // (last 3 tokens dropped, id+10000). Candidates come ONLY from the
+    // band-hash equi-join (Dedup.bandedPairs); exact trigram Jaccard is
+    // then computed on candidates and thresholded.
+    "x02_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      Dedup.nearDupPairs(sh, "doc_id", "s",
+          numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Brute-force cosine top-k — the ANN correctness baseline. The query
+    // set (10 vectors) is broadcast against the full table; ranking uses
+    // a 6-decimal-rounded score with an id tie-break so order is
+    // deterministic across engines.
+    "x03_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), toD(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), toD(col("embedding")).as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Per-language corpus statistics — single hash aggregate.
+    "x04_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))),
+
+    // Language-ID heuristic: stopword-hit ratio over the token stream
+    // (the driver corpus shares one vocabulary across langs, so this is
+    // a determinism demo of the mechanism, not a model).
+    "x05_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("ratio", Text.stopwordRatio(col("toks")))
+        .select(col("doc_id"), col("lang"),
+          round(col("ratio"), 4).as("stop_ratio"),
+          when(col("ratio") >= 0.08, lit("en")).otherwise(lit("unk"))
+            .as("predicted"))
+        .orderBy(col("doc_id"))),
+
+    // Document quality scoring: length saturation + type-token ratio +
+    // stopword plausibility. Pure narrow projection.
+    "x06_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("ttr", Text.typeTokenRatio(col("toks")))
+        .withColumn("stop_ratio", Text.stopwordRatio(col("toks")))
+        .withColumn("mean_tok_len",
+          expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+            .cast("double") / col("n_tokens").cast("double"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ttr"), 4).as("ttr"),
+          round(col("mean_tok_len"), 4).as("mean_tok_len"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          // Integer-scaled score, not round(): the 0.25/0.5-weighted sum
+          // of small rationals regularly lands on exact 4th-decimal
+          // midpoints where Spark (BigDecimal HALF_UP) and DuckDB
+          // (multiply-based) disagree; floor(x·10⁴ + 0.5) is identical
+          // whenever the input doubles are (same op order ⇒ they are).
+          floor(Text.qualityScore(col("n_tokens"), col("ttr"), col("stop_ratio"))
+            * 10000 + 0.5).cast("long").as("quality_e4"))
+        .orderBy(col("doc_id"))),
+
+    // Token counting (whitespace + regex lexer + chars/4 estimate) and
+    // an order-sensitive rolling-hash document fingerprint.
+    "x07_token_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe"),
+          Text.rollingFingerprint("toks").as("doc_fp"))
+        .orderBy(col("doc_id"))),
+
+    // 16-bit SimHash fingerprints over distinct tokens; identical token
+    // sets collapse to one fingerprint, near-dups differ in few bits.
+    "x08_simhash" -> ((s, dir) =>
+      spread(t(s, dir, "documents"))
+        .withColumn("dtoks", array_distinct(Text.tokens(col("text"))))
+        .withColumn("ms", Text.md5Array("dtoks"))
+        .select(col("doc_id"), Text.simhash16("ms").as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // IVF-style bucketed ANN: the coarse quantizer cell is the `label`
+    // column (stand-in for a k-means assignment); search = equi-join on
+    // the cell, top-k within it. The join shuffles on the cell id — at
+    // scale each cell is a bounded candidate list, never a full scan.
+    "x09_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label"),
+          toD(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("clabel"), toD(col("embedding")).as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id"))
+      q.join(c, col("label") === col("clabel") &&
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("label"), col("rnk"), col("neighbor_id"),
+          round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Embedding near-dup detection: corpus = embeddings ∪ perturbed
+    // copies (×1.02 + tiny per-dim offset, id+10000). Candidates come
+    // from an equi-join on the 8-plane sign-LSH bucket; cosine ≥ 0.999
+    // confirms. (Sign-LSH trades recall for never doing all-pairs; the
+    // oracle computes the identical buckets, so results agree exactly.)
+    "x10_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), toD(col("embedding")).as("v"))
+      val pert = base.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * 1.02 + (pmod(i, lit(7)) - 3).cast("double") * 0.0001).as("v"))
+      val corpus = spread(base.unionByName(pert))
+        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+      corpus.as("a")
+        .join(corpus.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos6"))
+        .filter(col("cos6") >= 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Multimodal column plumbing: payload as opaque binary + typed
+    // metadata; byte-level ops (octet length, hex head, content hash)
+    // stay columnar. The decode stub itself is exercised in ScalaTest
+    // (MultiModal.featurize — mapPartitions batch shape).
+    "x11_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("content", col("text").cast("binary"))
+        .select(col("doc_id"),
+          expr("octet_length(content)").cast("long").as("byte_len"),
+          lower(substring(hex(col("content")), 1, 16)).as("hex_head"),
+          md5(col("content")).as("content_md5"),
+          pmod(col("n_chars"), lit(640)).cast("long").as("width"),
+          pmod(col("doc_id") * 7, lit(480)).cast("long").as("height"))
+        .orderBy(col("doc_id"))),
+
+    // Blocked n-gram Jaccard: pairwise trigram similarity *within a
+    // blocking key* — (source, lang), so each block is |corpus|/100 and
+    // pair count stays quadratic only in the block size. Blocking is THE
+    // scalable shape for pairwise text similarity; the block key is a
+    // shuffle key, each block's pairs are generated locally.
+    "x12_ngram_jaccard_blocked" -> ((s, dir) => {
+      val sh = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          Text.wordShingles(col("t")).as("s"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"), col("a.lang").as("lang"),
+          Dedup.jaccard(col("a.s"), col("b.s")).as("jac"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") >= 0.05, 1L).otherwise(0L)).as("n_similar"),
+          round(max(col("jac")), 4).as("max_jac"),
+          round(avg(col("jac")), 4).as("avg_jac"))
+        .orderBy(col("source"), col("lang"))
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val stoplistSql = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Sign-LSH bucket expression over DuckDB DOUBLE[] column `v` —
+    * hyperplane literals shared with [[Similarity.hyperplane]].
+    */
+  private def bucketSql(v: String): String =
+    (0 until 8).map { j =>
+      val plane = Similarity.hyperplane(j, 64).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum([$v[i] * ($plane)[i] for i in range(1, len($v)+1)]) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum([$a[i] * $b[i] for i in range(1, len($a)+1)]) /
+       |sqrt(list_sum([x * x for x in $a]) * list_sum([x * x for x in $b]))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "x01_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "x02_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([md5(x || '#' || CAST(h AS VARCHAR)) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) AS jac
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x03_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS cos6
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT query_id, rnk, neighbor_id, round(cos6, 4) AS cosine
+         |FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "x04_text_stats" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(avg(len(string_split_regex(text, '\s+'))), 2) AS avg_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "x05_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, x -> x IN ($stoplistSql))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS ratio
+         |  FROM t)
+         |SELECT doc_id, lang, round(ratio, 4) AS stop_ratio,
+         |  CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS predicted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x06_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |    CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks) AS mean_tok_len,
+         |    CAST(len(list_filter(toks, x -> x IN ($stoplistSql))) AS DOUBLE)
+         |      / len(toks) AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, round(ttr, 4) AS ttr,
+         |  round(mean_tok_len, 4) AS mean_tok_len,
+         |  round(stop_ratio, 4) AS stop_ratio,
+         |  CAST(floor((0.25 * least(n_tokens / 100.0, 1.0) + 0.5 * ttr
+         |              + 0.25 * least(stop_ratio * 5.0, 1.0)) * 10000 + 0.5)
+         |       AS BIGINT) AS quality_e4
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x07_token_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) AS BIGINT)
+        |       for x in toks]),
+        |    (h, d) -> (h * 31 + d) % 1000000007) AS doc_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x08_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [md5(x) for x in list_distinct(string_split_regex(text, '\s+'))] AS ms
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN
+        |      list_sum([2 * (((strpos('0123456789abcdef',
+        |                              substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |                      // CAST(pow(2, b % 4) AS BIGINT)) % 2) - 1
+        |                for m in ms]) > 0
+        |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END
+        |    for b in range(0, 16)]) AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x09_ann_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, label AS clabel,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT query_id, label, neighbor_id,
+         |    round(${cosineSql("qv", "cv")}, 6) AS cos6
+         |  FROM q JOIN c ON label = clabel AND neighbor_id <> query_id),
+         |r AS (
+         |  SELECT query_id, label, neighbor_id, cos6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT query_id, label, rnk, neighbor_id, round(cos6, 4) AS cosine
+         |FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "x10_embed_neardup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pert AS (
+         |  SELECT vec_id + 10000 AS vec_id,
+         |    [v[i] * 1.02 + CAST(((i - 1) % 7) - 3 AS DOUBLE) * 0.0001
+         |     for i in range(1, len(v)+1)] AS v
+         |  FROM base),
+         |corpus AS (
+         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosineSql("a.v", "b.v")}, 6) AS cos6
+         |  FROM corpus a JOIN corpus b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos6, 4) AS cosine
+         |FROM cand WHERE cos6 >= 0.999
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x11_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(substr(hex(encode(text)), 1, 16)) AS hex_head,
+        |  md5(text) AS content_md5,
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST((doc_id * 7) % 480 AS BIGINT) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "x12_ngram_jaccard_blocked" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, lang, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          for i in range(1, len(t) - 1)])
+        |      ELSE [] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.source AS source, a.lang AS lang,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |             AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT source, lang,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN jac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
+        |  round(max(jac), 4) AS max_jac,
+        |  round(avg(jac), 4) AS avg_jac
+        |FROM p
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, MultiModal, Similarity, Text}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Text primitives ----
+
+  test("wordShingles: trigrams of a known sentence, distinct, empty under 3 tokens") {
+    val df = Seq("a b c d", "x y").toDF("text")
+      .select(Text.wordShingles(Text.tokens(col("text"))).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty)
+  }
+
+  test("stopwordRatio and typeTokenRatio on a known doc") {
+    val df = Seq("the cat the cat runs").toDF("text")
+      .select(
+        Text.stopwordRatio(Text.tokens(col("text"))).as("sr"),
+        Text.typeTokenRatio(Text.tokens(col("text"))).as("ttr"))
+    val r = df.head
+    assert(r.getDouble(0) == 0.4) // "the" twice of 5 tokens
+    assert(r.getDouble(1) == 0.6) // {the, cat, runs} of 5
+  }
+
+  test("rollingFingerprint is order-sensitive; simhash16 is order-insensitive") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("dtoks", array_distinct(col("toks")))
+      .withColumn("ms", Text.md5Array("dtoks"))
+      .select(Text.rollingFingerprint("toks").as("fp"),
+        Text.simhash16("ms").as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) != rows(1).getLong(0)) // rolling: order matters
+    assert(rows(0).getLong(1) == rows(1).getLong(1)) // simhash: set semantics
+    assert(rows(0).getLong(1) >= 0 && rows(0).getLong(1) < 65536)
+  }
+
+  // ---- Dedup ----
+
+  test("exactDedup keeps the lowest id per identical text") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
+      .toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("bandedPairs surfaces identical shingle sets, never self-pairs") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // identical → all bands collide
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")) // disjoint → no collision
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.wordShingles(Text.tokens(col("text"))).as("s"))
+    val pairs = Dedup.bandedPairs(df, "doc_id", "s")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard: known overlap") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.head.getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  // ---- Similarity ----
+
+  test("cosine: orthogonal → 0, parallel → 1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+    val c = df.as[Double].collect()
+    assert(c(0) == 0.0 && c(1) == 1.0)
+  }
+
+  test("signBucket: positively-scaled copies share a bucket") {
+    val v = (0 until 64).map(i => math.sin(i + 1.0))
+    val df = Seq(v, v.map(_ * 1.02)).toDF("v")
+      .select(Similarity.signBucket(col("v"), 8, 64).as("b"))
+    val buckets = df.as[Long].collect()
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 256)
+  }
+
+  // ---- MultiModal ----
+
+  test("featurize: deterministic stub features with correct byte math") {
+    val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
+    val f = MultiModal.featurize(MultiModal.packFromText(docs)).head()
+    assert(f.doc_id == 7L)
+    assert(f.byte_len == 3L)
+    // rolling checksum of bytes 97,98,99: ((97*31)+98)*31+99
+    assert(f.checksum == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(f.brightness == (97 + 98 + 99).toDouble / 3 / 255.0)
+    assert(f.n_frames == 4) // 1 + 3 % 4
+  }
+
+  test("featurize runs partition-batched over a real corpus slice") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val out = MultiModal.featurize(MultiModal.packFromText(docs))
+    assert(out.count() == 50)
+    assert(out.filter(col("byte_len") <= 0).isEmpty)
+  }
+}
