@@ -16,16 +16,28 @@ import org.apache.spark.sql.functions._
   *  - present → sp_update: DELETE today's row, re-INSERT today's rollup
   *    (update sql:2,4-36) — a delete-then-insert upsert of one date.
   *
-  * Spark mapping: monthly-partitioned parquet; bootstrap is a partitioned
-  * overwrite; upsert is a *dynamic* partition overwrite that rewrites only
-  * the month partition containing `asOf` (sibling days of that month are
-  * carried over, all other months untouched). At scale the rewrite cost is
-  * one month of daily rows — at most 31 rows per location — regardless of
-  * table size, and readers prune on `month_part` exactly like BigQuery's
-  * partition pruning.
+  * Spark mapping: parquet partitioned by (month_part, dt) — month_part
+  * preserves the reference's month-granular pruning contract for
+  * readers, and the dt sub-partition makes the upsert a *write-only*
+  * dynamic partition overwrite of exactly one day's directory:
+  *  - no read-modify-write: sibling days live in sibling directories
+  *    that the overwrite never touches, so there is nothing to carry
+  *    over (round 1 read siblings through `localCheckpoint`, which
+  *    loses data if an executor dies mid-write — VERDICT.md #3);
+  *  - no session-global config: `partitionOverwriteMode` is set
+  *    per-write on the DataFrameWriter, not on the SparkConf;
+  *  - at scale the upsert cost is one day's rows regardless of table
+  *    size, and replaying it converges (no WRITE_APPEND double-count,
+  *    the reference bug of Load-gcs-to-bq/main.py:77).
+  *
+  * Semantics note: the reference's delete-then-insert would *remove* the
+  * day when today's source is empty; dynamic overwrite with an empty
+  * frame is a no-op instead. The reference only ever runs the update
+  * after appending today's rows, so the case is unreachable in the
+  * pipeline; documented here because it is the one observable difference.
   */
 object DailyTable {
-  val PartitionCol = "month_part"
+  val MonthCol = "month_part"
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -33,35 +45,35 @@ object DailyTable {
   }
 
   private def withMonth(daily: DataFrame): DataFrame =
-    daily.withColumn(PartitionCol, trunc(col("dt"), "month"))
+    daily.withColumn(MonthCol, trunc(col("dt"), "month"))
 
-  /** Full rebuild (sp_create analogue). */
-  def bootstrap(hourly: DataFrame, path: String): Unit =
-    withMonth(DailyRollup.rollup(hourly))
-      .write.partitionBy(PartitionCol).mode("overwrite").parquet(path)
-
-  /** One-day delete-then-insert upsert (sp_update analogue), implemented
-    * as dynamic partition overwrite of the single affected month.
-    * Idempotent: re-running for the same `asOf` converges to the same
-    * table (the reference's WRITE_APPEND double-count bug is not
-    * reproduced; see SURVEY.md §2 bug list).
-    */
-  def upsert(spark: SparkSession, hourly: DataFrame, path: String, asOf: Date): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val monthPart = Date.valueOf(asOf.toLocalDate.withDayOfMonth(1))
-    // Sibling days of the affected month survive the partition rewrite.
-    // localCheckpoint materializes them BEFORE the overwrite deletes the
-    // files they came from (self-overwrite hazard).
-    val siblings = spark.read.parquet(path)
-      .filter(col(PartitionCol) === lit(monthPart) && col("dt") =!= lit(asOf))
-      .localCheckpoint(true)
-    val fresh = withMonth(DailyRollup.rollup(hourly, Some(asOf)))
-    siblings.unionByName(fresh)
-      .write.partitionBy(PartitionCol).mode("overwrite").parquet(path)
+  private def write(daily: DataFrame, path: String, dynamic: Boolean): Unit = {
+    val w = withMonth(daily)
+      .write.partitionBy(MonthCol, "dt").mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(path)
   }
+
+  /** Full rebuild (sp_create analogue): static overwrite of the table. */
+  def bootstrap(hourly: DataFrame, path: String): Unit =
+    write(DailyRollup.rollup(hourly), path, dynamic = false)
+
+  /** One-day delete-then-insert upsert (sp_update analogue): dynamic
+    * partition overwrite that replaces exactly the (month, day)
+    * directory the fresh rollup lands in. Idempotent — re-running for
+    * the same `asOf` rewrites the same partition with the same rows.
+    */
+  def upsert(hourly: DataFrame, path: String, asOf: Date): Unit =
+    write(DailyRollup.rollup(hourly, Some(asOf)), path, dynamic = true)
 
   /** The existence branch of Load-gcs-to-bq/main.py:87-91. */
   def sync(spark: SparkSession, hourly: DataFrame, path: String, asOf: Date): Unit =
-    if (exists(spark, path)) upsert(spark, hourly, path, asOf)
+    if (exists(spark, path)) upsert(hourly, path, asOf)
     else bootstrap(hourly, path)
+
+  /** Read the daily table back; partition columns (month_part, dt) are
+    * restored as typed columns by partition discovery.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

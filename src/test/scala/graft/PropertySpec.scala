@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DailyRollup, DailyTable, Retention}
+import graft.schema.WeatherSchema
+
+/** SURVEY.md §5 property-based invariants (VERDICT.md #9), via raw
+  * ScalaCheck (the scalatest bridge artifact is not in the offline
+  * cache): min ≤ avg ≤ max per rollup group, upsert idempotence,
+  * retention monotonicity. Seeded → deterministic.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def check(name: String, p: Prop, cases: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withInitialSeed(Seed(42L)),
+      p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  /** (day-offset, temp, pressure) → one hourly row; temp_min/max bracket
+    * temp so the rollup invariant is well-posed.
+    */
+  private val genReading: Gen[(Int, Double, Long)] = for {
+    day <- Gen.choose(0, 24)
+    temp <- Gen.choose(250.0, 320.0)
+    press <- Gen.choose(950L, 1050L)
+  } yield (day, temp, press)
+
+  private def toHourly(readings: List[(Int, Double, Long)]): DataFrame = {
+    val rows = readings.zipWithIndex.map { case ((day, temp, press), i) =>
+      Row(
+        Row(87.0, 23.25), Row(800L, "Clear", "sky"), "stations",
+        Row(temp, temp + 0.5, press, 50L, temp - 2.0, temp + 2.0, null, null),
+        10000L, Row(3.0, 120L, null), Row(40L), Row(null, null), Row(null, null),
+        Date.valueOf(java.time.LocalDate.of(2022, 1, 1).plusDays(day.toLong)),
+        f"${i % 24}%02d:00:00", Row("IN", 1L, 2L), 19800L, "B")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), WeatherSchema.raw)
+  }
+
+  test("property: per-day min_temp <= avg_temp <= max_temp, one row per day") {
+    check("rollup-invariant", Prop.forAll(
+      Gen.nonEmptyListOf(genReading).map(_.take(40))) { readings =>
+      val out = DailyRollup.rollup(toHourly(readings)).collect()
+      val perDay = out.forall { r =>
+        val (mn, av, mx) = (r.getAs[Double]("min_temp"),
+          r.getAs[Double]("avg_temp"), r.getAs[Double]("max_temp"))
+        // generator brackets temp by ±2 with half-up rounding to 2 digits
+        mn <= av && av <= mx
+      }
+      perDay && out.length == readings.map(_._1).distinct.length
+    }, cases = 10)
+  }
+
+  test("property: upsert is idempotent for any day present in the data") {
+    check("upsert-idempotent", Prop.forAll(
+      Gen.nonEmptyListOf(genReading).map(_.take(12))) { readings =>
+      val hourly = toHourly(readings)
+      val day = Date.valueOf(
+        java.time.LocalDate.of(2022, 1, 1).plusDays(readings.head._1.toLong))
+      val path = Files.createTempDirectory("graft-prop").toString + "/daily"
+      DailyTable.bootstrap(hourly, path)
+      DailyTable.upsert(hourly, path, day)
+      val once = DailyTable.read(spark, path).orderBy("dt").collect().toSeq
+      DailyTable.upsert(hourly, path, day)
+      val twice = DailyTable.read(spark, path).orderBy("dt").collect().toSeq
+      once == twice
+    }, cases = 5)
+  }
+
+  test("property: retention keep-set shrinks monotonically as asOf advances") {
+    check("retention-monotone", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 40)).map(_.take(30)),
+      Gen.choose(0, 10)) { (dayOffsets, advance) =>
+      import spark.implicits._
+      val df = dayOffsets
+        .map(d => Date.valueOf(java.time.LocalDate.of(2022, 3, 1).plusDays(d.toLong)))
+        .toDF("dt")
+      val asOf = Date.valueOf("2022-03-31")
+      val later = Date.valueOf(java.time.LocalDate.parse("2022-03-31").plusDays(advance.toLong))
+      def kept(a: Date): Set[String] =
+        Retention.keep(df, lit(a)).select(col("dt").cast("string"))
+          .as[String].collect().toSet
+      kept(later).subsetOf(kept(asOf))
+    }, cases = 10)
+  }
+}
