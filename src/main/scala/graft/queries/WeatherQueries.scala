@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DailyRollup, Retention, Weatherize}
+import graft.ops.{CleanWeather, DailyRollup, Retention, Weatherize}
 
 /** Oracle-checked queries exercising the weather-domain pipeline
   * (SURVEY.md §2d rollup, §2c scalar surface, §2b retention) on the shared
@@ -35,6 +35,32 @@ object WeatherQueries {
         .groupBy(col("dt")).agg(count(lit(1)).as("n_rows"))
         .orderBy(col("dt"))
     }),
+
+    // P1 under the oracle (VERDICT.md #4): the clean reshape's renames
+    // (grnd_level→ground_level, deg→degree, 1h→rain_1h), array-head
+    // weather semantics (null on empty array), and whole-struct-null
+    // rain — projected flat and compared row-by-row.
+    "w04_clean_project" -> ((s, dir) =>
+      CleanWeather.clean(
+        Weatherize.lineitemAsApi(Tables(s, dir, "lineitem")),
+        col("dt0"), col("ct0"))
+        .select(
+          col("visibility").as("vis_key"),
+          col("weather.id").as("weather_id"),
+          col("weather.main").as("weather_main"),
+          col("main.ground_level").as("ground_level"),
+          col("wind.degree").as("wind_degree"),
+          col("wind.gust").as("gust"),
+          col("rain.rain_1h").as("rain_1h"),
+          col("dt"), col("current_time"))
+        .orderBy(col("vis_key"))),
+
+    // P1 ∘ A1-A6: the full reference path (clean then rollup) end-to-end;
+    // must agree with the same rollup computed straight from lineitem.
+    "w05_clean_then_rollup" -> ((s, dir) =>
+      DailyRollup.rollup(CleanWeather.clean(
+        Weatherize.lineitemAsApi(Tables(s, dir, "lineitem")),
+        col("dt0"), col("ct0")))),
   )
 
   /** Shared 17-column rollup SELECT, written against lineitem with the
@@ -79,5 +105,23 @@ object WeatherQueries {
         |WHERE dt > (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem) - 15
         |GROUP BY dt
         |ORDER BY dt""".stripMargin,
+
+    "w04_clean_project" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS vis_key,
+        |  CASE WHEN l_linenumber = 7 THEN NULL
+        |       ELSE 800 + l_orderkey % 4 END AS weather_id,
+        |  CASE WHEN l_linenumber = 7 THEN NULL
+        |       ELSE l_returnflag END AS weather_main,
+        |  CASE WHEN l_linenumber <= 5 THEN 955 + l_partkey % 100 END AS ground_level,
+        |  l_orderkey % 360 AS wind_degree,
+        |  CASE WHEN l_linenumber > 3 THEN l_quantity / 5.0 END AS gust,
+        |  CASE WHEN l_returnflag = 'R' THEN l_quantity / 25.0 END AS rain_1h,
+        |  CAST(l_shipdate AS DATE) AS dt,
+        |  printf('%02d:%02d:%02d', l_orderkey % 24, (l_linenumber * 9) % 60,
+        |         l_suppkey % 60) AS current_time
+        |FROM lineitem
+        |ORDER BY vis_key""".stripMargin,
+
+    "w05_clean_then_rollup" -> rollupSql(""),
   )
 }
