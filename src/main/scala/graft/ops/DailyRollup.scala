@@ -36,9 +36,22 @@ object DailyRollup {
   /** `scope = None` ⇒ create-mode (full history); `Some(d)` ⇒ update-mode,
     * mirroring update sql:32's `WHERE dt = CURRENT_DATE()` with the date
     * injected for determinism.
+    *
+    * The time-of-day MAX is aggregated as seconds-since-midnight, not as
+    * the raw string: for fixed-width `"HH:MM:SS"` the numeric order IS
+    * the lexicographic order (so P11/A5 semantics are unchanged and the
+    * string form is reformatted after the agg), but a string MAX buffer
+    * forces Spark into SortAggregate — a per-partition SORT of the whole
+    * raw table — while all-numeric buffers keep the single-pass
+    * HashAggregate. At 100 TB that is the difference between one hash
+    * pass and a full sort.
     */
   def rollup(hourly: DataFrame, scope: Option[Date] = None): DataFrame = {
     val scoped = scope.fold(hourly)(d => hourly.filter(col("dt") === lit(d)))
+    val timeSecs =
+      substring(col("current_time"), 1, 2).cast("long") * 3600 +
+        substring(col("current_time"), 4, 2).cast("long") * 60 +
+        substring(col("current_time"), 7, 2).cast("long")
     scoped
       .groupBy(col("dt"))
       .agg(
@@ -57,8 +70,13 @@ object DailyRollup {
         min(col("clouds.all")).cast("double").as("min_cloud_coverage"),
         max(col("rain.rain_1h")).as("max_rain_1h"),
         max(col("rain.rain_3h")).as("max_rain_3h"),
-        when(max(col("current_time")) > "23:00:00", lit("EOD"))
-          .otherwise(max(col("current_time"))).as("till_time"))
+        max(timeSecs).as("till_secs"))
+      .withColumn("till_time",
+        when(col("till_secs") > 23 * 3600, lit("EOD")) // strict >, create sql:46
+          .otherwise(format_string("%02d:%02d:%02d",
+            (col("till_secs") / 3600).cast("long"),
+            ((col("till_secs") % 3600) / 60).cast("long"),
+            col("till_secs") % 60)))
       .select(
         col("avg_temp"), col("max_temp"), col("min_temp"), col("feels_like"),
         col("avg_pressure"), col("max_pressure"), col("min_pressure"),
