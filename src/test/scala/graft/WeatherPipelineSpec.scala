@@ -145,4 +145,19 @@ class WeatherPipelineSpec extends AnyFunSuite {
       .select($"dt").as[Date].collect().toSeq
     assert(kept == Seq(Date.valueOf("2024-01-17"))) // 16th = asOf-15 → deleted
   }
+
+  test("retention partition drop removes only expired dt= directories") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/raw"
+    Seq("2024-01-15", "2024-01-16", "2024-01-17", "2024-01-20")
+      .map(Date.valueOf).toDF("dt")
+      .withColumn("v", lit(1L))
+      .write.partitionBy("dt").parquet(root)
+    val dropped = Retention.dropExpiredPartitions(
+      spark, root, Date.valueOf("2024-01-31"))
+    // boundary matches the relational form: 16th (= asOf-15) expires too
+    assert(dropped.sorted == Seq("dt=2024-01-15", "dt=2024-01-16"))
+    val left = spark.read.parquet(root).select($"dt".cast("string"))
+      .as[String].collect().toSet
+    assert(left == Set("2024-01-17", "2024-01-20")) // no data rewritten
+  }
 }
