@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CosineSimilarity
 
 /** Vector-similarity operators over `array<float>` embedding columns
   * (north-star extension surface).
@@ -28,8 +29,21 @@ object Similarity {
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** HOF formulation — the pure-built-in reference implementation.
+    * [[cosine]] (the native expression) is bit-identical; ExtSpec
+    * asserts the equivalence.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.expressions.CosineSimilarity]]): one fused loop, no
+    * intermediate arrays, same fold order as [[cosineHof]] and the
+    * oracle.
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(CosineSimilarity(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: plane j has
     * integer coefficient ((i·37 + j·101) mod 13) − 6 at dimension i
