@@ -67,4 +67,22 @@ object LogEvents {
       .select(col("e.*"))
       .as[LogEvent]
   }
+
+  /** K6/K7 as a STREAM (the reference's CF#4 shape: per-message arrival →
+    * partitioned log storage, Load-logs/main.py:34-53): a stream of
+    * envelope JSON strings is parsed (S4), normalized, and continuously
+    * appended to the partitioned layout. Returns the started query;
+    * caller controls the trigger/await.
+    */
+  def appendStream(
+      envelopes: DataFrame, root: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parsed = fromEnvelope(envelopes)
+    normalize(parsed).writeStream
+      .partitionBy("log_type", "message_type")
+      .format("json")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(root)
+  }
 }

@@ -110,6 +110,17 @@ class ExtSpec extends AnyFunSuite {
     assert(buckets(0) >= 0 && buckets(0) < 256)
   }
 
+  test("approx_count_distinct (HLL sketch) within 5% of exact") {
+    // Sketch aggregates can't be oracle-checked (engine-specific HLL),
+    // so the accuracy contract is pinned here instead.
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    assert(math.abs(r._2 - r._1).toDouble / r._1 < 0.05)
+  }
+
   // ---- MultiModal ----
 
   test("featurize: deterministic stub features with correct byte math") {
