@@ -52,8 +52,8 @@ object Ingest {
     val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(spark, batch, rawPath, dailyPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, rawPath, dailyPath)
       }
       .start()
     query.awaitTermination()
@@ -61,13 +61,24 @@ object Ingest {
 
   /** One micro-batch: K2 append, then D2/D3 transform per affected day —
     * sequential within the batch (the ordering CF#2 gets wrong).
+    *
+    * The "append" is a dynamic overwrite of the batch's own
+    * (dt, ingest_batch=<id>) partitions: a retried batch (crash after
+    * the write, before the checkpoint commit) rewrites the same
+    * directories instead of appending duplicates, upgrading the path
+    * from at-least-once to effectively-once. `dt` stays the leading
+    * partition level, so day-pruning and retention partition drops see
+    * the same top-level layout.
     */
-  private[streaming] def ingestBatch(
-      spark: SparkSession, batch: DataFrame, rawPath: String,
+  private[graft] def ingestBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long, rawPath: String,
       dailyPath: String): Unit = {
     batch.persist()
     try {
-      batch.write.mode("append").partitionBy("dt").parquet(rawPath)
+      batch.withColumn("ingest_batch", lit(batchId))
+        .write.partitionBy("dt", "ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(rawPath)
       val days = batch.select(col("dt")).distinct().collect()
         .map(_.getAs[Date]("dt")).sorted
       if (days.nonEmpty) {

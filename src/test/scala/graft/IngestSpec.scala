@@ -14,6 +14,7 @@ import graft.streaming.Ingest
   */
 class IngestSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private def ndjson(dt: String, time: String, temp: Double): String =
     s"""{"coord":{"lon":87.0,"lat":23.25},""" +
@@ -75,6 +76,24 @@ class IngestSpec extends AnyFunSuite {
       "2022-08-29" -> 28.0,
       "2022-08-30" -> 22.0, // avg(280.15, 310.15) - 273.15
       "2022-08-31" -> 17.0))
+  }
+
+  test("a replayed micro-batch overwrites itself instead of double-appending") {
+    val root = Files.createTempDirectory("graft-ingest-replay")
+    val raw = root.resolve("raw").toString
+    val daily = root.resolve("daily").toString
+    val batch = spark.read.schema(graft.schema.WeatherSchema.raw)
+      .json(Seq(ndjson("2022-08-29", "10:00:00", 300.15),
+        ndjson("2022-08-29", "11:00:00", 302.15)).toDS) // one micro-batch
+    // simulate the crash-retry: same batchId processed twice
+    Ingest.ingestBatch(spark, batch, 7L, raw, daily)
+    Ingest.ingestBatch(spark, batch, 7L, raw, daily)
+    assert(spark.read.parquet(raw).count() == 2) // not 4
+    // a different batchId with new data appends alongside
+    val batch2 = spark.read.schema(graft.schema.WeatherSchema.raw)
+      .json(Seq(ndjson("2022-08-29", "12:00:00", 310.15)).toDS)
+    Ingest.ingestBatch(spark, batch2, 8L, raw, daily)
+    assert(spark.read.parquet(raw).count() == 3)
   }
 
   test("ingest keeps per-day scope pruned to the day's partition") {
