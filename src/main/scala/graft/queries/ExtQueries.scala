@@ -205,7 +205,9 @@ object ExtQueries {
           x * 1.02 + (pmod(i, lit(7)) - 3).cast("double") * 0.0001).as("v"))
       val corpus = spread(base.unionByName(pert))
         .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
-      corpus.as("a")
+      // merge hint → identical shuffle subtrees → ReuseExchange computes
+      // the bucket pipeline once (see Dedup.nearDupPairs)
+      corpus.as("a").hint("merge")
         .join(corpus.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -241,7 +243,7 @@ object ExtQueries {
         .withColumn("t", Text.tokens(col("text")))
         .select(col("doc_id"), col("source"), col("lang"),
           Text.wordShingles(col("t")).as("s"))
-      sh.as("a")
+      sh.as("a").hint("merge") // exchange reuse: one shingle pass
         .join(sh.as("b"),
           col("a.source") === col("b.source") &&
             col("a.lang") === col("b.lang") &&
