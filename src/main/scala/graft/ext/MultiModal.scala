@@ -66,6 +66,16 @@ object MultiModal {
     (checksum, brightness)
   }
 
+  /** Column-level "frame sampling": n evenly-spaced fixed-width byte
+    * slices of the payload (a real video op would seek key-frames; the
+    * slicing/plumbing is the part Spark owns). Stays in codegen —
+    * `substring` on binary is a byte slice.
+    */
+  def frameSample(content: org.apache.spark.sql.Column, n: Int, frameBytes: Int = 8)
+      : org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      substring(content, (i * (length(content) / n) + 1).cast("int"), lit(frameBytes)))
+
   /** Batched feature extraction: one task drains one partition's
     * iterator (the `mapInPandas` batch shape). Codec init would go at
     * the top of the lambda, once per partition.
