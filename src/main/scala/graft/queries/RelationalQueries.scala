@@ -223,6 +223,20 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Salted skew join (scale technique demo under the oracle): the
+    // salted plan must be row-identical to the plain join, so the oracle
+    // is simply the UNSALTED SQL — DuckDB proves the equivalence.
+    "q20_salted_skew_join" -> ((s, dir) =>
+      graft.ops.SkewJoin.salted(
+        t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("s_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_name"))),
+
     // §2c P3+P4+P13: filename cleanup → stem → table dispatch with the
     // reference's silent skip of unmapped stems (Load-gcs-to-bq/main.py:70).
     "q19_dispatch" -> ((s, dir) => {
@@ -398,6 +412,14 @@ object RelationalQueries {
         |    to_json(struct_pack(event_type := event_type, value := value)) AS j
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
+
+    "q20_salted_skew_join" ->
+      """SELECT s_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
 
     "q19_dispatch" ->
       """SELECT o_orderkey, stem,

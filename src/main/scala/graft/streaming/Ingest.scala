@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.ops.DailyTable
+import graft.ops.{DailyTable, LogEvent, LogEvents}
 import graft.schema.WeatherSchema
 
 /** E1 — the reference's flagship event-driven path (SURVEY.md §3),
@@ -45,7 +45,8 @@ object Ingest {
     */
   def runOnce(
       spark: SparkSession, landingDir: String, rawPath: String,
-      dailyPath: String, checkpointDir: String): Unit = {
+      dailyPath: String, checkpointDir: String,
+      logRoot: Option[String] = None): Unit = {
     val stream = spark.readStream
       .schema(WeatherSchema.raw)
       .json(landingDir)
@@ -53,11 +54,26 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, batchId, rawPath, dailyPath)
+        ingestBatch(spark, batch, batchId, rawPath, dailyPath, logRoot)
       }
       .start()
     query.awaitTermination()
   }
+
+  /** §2j: the success/error envelope every reference function publishes
+    * (Load-gcs-to-bq/main.py:96-110), emitted per micro-batch.
+    */
+  private def publishLog(
+      spark: SparkSession, logRoot: Option[String], messageType: String,
+      message: String): Unit =
+    logRoot.foreach { root =>
+      import spark.implicits._
+      LogEvents.append(Seq(LogEvent(
+        project = "graft", service = "ingest", process = "ingest_batch",
+        runtime = s"spark ${spark.version}", log_type = LogEvents.BqLoadLogging,
+        file_name = None, gcs_uri = None, bq_uri = None,
+        message_type = messageType, message = message)).toDS(), root)
+    }
 
   /** One micro-batch: K2 append, then D2/D3 transform per affected day —
     * sequential within the batch (the ordering CF#2 gets wrong).
@@ -72,7 +88,7 @@ object Ingest {
     */
   private[graft] def ingestBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long, rawPath: String,
-      dailyPath: String): Unit = {
+      dailyPath: String, logRoot: Option[String] = None): Unit = {
     batch.persist()
     try {
       batch.withColumn("ingest_batch", lit(batchId))
@@ -90,6 +106,13 @@ object Ingest {
         else
           days.foreach(d => DailyTable.upsert(raw, dailyPath, d))
       }
+      publishLog(spark, logRoot, "success",
+        s"batch $batchId loaded, days=${days.mkString(",")}")
+    } catch {
+      case e: Throwable =>
+        publishLog(spark, logRoot, "error",
+          s"batch $batchId failed: ${e.getMessage}")
+        throw e
     } finally batch.unpersist()
   }
 }

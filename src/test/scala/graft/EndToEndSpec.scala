@@ -33,6 +33,7 @@ class EndToEndSpec extends AnyFunSuite {
     val raw = root.resolve("raw").toString
     val daily = root.resolve("daily").toString
     val ckpt = root.resolve("ckpt").toString
+    val logs = root.resolve("logs").toString
 
     val fetcher = new WeatherApi.ReplayFetcher(
       Seq(apiBody(300.15), apiBody(302.15)))
@@ -47,7 +48,7 @@ class EndToEndSpec extends AnyFunSuite {
     }
     assert(new java.io.File(landing).listFiles().length == 2) // K1 blobs
 
-    Ingest.runOnce(spark, landing, raw, daily, ckpt)
+    Ingest.runOnce(spark, landing, raw, daily, ckpt, Some(logs))
 
     assert(spark.read.parquet(raw).count() == 2)
     val d = DailyTable.read(spark, daily)
@@ -55,5 +56,10 @@ class EndToEndSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(d.toSeq == Seq(("2022-08-29", 28.0, 31.0)))
     // avg(300.15,302.15)-273.15 = 28.0 ; max(temp_max)=304.15-273.15 = 31.0
+
+    // §2j: the batch published its success envelope to the log store
+    val logged = graft.ops.LogEvents.read(spark, logs)
+    assert(logged.filter(col("message_type") === "success").count() >= 1)
+    assert(logged.filter(col("log_type") =!= "bq-load-logging").count() == 0)
   }
 }
