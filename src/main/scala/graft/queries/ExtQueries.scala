@@ -258,6 +258,29 @@ object ExtQueries {
           round(avg(col("jac")), 4).as("avg_jac"))
         .orderBy(col("source"), col("lang"))
     }),
+    // Batch sessionization — the relational mirror of the streaming
+    // flatMapGroupsWithState sessionizer (EventWindows.sessionize): a
+    // session break is a >30-min gap; session id = running count of
+    // breaks per user. Two window passes + one aggregate, all keyed on
+    // user_id — state never leaves the user's partition.
+    "x13_sessionize_batch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 30 * 60 * 1000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -475,6 +498,32 @@ object ExtQueries {
         |  CAST((doc_id * 7) % 480 AS BIGINT) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "x13_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "x12_ngram_jaccard_blocked" ->
       """WITH tok AS (

@@ -110,6 +110,21 @@ class ExtSpec extends AnyFunSuite {
     assert(buckets(0) >= 0 && buckets(0) < 256)
   }
 
+  test("k-means-lite: inertia is monotone non-increasing, cells well-formed") {
+    import graft.ext.KMeansLite
+    val vecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
+    val seed = KMeansLite.fit(vecs, "vec_id", "v", k = 8, iters = 0)
+    val i0 = KMeansLite.inertia(vecs, "v", seed)
+    val trained = KMeansLite.fit(vecs, "vec_id", "v", k = 8, iters = 3)
+    val i3 = KMeansLite.inertia(vecs, "v", trained)
+    assert(i3 <= i0 * (1 + 1e-9), s"inertia rose: $i0 -> $i3") // Lloyd's never worsens
+    assert(i3 < i0, "three iterations should actually improve the seed")
+    val cells = vecs.select(KMeansLite.assign(col("v"), trained).as("c"))
+      .distinct().as[Int].collect().toSet
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
