@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,16 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Exact (order-independent) rounded sum. A large-magnitude double sum
+    * depends on accumulation order — at sf0.1 a billion-scale revenue
+    * sum differs by ~1e-6 between Spark's 32 partial sums and DuckDB's
+    * sequential sum, enough to flip `round(..., 2)` at a boundary. Money
+    * sums therefore accumulate in DECIMAL (exact, order-independent)
+    * and only then round.
+    */
+  private def sumExact(c: Column, digits: Int): Column =
+    round(sum(c.cast("decimal(38,8)")).cast("double"), digits)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2d A1-A6 analogue + COUNT/SUM/COUNT DISTINCT (the "not present"
@@ -32,9 +42,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-09-03 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          sumExact(col("l_quantity"), 2).as("sum_qty"),
+          sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -56,7 +66,7 @@ object RelationalQueries {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -135,21 +145,21 @@ object RelationalQueries {
     "q10_monthly_events" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(to_date(date_trunc("month", col("ts"))).as("mon"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("total_value"))
         .orderBy(col("mon"), col("event_type"))),
 
     // §2d grouping sets: ROLLUP with explicit NULLS FIRST ordering.
     "q11_rollup_status" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // §2d HAVING + scalar subquery threshold (self-scaling across SFs).
     "q12_having_above_avg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val grouped = li.groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("supp_qty"), count(lit(1)).as("n_items"))
+        .agg(sumExact(col("l_quantity"), 2).as("supp_qty"), count(lit(1)).as("n_items"))
       val thr = li.agg((sum(col("l_quantity")) / countDistinct(col("l_suppkey"))).as("thr"))
       grouped.crossJoin(broadcast(thr))
         .filter(col("supp_qty") > col("thr"))
@@ -232,7 +242,7 @@ object RelationalQueries {
         "l_suppkey", "s_suppkey", salts = 8)
         .groupBy(col("s_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("s_name"))),
@@ -255,9 +265,9 @@ object RelationalQueries {
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price,
         |  round(avg(l_discount), 4) AS avg_disc,
@@ -270,7 +280,7 @@ object RelationalQueries {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -342,23 +352,27 @@ object RelationalQueries {
 
     "q10_monthly_events" ->
       """SELECT CAST(date_trunc('month', ts) AS DATE) AS mon, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 2) AS total_value
         |FROM events
         |GROUP BY date_trunc('month', ts), event_type
         |ORDER BY mon, event_type""".stripMargin,
 
     "q11_rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 2) AS total
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q12_having_above_avg" ->
-      """SELECT l_suppkey, round(sum(l_quantity), 2) AS supp_qty, count(*) AS n_items
+      """SELECT l_suppkey,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2) AS supp_qty,
+        |  count(*) AS n_items
         |FROM lineitem
         |GROUP BY l_suppkey
-        |HAVING round(sum(l_quantity), 2) >
+        |HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2) >
         |  (SELECT sum(l_quantity) / count(DISTINCT l_suppkey) FROM lineitem)
         |ORDER BY l_suppkey""".stripMargin,
 
@@ -415,7 +429,7 @@ object RelationalQueries {
 
     "q20_salted_skew_join" ->
       """SELECT s_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name
