@@ -32,17 +32,28 @@ object Dedup {
       .drop("rn")
   }
 
-  /** MinHash signature: `numHashes` independent permutations simulated by
-    * salted md5 (min over the shingle set of md5(shingle + '#' + i)).
-    * String min is total and identical across engines, so no hex→int
-    * parsing is needed anywhere. The signature pass is a narrow
-    * per-row computation — callers must ensure the input is spread
-    * across partitions (compute-bound, embarrassingly parallel).
+  /** MinHash signature via the single-pass native expression
+    * ([[org.apache.spark.sql.graft.MinHashSignature]]): hash h = the
+    * 8-hex chunk h%4 of md5(shingle + '#' + h/4), minimized over the
+    * shingle set as strings — total order, identical in the DuckDB
+    * oracle, no hex→int parsing anywhere. The signature pass is a
+    * narrow per-row computation — callers must ensure the input is
+    * spread across partitions (compute-bound, embarrassingly parallel).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.MinHashSignature(
+        org.apache.spark.sql.GraftExpressionBridge.expression(shingles), numHashes))
+
+  /** Pure-HOF reference formulation of the same signature (numHashes
+    * interpreted passes) — kept for the ExtSpec equivalence assertion.
+    */
+  def minhashSignatureHof(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h => {
+      val seed = floor(h / 4).cast("int").cast("string")
       array_min(transform(shingles, s =>
-        md5(concat(s, lit("#"), h.cast("string"))))))
+        md5(concat(s, lit("#"), seed)).substr(lit(1) + (h % 4) * 8, lit(8))))
+    })
 
   /** LSH band hashes: the signature split into `bands` runs of
     * `rowsPerBand`, each run collapsed to one md5. Two docs collide on a

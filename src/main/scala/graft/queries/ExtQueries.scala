@@ -331,7 +331,8 @@ object ExtQueries {
         |  FROM tok WHERE len(t) >= 3),
         |sig AS (
         |  SELECT doc_id, s,
-        |    [list_min([md5(x || '#' || CAST(h AS VARCHAR)) for x in s])
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
         |     for h in range(0, 12)] AS g
         |  FROM sh),
         |bands AS (

@@ -64,6 +64,17 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native MinHashSignature equals the HOF reference formulation") {
+    val sh = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+      .select(Text.wordShingles(Text.tokens(col("text"))).as("s"))
+    val both = sh.select(
+      Dedup.minhashSignature(col("s"), 12).as("native"),
+      Dedup.minhashSignatureHof(col("s"), 12).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    val sig = both.select(col("native")).head.getSeq[String](0)
+    assert(sig.length == 12 && sig.forall(_.length == 8))
+  }
+
   test("jaccard: known overlap") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
