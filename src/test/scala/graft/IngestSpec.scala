@@ -96,6 +96,27 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(raw).count() == 3)
   }
 
+  test("ingest at volume: streamed daily table equals the batch rollup") {
+    // 6k weatherized lineitem rows through the landing stream must yield
+    // byte-for-byte the same daily table as the direct batch rollup.
+    val root = Files.createTempDirectory("graft-ingest-vol")
+    val landing = root.resolve("landing").toString
+    val hourly = graft.ops.Weatherize.lineitemAsHourly(
+      Tables(spark, "/root/testdata/sf0.001", "lineitem"))
+    hourly.repartition(4).write.json(landing) // 4 "blobs"
+    Ingest.runOnce(spark, landing, root.resolve("raw").toString,
+      root.resolve("daily").toString, root.resolve("ckpt").toString)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("dt").cast("string"), col("avg_temp"), col("max_temp"),
+      col("min_temp"), col("avg_pressure"), col("max_rain_1h"),
+      col("month"), col("till_time"))
+      .collect().map(_.toSeq).toSet
+    val streamed = key(DailyTable.read(spark, root.resolve("daily").toString))
+    val direct = key(graft.ops.DailyRollup.rollup(hourly))
+    assert(streamed.size == direct.size && streamed == direct)
+  }
+
   test("ingest keeps per-day scope pruned to the day's partition") {
     // The upsert's rollup filters dt == asOf over the dt-partitioned raw
     // store; the plan must show partition pruning, not a full scan.
