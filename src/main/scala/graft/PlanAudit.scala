@@ -1,20 +1,36 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: one summary line per registered query — exchange
+  * count, join strategies, aggregate kinds, cartesian/sort-agg warnings —
+  * so a scale smell (unbroadcast dim, SortAggregate, accidental
+  * cartesian) is visible at a glance. Run ad hoc:
+  * `sbt "runMain graft.PlanAudit [sfDir]"`.
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q01_pricing_summary", "w01_daily_rollup_full", "x02_minhash_pairs", "x03_cosine_topk")) {
-      println(s"==== $name ====")
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      plan.split("\n").filter(l =>
-        l.contains("PushedFilters") || l.contains("ReadSchema") ||
-        l.contains("Scan parquet") || l.contains("Exchange") ||
-        l.contains("WholeStageCodegen") || l.contains("Join") || l.contains("Aggregate"))
-        .take(25).foreach(l => println(l.take(220)))
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+        val p = df.queryExecution.executedPlan.toString
+        def n(s: String) = s.r.findAllIn(p).size
+        val flags = Seq(
+          if (n("CartesianProduct") > 0) "CARTESIAN!" else "",
+          if (n("SortAggregate") > 0) "SORT-AGG!" else "",
+          if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "")
+          .filter(_.nonEmpty).mkString(" ")
+        println(f"AUDIT $name%-28s exch=${n("Exchange ")}%2d bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} reuse=${n("ReusedExchange")} hashagg=${n("HashAggregate")} $flags")
+      } catch { case e: Throwable =>
+        println(s"AUDIT $name FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

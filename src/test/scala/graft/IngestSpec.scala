@@ -117,6 +117,25 @@ class IngestSpec extends AnyFunSuite {
     assert(streamed.size == direct.size && streamed == direct)
   }
 
+  test("a failing batch publishes an error envelope and rethrows") {
+    val root = Files.createTempDirectory("graft-ingest-err")
+    val logs = root.resolve("logs").toString
+    // rawPath points at an existing FILE → the parquet write must fail
+    val blocked = root.resolve("raw")
+    Files.write(blocked, "not a directory".getBytes)
+    val batch = spark.read.schema(graft.schema.WeatherSchema.raw)
+      .json(Seq(ndjson("2022-08-29", "10:00:00", 300.15)).toDS)
+    intercept[Exception] {
+      Ingest.ingestBatch(spark, batch, 1L, blocked.toString,
+        root.resolve("daily").toString, Some(logs))
+    }
+    val logged = graft.ops.LogEvents.read(spark, logs)
+      .filter(col("message_type") === "error")
+    assert(logged.count() == 1)
+    assert(logged.select("message").collect().head.getString(0)
+      .startsWith("batch 1 failed"))
+  }
+
   test("ingest keeps per-day scope pruned to the day's partition") {
     // The upsert's rollup filters dt == asOf over the dt-partitioned raw
     // store; the plan must show partition pruning, not a full scan.
