@@ -29,10 +29,25 @@ object MultiModal {
       doc_id: Long, mime: String, width: Int, height: Int,
       content: Array[Byte])
 
-  /** Output of the (stubbed) decode/feature-extract stage. */
+  /** Output of the (stubbed) decode/feature-extract stage; `thumb` is
+    * the resize stub's output payload.
+    */
   final case class MediaFeatures(
       doc_id: Long, byte_len: Long, checksum: Long,
-      brightness: Double, n_frames: Int)
+      brightness: Double, n_frames: Int, thumb: Array[Byte])
+
+  /** STUB resize: deterministic byte subsampling standing in for a real
+    * scaler — keeps every `factor`-th byte, preserving payload order.
+    * Like [[featurize]]'s decode, only this body changes in production;
+    * the batched dataflow is final.
+    */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0)
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
 
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes). The
     * driver provides no true binary fixtures, so tests and demo queries
@@ -87,7 +102,8 @@ object MultiModal {
       batch.map { r =>
         val (checksum, brightness) = decodeStub(r.content)
         val frames = 1 + (r.content.length % 4) // stub "frame sample" count
-        MediaFeatures(r.doc_id, r.content.length.toLong, checksum, brightness, frames)
+        MediaFeatures(r.doc_id, r.content.length.toLong, checksum, brightness,
+          frames, resizeStub(r.content, 4))
       }
     }
   }

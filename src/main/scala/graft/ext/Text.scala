@@ -28,10 +28,20 @@ object Text {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Distinct word n-gram shingles (default 3), the MinHash/Jaccard unit.
-    * Docs with fewer than `n` tokens yield an empty shingle set.
+  /** Distinct word n-gram shingles (default 3), the MinHash/Jaccard
+    * unit, via the single-pass native expression
+    * ([[org.apache.spark.sql.graft.WordShingles]]). Docs with fewer
+    * than `n` tokens yield an empty shingle set.
     */
   def wordShingles(toks: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.WordShingles(
+        org.apache.spark.sql.GraftExpressionBridge.expression(toks), n))
+
+  /** Pure-HOF reference formulation of [[wordShingles]] — kept for the
+    * ExtSpec equivalence assertion.
+    */
+  def wordShinglesHof(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))

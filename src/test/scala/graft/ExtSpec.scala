@@ -64,6 +64,15 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native WordShingles equals the HOF reference formulation") {
+    val t = Tables(spark, "/root/testdata/sf0.001", "documents").limit(200)
+      .select(Text.tokens(col("text")).as("t"))
+    val both = t.select(
+      Text.wordShingles(col("t")).as("native"),
+      Text.wordShinglesHof(col("t")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
   test("native MinHashSignature equals the HOF reference formulation") {
     val sh = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
       .select(Text.wordShingles(Text.tokens(col("text"))).as("s"))
@@ -158,6 +167,12 @@ class ExtSpec extends AnyFunSuite {
     assert(f.checksum == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
     assert(f.brightness == (97 + 98 + 99).toDouble / 3 / 255.0)
     assert(f.n_frames == 4) // 1 + 3 % 4
+    assert(new String(f.thumb, "UTF-8") == "a") // every 4th byte of "abc"
+  }
+
+  test("resizeStub keeps every Nth byte in order") {
+    val r = MultiModal.resizeStub("abcdefghij".getBytes("UTF-8"), 3)
+    assert(new String(r, "UTF-8") == "adgj")
   }
 
   test("featurize runs partition-batched over a real corpus slice") {
