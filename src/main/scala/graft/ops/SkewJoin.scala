@@ -29,7 +29,7 @@ object SkewJoin {
       salts: Int = 16): DataFrame = {
     require(salts > 0)
     val sf = fact.withColumn("_fsalt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("_dsalt",
       explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd, col(factKey) === col(dimKey) && col("_fsalt") === col("_dsalt"))
