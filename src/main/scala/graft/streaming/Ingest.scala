@@ -91,11 +91,17 @@ object Ingest {
       dailyPath: String, logRoot: Option[String] = None): Unit = {
     batch.persist()
     try {
-      batch.withColumn("ingest_batch", lit(batchId))
+      // Malformed landing lines parse to all-null rows under the explicit
+      // schema (PERMISSIVE mode); a null dt would land in the Hive
+      // default partition and silently poison the rollup's null group —
+      // quarantine them to a count instead of ingesting.
+      val good = batch.filter(col("dt").isNotNull)
+      val malformed = batch.count() - good.count()
+      good.withColumn("ingest_batch", lit(batchId))
         .write.partitionBy("dt", "ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(rawPath)
-      val days = batch.select(col("dt")).distinct().collect()
+      val days = good.select(col("dt")).distinct().collect()
         .map(_.getAs[Date]("dt")).sorted
       if (days.nonEmpty) {
         // dt is now a partition column of the raw store; per-day scope
@@ -107,7 +113,7 @@ object Ingest {
           days.foreach(d => DailyTable.upsert(raw, dailyPath, d))
       }
       publishLog(spark, logRoot, "success",
-        s"batch $batchId loaded, days=${days.mkString(",")}")
+        s"batch $batchId loaded, days=${days.mkString(",")}, malformed=$malformed")
     } catch {
       case e: Throwable =>
         publishLog(spark, logRoot, "error",

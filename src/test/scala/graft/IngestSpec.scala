@@ -117,6 +117,23 @@ class IngestSpec extends AnyFunSuite {
     assert(streamed.size == direct.size && streamed == direct)
   }
 
+  test("malformed landing lines are quarantined, not ingested as null days") {
+    val root = Files.createTempDirectory("graft-ingest-bad")
+    val landing = Files.createDirectories(root.resolve("landing"))
+    writeLanding(landing, "blob.json", Seq(
+      ndjson("2022-08-29", "10:00:00", 300.15),
+      """{"this is": not even json"""))
+    Ingest.runOnce(spark, landing.toString, root.resolve("raw").toString,
+      root.resolve("daily").toString, root.resolve("ckpt").toString,
+      Some(root.resolve("logs").toString))
+    val raw = spark.read.parquet(root.resolve("raw").toString)
+    assert(raw.count() == 1) // only the good row
+    assert(raw.filter(col("dt").isNull).isEmpty)
+    val msg = graft.ops.LogEvents.read(spark, root.resolve("logs").toString)
+      .select("message").collect().head.getString(0)
+    assert(msg.contains("malformed=1"))
+  }
+
   test("a failing batch publishes an error envelope and rethrows") {
     val root = Files.createTempDirectory("graft-ingest-err")
     val logs = root.resolve("logs").toString
