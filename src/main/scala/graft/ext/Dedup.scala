@@ -32,6 +32,23 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Canonical form for normalization-insensitive dedup: lowercase,
+    * whitespace runs collapsed, trimmed — catches the trivial near-dups
+    * (case / spacing variants) exact hashing misses, at exact-dedup
+    * cost. Hash THIS instead of the raw text.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** [[exactDedup]] keyed on [[normalizedText]]. */
+  def normalizedDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalizedText(col(textCol))))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** MinHash signature via the single-pass native expression
     * ([[org.apache.spark.sql.graft.MinHashSignature]]): hash h = the
     * 8-hex chunk h%4 of md5(shingle + '#' + h/4), minimized over the

@@ -258,6 +258,23 @@ object ExtQueries {
           round(avg(col("jac")), 4).as("avg_jac"))
         .orderBy(col("source"), col("lang"))
     }),
+    // Normalization-insensitive dedup: corpus = documents ∪ copies
+    // mutated only in case and spacing (id+10000); canonical-form
+    // hashing must collapse each pair to the original row.
+    "x14_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      Dedup.normalizedDedup(
+        docs.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .unionByName(mutated),
+        "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch sessionization — the relational mirror of the streaming
     // flatMapGroupsWithState sessionizer (EventWindows.sessionize): a
     // session break is a >30-min gap; session id = running count of
@@ -498,6 +515,20 @@ object ExtQueries {
         |  CAST(n_chars % 640 AS BIGINT) AS width,
         |  CAST((doc_id * 7) % 480 AS BIGINT) AS height
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "x14_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, upper(text) || '  ', lang, n_chars FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "x13_sessionize_batch" ->
