@@ -241,6 +241,9 @@ object ExtQueries {
     "x12_ngram_jaccard_blocked" -> ((s, dir) => {
       val sh = spread(t(s, dir, "documents"))
         .withColumn("t", Text.tokens(col("text")))
+        // docs under 3 tokens have no trigrams — drop them, or their
+        // empty sets make jaccard 0/0 (NaN) and poison the block's avg
+        .filter(size(col("t")) >= 3)
         .select(col("doc_id"), col("source"), col("lang"),
           Text.wordShingles(col("t")).as("s"))
       sh.as("a").hint("merge") // exchange reuse: one shingle pass
@@ -563,11 +566,9 @@ object ExtQueries {
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, source, lang,
-        |    CASE WHEN len(t) >= 3
-        |      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                          for i in range(1, len(t) - 1)])
-        |      ELSE [] END AS s
-        |  FROM tok),
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
         |p AS (
         |  SELECT a.source AS source, a.lang AS lang,
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
