@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to sbt's own stdout/stderr
+// instead of the LoggedOutput pipe that prefixes every line with
+// "[info] " — the prefix broke the driver's BENCH json parse in rounds
+// 1 and 2 ("parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,6 +51,15 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
+    // Rounds 1 and 2 both ended with `"parsed": null` in the driver's
+    // BENCH_r*.json: sbt wraps System.out, prefixing every line with
+    // "[info] ", so no clean JSON line ever reaches the driver's stdout
+    // parse. Writing straight to file descriptor 1 bypasses sbt's
+    // logger (it only intercepts the System.out reference, not the fd),
+    // emitting one unprefixed machine-parseable line.
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write((line + "\n").getBytes("UTF-8"))
+    raw.flush()
     spark.stop()
   }
 }
