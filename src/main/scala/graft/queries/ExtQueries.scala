@@ -112,20 +112,25 @@ object ExtQueries {
     // Language-ID heuristic: stopword-hit ratio over the token stream
     // (the driver corpus shares one vocabulary across langs, so this is
     // a determinism demo of the mechanism, not a model).
+    // x05–x08 pre-sort the input on doc_id ([[Sorted.byKey]]) instead
+    // of sorting the output: the narrow text projections preserve
+    // order, the sampling pass only evaluates the scan, and the
+    // per-row text work runs on all range partitions (the
+    // single-row-group parquet scan would otherwise bound parallelism
+    // at a handful of tasks).
     "x05_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Sorted.byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("toks", Text.tokens(col("text")))
         .withColumn("ratio", Text.stopwordRatio(col("toks")))
         .select(col("doc_id"), col("lang"),
           round(col("ratio"), 4).as("stop_ratio"),
           when(col("ratio") >= 0.08, lit("en")).otherwise(lit("unk"))
-            .as("predicted"))
-        .orderBy(col("doc_id"))),
+            .as("predicted"))),
 
     // Document quality scoring: length saturation + type-token ratio +
     // stopword plausibility. Pure narrow projection.
     "x06_quality_score" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Sorted.byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("toks", Text.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("ttr", Text.typeTokenRatio(col("toks")))
@@ -143,30 +148,29 @@ object ExtQueries {
           // (multiply-based) disagree; floor(x·10⁴ + 0.5) is identical
           // whenever the input doubles are (same op order ⇒ they are).
           floor(Text.qualityScore(col("n_tokens"), col("ttr"), col("stop_ratio"))
-            * 10000 + 0.5).cast("long").as("quality_e4"))
-        .orderBy(col("doc_id"))),
+            * 10000 + 0.5).cast("long").as("quality_e4"))),
 
     // Token counting (whitespace + regex lexer + chars/4 estimate) and
     // an order-sensitive rolling-hash document fingerprint.
     "x07_token_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Sorted.byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(col("text"),
             lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
           ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe"),
-          Text.rollingFingerprint("toks").as("doc_fp"))
-        .orderBy(col("doc_id"))),
+          Text.rollingFingerprint("toks").as("doc_fp"))),
 
     // 16-bit SimHash fingerprints over distinct tokens; identical token
     // sets collapse to one fingerprint, near-dups differ in few bits.
     "x08_simhash" -> ((s, dir) =>
-      spread(t(s, dir, "documents"))
+      // The range exchange of the input sort doubles as the spread():
+      // one shuffle both distributes and orders.
+      Sorted.byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("dtoks", array_distinct(Text.tokens(col("text"))))
         .withColumn("ms", Text.md5Array("dtoks"))
-        .select(col("doc_id"), Text.simhash16("ms").as("simhash"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), Text.simhash16("ms").as("simhash"))),
 
     // IVF-style bucketed ANN: the coarse quantizer cell is the `label`
     // column (stand-in for a k-means assignment); search = equi-join on

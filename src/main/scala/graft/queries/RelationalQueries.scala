@@ -179,7 +179,7 @@ object RelationalQueries {
 
     // §2c P5/P11 + string surface: concat, substring, case, upper, length.
     "q14_string_projection" -> ((s, dir) =>
-      t(s, dir, "part")
+      Sorted.byKey(t(s, dir, "part"), col("p_partkey"))
         .select(
           col("p_partkey"),
           upper(col("p_brand")).as("brand_uc"),
@@ -188,13 +188,17 @@ object RelationalQueries {
           concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
           when(col("p_size") >= 30, lit("large"))
             .when(col("p_size") >= 10, lit("medium"))
-            .otherwise(lit("small")).as("size_class"))
-        .orderBy(col("p_partkey"))),
+            .otherwise(lit("small")).as("size_class"))),
 
     // §2c P3: the reference's filename-cleanup regex transplanted
     // (strip `-json-\d{8}-\d{2}:\d{2}:\d{2}`, then take the stem).
+    // Output order comes from pre-sorting the input on the carried key
+    // ([[Sorted.byKey]]): the regex projection is row-wise
+    // (order-preserving), so sorting first keeps the heavy regex work
+    // out of the range-partitioner's sampling pass and spreads it over
+    // all range partitions.
     "q15_regexp_cleanup" -> ((s, dir) =>
-      t(s, dir, "orders")
+      Sorted.byKey(t(s, dir, "orders"), col("o_orderkey"))
         .select(col("o_orderkey"),
           concat(lit("hourly-weather-data-json-19950617-12:34:56_"),
             col("o_orderpriority")).as("fname"))
@@ -202,8 +206,7 @@ object RelationalQueries {
           col("o_orderkey"),
           regexp_replace(col("fname"),
             "-json-\\d{8}-\\d{2}:\\d{2}:\\d{2}", "").as("cleaned"),
-          regexp_extract(col("fname"), "^([a-z]+)-", 1).as("stem"))
-        .orderBy(col("o_orderkey"))),
+          regexp_extract(col("fname"), "^([a-z]+)-", 1).as("stem"))),
 
     // §2c P6: base64 encode/decode round-trip.
     "q16_base64_roundtrip" -> ((s, dir) =>
@@ -225,12 +228,13 @@ object RelationalQueries {
     // envelope back out — values must survive the round trip.
     "q18_json_roundtrip" -> ((s, dir) => {
       val j = to_json(struct(col("event_type"), col("value")))
-      t(s, dir, "events")
+      // Input pre-sorted on the unique carried key (see q15): the JSON
+      // serialize/parse round trip runs once, after the range shuffle.
+      Sorted.byKey(t(s, dir, "events"), col("event_id"))
         .select(
           col("event_id"),
           get_json_object(j, "$.event_type").as("rt_type"),
           round(get_json_object(j, "$.value").cast("double"), 4).as("rt_value"))
-        .orderBy(col("event_id"))
     }),
 
     // Salted skew join (scale technique demo under the oracle): the
@@ -250,7 +254,8 @@ object RelationalQueries {
     // §2c P3+P4+P13: filename cleanup → stem → table dispatch with the
     // reference's silent skip of unmapped stems (Load-gcs-to-bq/main.py:70).
     "q19_dispatch" -> ((s, dir) => {
-      val files = t(s, dir, "orders").select(
+      val files = Sorted.byKey(t(s, dir, "orders"), col("o_orderkey"))
+        .select(
         col("o_orderkey"),
         concat(
           when(col("o_orderkey") % 3 === 1, lit("unknown-export"))

@@ -40,9 +40,16 @@ object WeatherQueries {
     // (grnd_level→ground_level, deg→degree, 1h→rain_1h), array-head
     // weather semantics (null on empty array), and whole-struct-null
     // rain — projected flat and compared row-by-row.
+    //
+    // Deterministic order comes from sorting the INPUT on
+    // (l_orderkey, l_linenumber) — vis_key = l_orderkey*10+l_linenumber
+    // is monotone in that pair (l_linenumber < 10), and the row-wise
+    // projection preserves order ([[Sorted.byKey]]): ~2× faster than
+    // sorting the projected output at sf0.1.
     "w04_clean_project" -> ((s, dir) =>
       CleanWeather.clean(
-        Weatherize.lineitemAsApi(Tables(s, dir, "lineitem")),
+        Weatherize.lineitemAsApi(Sorted.byKey(Tables(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_linenumber"))),
         col("dt0"), col("ct0"))
         .select(
           col("visibility").as("vis_key"),
@@ -52,8 +59,7 @@ object WeatherQueries {
           col("wind.degree").as("wind_degree"),
           col("wind.gust").as("gust"),
           col("rain.rain_1h").as("rain_1h"),
-          col("dt"), col("current_time"))
-        .orderBy(col("vis_key"))),
+          col("dt"), col("current_time"))),
 
     // P1 ∘ A1-A6: the full reference path (clean then rollup) end-to-end;
     // must agree with the same rollup computed straight from lineitem.
