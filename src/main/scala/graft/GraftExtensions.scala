@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, WordShingles}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so the engine's extension surface is reachable from the
+  * SQL API (`spark.sql("SELECT cosine_similarity(a, b) ...")`) exactly
+  * like a built-in — resolution, `DESCRIBE FUNCTION`, and codegen all
+  * go through the standard FunctionRegistry path.
+  *
+  * Wire-up options (both supported):
+  *  - at session build time: `.withExtensions(new GraftExtensions)` or
+  *    `.config("spark.sql.extensions", "graft.GraftExtensions")`;
+  *  - on an existing session (e.g. one handed to a query closure by a
+  *    harness): `org.apache.spark.sql.GraftFunctions.ensureRegistered`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Sized arguments (number of hashes, shingle width) must be integer
+    * literals — they shape the expression tree itself, mirroring how
+    * built-ins like `approx_count_distinct` take a foldable precision.
+    */
+  private def intArg(args: Seq[Expression], pos: Int, fn: String): Int =
+    args(pos) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an INT literal, got $other")
+    }
+
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n, s"$fn takes exactly $n arguments, got ${args.length}")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity",
+          "cosine_similarity(a, b) - cosine similarity of two array<double> vectors"),
+        args => { arity(args, 2, "cosine_similarity")
+          CosineSimilarity(args.head, args(1)) }),
+      (FunctionIdentifier("minhash_signature"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature",
+          "minhash_signature(shingles, numHashes) - md5-chunk MinHash signature " +
+            "of a string-array shingle set; numHashes must be an INT literal " +
+            "multiple of 4"),
+        args => { arity(args, 2, "minhash_signature")
+          MinHashSignature(args.head, intArg(args, 1, "minhash_signature")) }),
+      (FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles",
+          "word_shingles(tokens, n) - distinct space-joined word n-grams; " +
+            "n must be an INT literal"),
+        args => { arity(args, 2, "word_shingles")
+          WordShingles(args.head, intArg(args, 1, "word_shingles")) }),
+    )
+}

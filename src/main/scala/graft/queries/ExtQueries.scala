@@ -305,6 +305,26 @@ object ExtQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+
+    // SQL-API surface: the same native cosine expression, but reached
+    // through the FunctionRegistry (GraftExtensions /
+    // GraftFunctions.ensureRegistered) and a spark.sql text query —
+    // resolution, codegen and the oracle all treat it like a built-in.
+    // The 1-row query side is a broadcast nested-loop join (the scalar
+    // -subquery shape); double-rounding (6 then 4) matches x03.
+    "x15_sql_cosine" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""
+        WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+                   FROM emb_sql WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(ROUND(cosine_similarity(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                             q.qv), 6), 4) AS cos_q0
+        FROM emb_sql e CROSS JOIN q
+        ORDER BY e.vec_id
+      """)
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -563,6 +583,14 @@ object ExtQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "x15_sql_cosine" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+         |SELECT e.vec_id, round(round(${cosineSql("cv", "qv")}, 6), 4) AS cos_q0
+         |FROM e, q
+         |ORDER BY e.vec_id""".stripMargin,
 
     "x12_ngram_jaccard_blocked" ->
       """WITH tok AS (

@@ -13,3 +13,17 @@ object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Registers [[graft.GraftExtensions]]' SQL functions on an ALREADY
+  * BUILT session — the path for sessions the library did not construct
+  * (a harness hands query closures a bare session). `sessionState` is
+  * `private[sql]`, hence this lives beside the bridge. Idempotent.
+  */
+object GraftFunctions {
+  def ensureRegistered(spark: SparkSession): Unit =
+    _root_.graft.GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      }
+    }
+}

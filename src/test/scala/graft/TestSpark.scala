@@ -8,6 +8,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the builder-time injection path for the SQL function surface
+      // (ExtensionsSpec); Verify/Bench sessions use the post-hoc
+      // GraftFunctions.ensureRegistered path instead
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
