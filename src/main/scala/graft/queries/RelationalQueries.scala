@@ -251,6 +251,26 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("s_name"))),
 
+    // Bloom-filter join pruning (scale technique demo under the
+    // oracle): the fact side is pre-filtered by a broadcast Bloom
+    // filter of the dimension's keys before it ever shuffles; false
+    // positives die in the join, so the oracle is simply the UNPRUNED
+    // SQL — DuckDB proves row-identity for any fpp.
+    "q21_bloom_pruned_join" -> ((s, dir) => {
+      val dim = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"))
+      graft.ops.BloomPrune.prunedJoin(
+        t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey",
+        expectedItems = 10000L, fpp = 0.01)
+        .groupBy(col("s_name"))
+        .agg(
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_name"))
+    }),
+
     // §2c P3+P4+P13: filename cleanup → stem → table dispatch with the
     // reference's silent skip of unmapped stems (Load-gcs-to-bq/main.py:70).
     "q19_dispatch" -> ((s, dir) => {
@@ -437,6 +457,15 @@ object RelationalQueries {
         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_bloom_pruned_join" ->
+      """SELECT s_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
         |GROUP BY s_name
         |ORDER BY s_name""".stripMargin,
 
