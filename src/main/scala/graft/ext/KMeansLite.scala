@@ -21,17 +21,68 @@ object KMeansLite {
 
   private def litVec(c: Seq[Double]): Column = array(c.map(lit): _*)
 
-  /** Squared L2 distance between a vector column and a centroid literal. */
-  private def dist2(v: Column, c: Seq[Double]): Column =
+  /** Squared L2 distance between a vector column and a centroid literal
+    * (sequential left fold — the order the oracle's list comprehension
+    * reproduces).
+    */
+  def dist2(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, litVec(c), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
+
+  /** Array of distances² to every centroid, in centroid-index order. */
+  def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c => dist2(v, c)): _*)
 
   /** Cell assignment: index of the nearest centroid (first minimum →
     * lowest index on ties — deterministic).
     */
   def assign(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val d = array(centroids.map(c => dist2(v, c)): _*)
+    val d = cellDistances(v, centroids)
     (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** The coordinate grid for [[fitQuantized]]: 2^24. Multiplying a
+    * double by a power of two is EXACT, so `round(x * 2^24)` is
+    * bit-identical across engines, and the resulting integers sum
+    * exactly (|x| ≤ 1-ish and n ≤ millions keeps sums far below 2^53).
+    */
+  val QuantScale: Double = 16777216.0
+
+  /** Lloyd iterations whose centroid update is reproducible bit-for-bit
+    * by a SQL oracle. Plain `avg(double)` depends on partial-aggregate
+    * merge order — nondeterministic even run-to-run — so the update
+    * quantizes each coordinate to the 2^-24 grid (`round(x·2^24)` as
+    * LONG), sums exactly (order-independent integer adds), takes
+    * `floor(sum / n)` in double (IEEE division of identical operands),
+    * and reconstructs `mean/2^24` (exact — division by a power of two).
+    * Every step is deterministic and expressible in DuckDB, so a
+    * trained quantizer can sit under the hash-compare oracle (x16).
+    *
+    * Same seed/tie rules as [[fit]]: init = first k vectors in id
+    * order, argmin ties break to the lowest centroid index, empty
+    * cells keep their previous centroid.
+    */
+  def fitQuantized(
+      vectors: DataFrame, idCol: String, vCol: String,
+      k: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(vCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val means = vectors
+        .select(assign(col(vCol), cents).as("cell"),
+          posexplode(transform(col(vCol),
+            x => round(x * QuantScale).cast("long"))).as(Seq("dim", "q")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") /
+          count(lit(1)).cast("double")).as("ms"))  // floor → LongType
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2) / QuantScale).toSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
   }
 
   /** Sum over points of distance² to the assigned centroid. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, Text}
+import graft.ext.{Dedup, KMeansLite, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -306,6 +306,41 @@ object ExtQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // IVF ANN with a TRAINED coarse quantizer under the hash oracle:
+    // KMeansLite.fitQuantized learns 8 cells in 2 Lloyd iterations
+    // whose centroid update is bit-reproducible in SQL (integer
+    // quantization instead of order-dependent avg(double) — see the
+    // Scaladoc), the corpus is indexed by nearest cell, and each query
+    // probes its 2 nearest cells for a top-3 cosine search. The
+    // equi-join on the cell id is the scale shape: candidates per
+    // query are a bounded bucket, never the corpus.
+    "x16_ann_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = KMeansLite.fitQuantized(e, "vec_id", "v", k = 8, iters = 2)
+      val assigned = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), KMeansLite.assign(col("v"), cents).as("cell"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("cell"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          posexplode(KMeansLite.cellDistances(col("v"), cents))
+            .as(Seq("cell", "d2")))
+        .withColumn("cr", row_number().over(wProbe))
+        .filter(col("cr") <= 2)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id"))
+      probes.join(assigned, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -343,6 +378,76 @@ object ExtQueries {
   private def cosineSql(a: String, b: String): String =
     s"""list_sum([$a[i] * $b[i] for i in range(1, len($a)+1)]) /
        |sqrt(list_sum([x * x for x in $a]) * list_sum([x * x for x in $b]))""".stripMargin
+
+  /** Unrolled k-means IVF oracle mirroring x16's fitQuantized + search
+    * (KMeansLite Scaladoc spells out why every step is bit-identical:
+    * exact 2^24 quantization, integer sums, floor of an IEEE division,
+    * exact reconstruction; argmin and probe ties break to the lowest
+    * cell; seeds are the first k vectors in id order).
+    */
+  private def kmeansIvfSql(
+      k: Int, dims: Int, iters: Int,
+      nProbe: Int, topK: Int, nQueries: Int): String = {
+    def d2(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    def assignCte(prev: Int, cur: Int): String =
+      s"""a_$cur AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+         |    FROM pts p, c_$prev c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignCte(i - 1, i)},
+         |m_$i AS (
+         |  SELECT a.cell, r.i AS dim,
+         |    floor(CAST(sum(p.q[r.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ms
+         |  FROM a_$i a JOIN pts p USING (vec_id), range(1, ${dims + 1}) r(i)
+         |  GROUP BY a.cell, r.i),
+         |cm_$i AS (
+         |  SELECT cell, list(ms / 16777216.0 ORDER BY dim) AS cv
+         |  FROM m_$i GROUP BY cell),
+         |c_$i AS (
+         |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c_${i - 1} p LEFT JOIN cm_$i n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    [CAST(round(x * 16777216.0) AS BIGINT)
+       |     for x in CAST(embedding AS DOUBLE[])] AS q
+       |  FROM embeddings),
+       |c_0 AS (
+       |  SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |    FROM pts)
+       |  WHERE cell < $k),
+       |$iterCtes,
+       |${assignCte(iters, iters + 1)},
+       |qd AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY ${d2("q.v", "c.cv")}, c.cell) AS cr
+       |    FROM pts q, c_$iters c WHERE q.vec_id < $nQueries)
+       |  WHERE cr <= $nProbe),
+       |corpus AS (
+       |  SELECT a.vec_id AS neighbor_id, p.v AS cv, a.cell
+       |  FROM a_${iters + 1} a JOIN pts p USING (vec_id)),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${cosineSql("qv", "cv")}, 6) AS cos6
+       |  FROM qd JOIN corpus USING (cell)
+       |  WHERE neighbor_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos6, 4) AS cosine
+       |FROM r WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -583,6 +688,9 @@ object ExtQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "x16_ann_kmeans" ->
+      kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

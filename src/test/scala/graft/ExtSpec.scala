@@ -145,6 +145,42 @@ class ExtSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("fitQuantized: run-to-run identical, improves the seed, decent recall") {
+    import graft.ext.KMeansLite
+    val vecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
+    val c1 = KMeansLite.fitQuantized(vecs, "vec_id", "v", k = 8, iters = 2)
+    val c2 = KMeansLite.fitQuantized(vecs, "vec_id", "v", k = 8, iters = 2)
+    // bit-identical, not approximately equal — the whole point of the
+    // quantized update is that no FP summation order can perturb it
+    assert(c1 == c2)
+    val seed = KMeansLite.fit(vecs, "vec_id", "v", k = 8, iters = 0)
+    assert(KMeansLite.inertia(vecs, "v", c1) < KMeansLite.inertia(vecs, "v", seed))
+
+    // recall@3 of the 2-probe IVF search (x16) vs brute force
+    val ivf = graft.queries.ExtQueries.queries("x16_ann_kmeans")(
+      spark, "/root/testdata/sf0.001")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val e = vecs.select(col("vec_id"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val brute = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = brute.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.5, f"2-probe recall@3 too low: $recall%.2f")
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
