@@ -43,6 +43,21 @@ class PlanSpec extends AnyFunSuite {
       "both join sides must share the tokenize→shingle→signature shuffle")
   }
 
+  test("q21: the Bloom probe filters the fact side below the join") {
+    val s = finalPlan("q21_bloom_pruned_join")
+    val probeAt = s.indexOf("bloom_might_contain")
+    val joinAt = s.indexOf("Join")
+    assert(probeAt >= 0, "the Bloom probe must appear in the physical plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "probe must sit in the join's input subtree (below it in the plan tree)")
+  }
+
+  test("x16: IVF search joins on the cell id, never a cartesian corpus scan") {
+    val s = finalPlan("x16_ann_kmeans")
+    assert(!s.contains("CartesianProduct"),
+      "candidates must come from the cell equi-join, not an all-pairs product")
+  }
+
   test("w02: incremental rollup scopes the scan with a dt data filter") {
     val s = finalPlan("w02_daily_rollup_incremental")
     // on the dt-partitioned raw store this same predicate becomes a

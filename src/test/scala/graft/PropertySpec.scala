@@ -96,4 +96,24 @@ class PropertySpec extends AnyFunSuite {
       kept(later).subsetOf(kept(asOf))
     }, cases = 10)
   }
+
+  test("property: minhash of a union is the elementwise min of signatures") {
+    // the structural invariant LSH banding rests on: each signature slot
+    // is a min over the shingle set, so sig(A ∪ B) = min(sig(A), sig(B))
+    // slot-wise — and therefore identical sets always fully collide
+    val genTokens = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+      .map(_.take(6))
+    check("minhash-union", Prop.forAll(genTokens, genTokens) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b, (a ++ b).distinct)).toDF("a", "b", "u")
+        .select(
+          graft.ext.Dedup.minhashSignature(col("a"), 8).as("sa"),
+          graft.ext.Dedup.minhashSignature(col("b"), 8).as("sb"),
+          graft.ext.Dedup.minhashSignature(col("u"), 8).as("su"))
+        .select(col("su") === zip_with(col("sa"), col("sb"),
+          (x, y) => least(x, y)).as("ok"))
+      df.head.getBoolean(0)
+    }, cases = 15)
+  }
 }
