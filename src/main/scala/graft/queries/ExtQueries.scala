@@ -306,6 +306,30 @@ object ExtQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // x03 recomputed through the typed-Aggregator tier (§2i): a bounded
+    // top-k heap aggregate instead of the window sort. The partial
+    // aggregate reduces every partition to ≤ k rows per query BEFORE
+    // the exchange — the window formulation shuffles and sorts every
+    // candidate. The oracle is x03's window SQL verbatim, proving the
+    // aggregator's (score desc, id asc) semantics equal row_number's.
+    "x17_topk_agg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), toD(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), toD(col("embedding")).as("cv"))
+      val top5 = graft.ext.TopK.topK(5)
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .groupBy(col("query_id"))
+        .agg(top5(col("cos6"), col("neighbor_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("sc.id").as("neighbor_id"),
+          round(col("sc.score"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // IVF ANN with a TRAINED coarse quantizer under the hash oracle:
     // KMeansLite.fitQuantized learns 8 cells in 2 Lloyd iterations
     // whose centroid update is bit-reproducible in SQL (integer
@@ -449,6 +473,27 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Shared by x03 (window rank) and x17 (typed top-k Aggregator). */
+  private lazy val bruteForceTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${cosineSql("qv", "cv")}, 6) AS cos6
+       |  FROM c, q WHERE neighbor_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos6, 4) AS cosine
+       |FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "x01_exact_dedup" ->
@@ -504,25 +549,11 @@ object ExtQueries {
         |FROM j WHERE jac >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "x03_cosine_topk" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings WHERE vec_id < 10),
-         |c AS (
-         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings),
-         |s AS (
-         |  SELECT query_id, neighbor_id,
-         |    round(${cosineSql("qv", "cv")}, 6) AS cos6
-         |  FROM c, q WHERE neighbor_id <> query_id),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cos6,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
-         |  FROM s)
-         |SELECT query_id, rnk, neighbor_id, round(cos6, 4) AS cosine
-         |FROM r WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin,
+    "x03_cosine_topk" -> bruteForceTopKSql,
+
+    // same oracle on purpose: the typed top-k Aggregator must be
+    // row-identical to the window-rank formulation
+    "x17_topk_agg" -> bruteForceTopKSql,
 
     "x04_text_stats" ->
       """SELECT lang,

@@ -181,6 +181,23 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"2-probe recall@3 too low: $recall%.2f")
   }
 
+  test("TopK aggregator: bounded buffer, ties break to the lowest id") {
+    import graft.ext.TopK
+    val top2 = TopK.topK(2)
+    val df = Seq(
+      ("g", 0.5, 7L), ("g", 0.9, 3L), ("g", 0.9, 1L), ("g", 0.1, 2L),
+      ("h", 0.2, 9L))
+      .toDF("grp", "score", "id")
+      .groupBy(col("grp"))
+      .agg(top2(col("score"), col("id")).as("top"))
+      .select(col("grp"), col("top").cast("string").as("s"))
+      .orderBy(col("grp"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    // 0.9 twice → ids 1 then 3; 0.5 dropped (k=2)
+    assert(rows(0) === ("g", "[{0.9, 1}, {0.9, 3}]"))
+    assert(rows(1) === ("h", "[{0.2, 9}]"))
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
