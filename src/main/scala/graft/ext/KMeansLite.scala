@@ -19,19 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object KMeansLite {
 
-  private def litVec(c: Seq[Double]): Column = array(c.map(lit): _*)
-
-  /** Squared L2 distance between a vector column and a centroid literal
-    * (sequential left fold — the order the oracle's list comprehension
-    * reproduces).
+  /** Squared L2 distance between two vector columns (sequential left
+    * fold — the order the oracle's list comprehension reproduces).
     */
-  def dist2(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, litVec(c), (x, y) => (x - y) * (x - y)),
+  def dist2(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 
-  /** Array of distances² to every centroid, in centroid-index order. */
-  def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.map(c => dist2(v, c)): _*)
+  /** Array of distances² to every centroid, in centroid-index order.
+    *
+    * The centroids enter the plan as ONE `typedlit` 2-D array iterated
+    * with HOFs, not as k separate 64-literal expression trees: the
+    * naive k×d-literal formulation made Catalyst analyze/optimize a
+    * ~1500-node tree per assignment (seconds of PLANNING per k-means
+    * iteration at k=8, d=64 — 6× the job's runtime). Arithmetic is
+    * unchanged: same zip_with/aggregate fold per centroid.
+    */
+  def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cl = typedlit(centroids)
+    transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
+      dist2(v, element_at(cl, ci + 1)))
+  }
 
   /** Cell assignment: index of the nearest centroid (first minimum →
     * lowest index on ties — deterministic).
@@ -68,8 +76,8 @@ object KMeansLite {
     var cents: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
       .select(col(vCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val means = vectors
-        .select(assign(col(vCol), cents).as("cell"),
+      val means = assignedOnce(vectors, vCol, cents)
+        .select(col("cell"),
           posexplode(transform(col(vCol),
             x => round(x * QuantScale).cast("long"))).as(Seq("dim", "q")))
         .groupBy(col("cell"), col("dim"))
@@ -88,8 +96,22 @@ object KMeansLite {
   /** Sum over points of distance² to the assigned centroid. */
   def inertia(vectors: DataFrame, vCol: String, centroids: Seq[Seq[Double]]): Double =
     vectors.select(
-      array_min(array(centroids.map(c => dist2(col(vCol), c)): _*)).as("d"))
+      array_min(cellDistances(col(vCol), centroids)).as("d"))
       .agg(sum(col("d"))).head().getDouble(0)
+
+  /** Cell assignment materialized BEHIND an exchange before any
+    * explode: without the barrier, CollapseProject merges the `assign`
+    * projection into the post-Generate projection and the k×d distance
+    * scan is re-evaluated once per EXPLODED row — a d-fold recompute
+    * (measured 10× on the update step at d=64). The round-robin
+    * repartition also spreads the update aggregate across cores (the
+    * single-file embeddings scan is one partition).
+    */
+  private def assignedOnce(
+      vectors: DataFrame, vCol: String, cents: Seq[Seq[Double]]): DataFrame =
+    vectors
+      .select(assign(col(vCol), cents).as("cell"), col(vCol))
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
 
   /** `iters` Lloyd iterations from the deterministic seed (first k
     * vectors ordered by `idCol`). Empty cells keep their previous
@@ -101,9 +123,8 @@ object KMeansLite {
     var cents: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
       .select(col(vCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val means = vectors
-        .select(assign(col(vCol), cents).as("cell"),
-          posexplode(col(vCol)).as(Seq("dim", "x")))
+      val means = assignedOnce(vectors, vCol, cents)
+        .select(col("cell"), posexplode(col(vCol)).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .collect()
