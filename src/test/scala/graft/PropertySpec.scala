@@ -116,4 +116,24 @@ class PropertySpec extends AnyFunSuite {
       df.head.getBoolean(0)
     }, cases = 15)
   }
+
+  test("property: TopK aggregator is partition-split invariant") {
+    // however the rows are split into partitions and merged, the result
+    // must equal the global sort — the property that makes the partial
+    // (map-side) aggregate safe
+    import graft.ext.TopK
+    import graft.ext.TopK.Scored
+    val genRows = Gen.nonEmptyListOf(for {
+      score <- Gen.choose(0, 5).map(_ / 4.0) // coarse scores force ties
+      id <- Gen.choose(0L, 50L)
+    } yield Scored(score, id)).map(_.take(20))
+    check("topk-split", Prop.forAll(genRows, Gen.choose(1, 5)) { (rows, nSplits) =>
+      val agg = new TopK.TopKAggregator(3)
+      val expected = rows.sortBy(s => (-s.score, s.id)).take(3)
+      val merged = rows.grouped(math.max(1, rows.size / nSplits))
+        .map(part => part.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == expected
+    }, cases = 30)
+  }
 }
