@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, KMeansLite, Similarity, Text}
+import graft.ext.{Dedup, KMeansLite, Quantize, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -365,6 +365,24 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Symmetric int8 embedding quantization (storage compression) with
+    // reconstruction metrics, per vector: the quantized L1 mass is
+    // integer-exact in both engines, and the error/cosine metrics are
+    // elementwise double ops with no accumulation-order freedom.
+    "x18_int8_quant" -> ((s, dir) =>
+      Sorted.byKey(t(s, dir, "embeddings"), col("vec_id"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .withColumn("scale", Quantize.int8Scale(col("v")))
+        .withColumn("q", Quantize.quantize(col("v"), col("scale")))
+        .withColumn("deq", Quantize.dequantize(col("q"), col("scale")))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 4).as("scale4"),
+          aggregate(col("q"), lit(0L),
+            (a, x) => a + abs(x).cast("long")).as("q_l1"),
+          round(Quantize.maxError(col("v"), col("deq")), 6).as("max_err6"),
+          round(Similarity.cosine(col("v"), col("deq")), 6).as("recon_cos6"))),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -722,6 +740,30 @@ object ExtQueries {
 
     "x16_ann_kmeans" ->
       kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
+
+    "x18_int8_quant" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN list_max([abs(x) for x in v]) = 0 THEN 1.0
+         |         ELSE 127.0 / list_max([abs(x) for x in v]) END AS scale
+         |  FROM p),
+         |q AS (
+         |  SELECT vec_id, v, scale,
+         |    [CAST(round(x * scale) AS INT) for x in v] AS qv
+         |  FROM s),
+         |d AS (
+         |  SELECT vec_id, v, scale, qv,
+         |    [CAST(x AS DOUBLE) / scale for x in qv] AS deq
+         |  FROM q)
+         |SELECT vec_id,
+         |  round(scale, 4) AS scale4,
+         |  CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
+         |  round(list_max([abs(v[i] - deq[i]) for i in range(1, len(v)+1)]), 6)
+         |    AS max_err6,
+         |  round(${cosineSql("v", "deq")}, 6) AS recon_cos6
+         |FROM d ORDER BY vec_id""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -198,6 +198,26 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(1) === ("h", "[{0.2, 9}]"))
   }
 
+  test("int8 quantization: values bounded, error within the grid, cosine held") {
+    import graft.ext.Quantize
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(Similarity.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("scale", Quantize.int8Scale(col("v")))
+      .withColumn("q", Quantize.quantize(col("v"), col("scale")))
+      .withColumn("deq", Quantize.dequantize(col("q"), col("scale")))
+      .select(
+        array_max(transform(col("q"), x => abs(x))).as("q_max"),
+        (Quantize.maxError(col("v"), col("deq")) * col("scale")).as("grid_err"),
+        Similarity.cosine(col("v"), col("deq")).as("cos"))
+    val rows = e.collect()
+    assert(rows.forall(_.getInt(0) <= 127), "quantized values must fit int8")
+    assert(rows.exists(_.getInt(0) == 127), "max element must hit full range")
+    assert(rows.forall(_.getDouble(1) <= 0.5 + 1e-9),
+      "error must stay within half a quantization step")
+    assert(rows.forall(_.getDouble(2) >= 0.999),
+      "reconstruction cosine must be ~1 for 64-dim unit-scale vectors")
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
