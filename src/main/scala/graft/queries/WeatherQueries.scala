@@ -67,6 +67,56 @@ object WeatherQueries {
       DailyRollup.rollup(CleanWeather.clean(
         Weatherize.lineitemAsApi(Tables(s, dir, "lineitem")),
         col("dt0"), col("ct0")))),
+
+    // The flagship rollup as a SQL TEXT query — the reference's actual
+    // artifact is a SQL stored procedure (create sql:24-55), so the
+    // strongest parity statement is executing the equivalent SQL
+    // through spark.sql against the hourly view. Semantics mirror
+    // DailyRollup.rollup expression-for-expression (same numeric
+    // till_secs aggregation keeping the agg hash-based, same rounding,
+    // same EOD CASE), and the oracle is w01's SQL verbatim.
+    "w06_rollup_sql" -> ((s, dir) => {
+      Weatherize.lineitemAsHourly(Tables(s, dir, "lineitem"))
+        .createOrReplaceTempView("hourly_sql")
+      s.sql("""
+        WITH agg AS (
+          SELECT dt,
+            round(avg(main.temp - 273.15), 2) AS avg_temp,
+            round(max(main.temp_max - 273.15), 2) AS max_temp,
+            round(min(main.temp_min - 273.15), 2) AS min_temp,
+            round(avg(main.feels_like - 273.15), 2) AS feels_like,
+            round(avg(main.pressure), 0) AS avg_pressure,
+            CAST(max(main.pressure) AS DOUBLE) AS max_pressure,
+            CAST(min(main.pressure) AS DOUBLE) AS min_pressure,
+            round(avg(main.humidity), 0) AS avg_humidity,
+            CAST(max(main.humidity) AS DOUBLE) AS max_humidity,
+            CAST(min(main.humidity) AS DOUBLE) AS min_humidity,
+            round(avg(clouds.`all`), 0) AS avg_cloud_coverage,
+            CAST(max(clouds.`all`) AS DOUBLE) AS max_cloud_coverage,
+            CAST(min(clouds.`all`) AS DOUBLE) AS min_cloud_coverage,
+            max(rain.rain_1h) AS max_rain_1h,
+            max(rain.rain_3h) AS max_rain_3h,
+            max(CAST(substring(`current_time`, 1, 2) AS BIGINT) * 3600 +
+                CAST(substring(`current_time`, 4, 2) AS BIGINT) * 60 +
+                CAST(substring(`current_time`, 7, 2) AS BIGINT)) AS till_secs
+          FROM hourly_sql
+          GROUP BY dt)
+        SELECT avg_temp, max_temp, min_temp, feels_like,
+          avg_pressure, max_pressure, min_pressure,
+          avg_humidity, max_humidity, min_humidity,
+          avg_cloud_coverage, max_cloud_coverage, min_cloud_coverage,
+          max_rain_1h, max_rain_3h,
+          dt,
+          month(dt) AS month,
+          CASE WHEN till_secs > 23 * 3600 THEN 'EOD'
+               ELSE format_string('%02d:%02d:%02d',
+                 CAST(till_secs / 3600 AS BIGINT),
+                 CAST((till_secs % 3600) / 60 AS BIGINT),
+                 till_secs % 60) END AS till_time
+        FROM agg
+        ORDER BY dt
+      """)
+    }),
   )
 
   /** Shared 17-column rollup SELECT, written against lineitem with the
@@ -129,5 +179,6 @@ object WeatherQueries {
         |ORDER BY vis_key""".stripMargin,
 
     "w05_clean_then_rollup" -> rollupSql(""),
+    "w06_rollup_sql" -> rollupSql(""),
   )
 }
