@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, KMeansLite, Quantize, Similarity, Text}
+import graft.ext.{Dedup, KMeansLite, Pack, Quantize, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -364,6 +364,20 @@ object ExtQueries {
           round(col("cos6"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // Context packing (concat-and-chunk into 512-token contexts) per
+    // (source, lang) shard — the serial cumsum never leaves a shard's
+    // window partition; shards pack in parallel.
+    "x19_context_pack" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", size(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("source"), col("lang"), col("toks"))
+        .transform(d => Pack.contextSpans(d, col("toks"), col("doc_id"),
+          chunkTokens = 512, col("source"), col("lang")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("tok_offset"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+        .orderBy(col("doc_id"))),
 
     // Symmetric int8 embedding quantization (storage compression) with
     // reconstruction metrics, per vector: the quantized L1 mass is
@@ -740,6 +754,26 @@ object ExtQueries {
 
     "x16_ann_kmeans" ->
       kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
+
+    "x19_context_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY source, lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS tok_offset
+        |  FROM tok)
+        |SELECT doc_id, source, lang, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 512) AS BIGINT) AS first_chunk,
+        |  CAST(floor((tok_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT)
+        |    AS last_chunk,
+        |  CAST(floor((tok_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT)
+        |    - CAST(floor(tok_offset / 512) AS BIGINT) + 1 AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "x18_int8_quant" ->
       s"""WITH p AS (

@@ -218,6 +218,23 @@ class ExtSpec extends AnyFunSuite {
       "reconstruction cosine must be ~1 for 64-dim unit-scale vectors")
   }
 
+  test("contextSpans: chunk spans tile each shard's token stream") {
+    import graft.ext.Pack
+    val docs = Seq(
+      (1L, "s", "en", 100L), (2L, "s", "en", 500L), (3L, "s", "en", 20L),
+      (10L, "t", "en", 600L))
+      .toDF("doc_id", "source", "lang", "toks")
+    val out = Pack.contextSpans(docs, col("toks"), col("doc_id"),
+        chunkTokens = 256, col("source"), col("lang"))
+      .select("doc_id", "tok_offset", "first_chunk", "last_chunk", "n_chunks")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) === ((0L, 0L, 0L, 1L)))    // tokens 0..99 → chunk 0
+    assert(out(2L) === ((100L, 0L, 2L, 3L)))  // 100..599 straddles 0,1,2
+    assert(out(3L) === ((600L, 2L, 2L, 1L)))  // 600..619 → chunk 2
+    assert(out(10L) === ((0L, 0L, 2L, 3L)))   // own shard restarts at 0
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
