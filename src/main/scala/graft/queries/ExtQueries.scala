@@ -365,6 +365,34 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // TF-IDF top terms per document: explode → (doc, token) tf counts →
+    // vocabulary df counts → smoothed idf — the full pipeline shuffles
+    // only on (doc_id, token) and token; N is a broadcast 1-row
+    // aggregate (scalar-subquery shape). idf is ROUNDED to 6 decimals
+    // before scoring and ranking: ln() is the one non-correctly-rounded
+    // primitive in the pipeline (libm vs DuckDB may differ by 1 ulp),
+    // so both engines rank on the same quantized value.
+    "x20_tfidf_topterms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score4").desc, col("token"))
+      tf.filter(col("doc_id") < 50)
+        .join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("idf6",
+          round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+        .withColumn("score4", round(col("tf") * col("idf6"), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("score4"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Context packing (concat-and-chunk into 512-token contexts) per
     // (source, lang) shard — the serial cumsum never leaves a shard's
     // window partition; shards pack in parallel.
@@ -754,6 +782,30 @@ object ExtQueries {
 
     "x16_ann_kmeans" ->
       kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
+
+    "x20_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.token, t.tf,
+        |    round(ln((n.n + 1.0) / (d.df + 1.0)) + 1.0, 6) AS idf6
+        |  FROM tf t JOIN df d USING (token), n
+        |  WHERE t.doc_id < 50),
+        |r AS (
+        |  SELECT doc_id, token, tf,
+        |    round(tf * idf6, 4) AS score4,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * idf6, 4) DESC, token) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, token, tf, score4
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "x19_context_pack" ->
       """WITH tok AS (
