@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
       "candidates must come from the cell equi-join, not an all-pairs product")
   }
 
+  test("w04/x08: the input range sort is the ONLY sort in the plan") {
+    // guards the Sorted.byKey contract: a reintroduced output orderBy
+    // would add a second Sort whose range sampler re-runs the pipeline
+    for (q <- Seq("w04_clean_project", "x08_simhash")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+      }
+      assert(sorts.size == 1, s"$q: expected one sort, got ${sorts.size}")
+    }
+  }
+
   test("w02: incremental rollup scopes the scan with a dt data filter") {
     val s = finalPlan("w02_daily_rollup_incremental")
     // on the dt-partitioned raw store this same predicate becomes a
