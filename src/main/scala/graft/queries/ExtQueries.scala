@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, KMeansLite, Pack, Quantize, Similarity, Text}
+import graft.ext.{Dedup, KMeansLite, Pack, Quantize, Sampling, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -364,6 +364,17 @@ object ExtQueries {
           round(col("cos6"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // Deterministic hash-split (train/holdout ≈ 90/10 via 230 of 256
+    // md5 buckets) with per-stratum counts — membership is a pure
+    // function of doc_id, so any re-run/re-shard/engine agrees.
+    "x21_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.holdoutSplit(col("doc_id"), 230))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))),
 
     // TF-IDF top terms per document: explode → (doc, token) tf counts →
     // vocabulary df counts → smoothed idf — the full pipeline shuffles
@@ -782,6 +793,21 @@ object ExtQueries {
 
     "x16_ann_kmeans" ->
       kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
+
+    "x21_hash_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN
+        |      (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+        |    THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
 
     "x20_tfidf_topterms" ->
       """WITH tok AS (

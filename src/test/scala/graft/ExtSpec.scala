@@ -235,6 +235,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out(10L) === ((0L, 0L, 2L, 3L)))   // own shard restarts at 0
   }
 
+  test("deterministic sampling: stable across runs, monotone in the keep rate") {
+    import graft.ext.Sampling
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def ids(buckets: Int): Set[Long] =
+      Sampling.deterministicSample(docs, col("doc_id"), buckets)
+        .select("doc_id").as[Long].collect().toSet
+    val s64a, s64b = ids(64)
+    assert(s64a == s64b, "same keep rate must select the same rows")
+    assert(s64a.subsetOf(ids(128)), "growing the rate must only add rows")
+    // ~64/256 = 25% within loose tolerance
+    assert(s64a.size > 500 * 0.15 && s64a.size < 500 * 0.35)
+    // split covers everything exactly once
+    val split = docs.withColumn("s", Sampling.holdoutSplit(col("doc_id"), 230))
+    assert(split.count() == 500)
+    assert(split.filter(col("s") === "train").count() +
+      split.filter(col("s") === "holdout").count() == 500)
+  }
+
   test("approx_count_distinct (HLL sketch) within 5% of exact") {
     // Sketch aggregates can't be oracle-checked (engine-specific HLL),
     // so the accuracy contract is pinned here instead.
