@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.IntegerType
   *    harness): `org.apache.spark.sql.GraftFunctions.ensureRegistered`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // engine-level optimization: expensive self-joins get shuffle-merge
+    // on both sides so ReuseExchange computes the shared pipeline once
+    ext.injectOptimizerRule(_ => graft.plans.PreferMergeForSelfJoins)
+  }
 }
 
 object GraftExtensions {
