@@ -148,6 +148,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sumExact(col("value"), 2).as("total_value"))
         .orderBy(col("mon"), col("event_type"))),
 
+    // §2f pivot: monthly event counts widened to one column per event
+    // type. The value list is EXPLICIT — with an inferred list Spark
+    // runs a distinct-scan job and the output schema depends on data,
+    // both wrong at scale and for the oracle (which mirrors the pivot
+    // as CASE aggregates over the same fixed columns).
+    "q22_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(date_trunc("month", col("ts"))).as("mon"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("mon"))),
+
     // §2d grouping sets: ROLLUP with explicit NULLS FIRST ordering.
     "q11_rollup_status" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -459,6 +472,17 @@ object RelationalQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name
         |ORDER BY s_name""".stripMargin,
+
+    "q22_pivot_events" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY mon""".stripMargin,
 
     "q21_bloom_pruned_join" ->
       """SELECT s_name,
