@@ -117,6 +117,50 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 15)
   }
 
+  test("property: int8 quantization bounds hold for any vector") {
+    // covers what the corpus can't: zero vectors, negatives, mixed sign
+    import graft.ext.Quantize
+    import org.apache.spark.sql.functions.{abs => cAbs, _}
+    val genVec = Gen.listOfN(8, Gen.choose(-3.0, 3.0))
+    val genMaybeZero = Gen.oneOf(genVec, Gen.const(List.fill(8)(0.0)))
+    check("quant-bounds", Prop.forAll(genMaybeZero) { vec =>
+      import spark.implicits._
+      val r = Seq(vec).toDF("v")
+        .withColumn("scale", Quantize.int8Scale(col("v")))
+        .withColumn("q", Quantize.quantize(col("v"), col("scale")))
+        .withColumn("deq", Quantize.dequantize(col("q"), col("scale")))
+        .select(
+          array_max(transform(col("q"), x => cAbs(x))).as("qmax"),
+          (Quantize.maxError(col("v"), col("deq")) * col("scale")).as("gridErr"))
+        .head()
+      r.getInt(0) <= 127 && r.getDouble(1) <= 0.5 + 1e-9
+    }, cases = 25)
+  }
+
+  test("property: context-pack offsets are prefix sums and spans are contiguous") {
+    import graft.ext.Pack
+    import org.apache.spark.sql.functions._
+    val genLens = Gen.nonEmptyListOf(Gen.choose(0L, 700L)).map(_.take(12))
+    check("pack-tiling", Prop.forAll(genLens) { lens =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, "s", n) }.toDF("doc_id", "shard", "toks")
+      val out = Pack.contextSpans(docs, col("toks"), col("doc_id"),
+          chunkTokens = 256, col("shard"))
+        .select("doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk")
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val offsetsArePrefixSums = out.zipWithIndex.forall { case ((_, off, _, _), i) =>
+        off == out.take(i).map(_._1).sum
+      }
+      val spansWellFormed = out.forall { case (n, off, first, last) =>
+        first == off / 256 && last >= first &&
+          last == (off + math.max(n, 1) - 1) / 256
+      }
+      offsetsArePrefixSums && spansWellFormed
+    }, cases = 20)
+  }
+
   test("property: TopK aggregator is partition-split invariant") {
     // however the rows are split into partitions and merged, the result
     // must equal the global sort — the property that makes the partial

@@ -44,6 +44,32 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state expiry re-admits a duplicate arriving past the watermark window") {
+    // the documented bounded-state trade-off: once the key's state has
+    // expired (watermark moved past it), a fresh in-time duplicate is
+    // admitted again — late-window dups are the batch dedup's job
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamDedup.dedupStream(
+      input.toDF.toDF("ts", "doc_id", "text"),
+      "text", "ts", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_expiry")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("10:00"), 1L, "alpha doc"))
+      q.processAllAvailable()
+      // push the watermark far past 10:00 + 30min
+      input.addData((ts("12:30"), 2L, "beta doc"))
+      q.processAllAvailable()
+      // same content, fresh event time, original state expired
+      input.addData((ts("12:40"), 3L, "alpha doc"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_expiry")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("normalized variant collapses case/whitespace duplicates") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
