@@ -54,11 +54,11 @@ class CommandsSpec extends AnyFunSuite {
         Some("f"), None, None, "success", "ok"),
       LogEvent("p", "svc", "proc", "py", LogEvents.BqCleanupLogging,
         None, None, None, "Error", "boom"))
-    input.addData(LogEvents.toEnvelope(events.toDS)
+    input.addData(LogEvents.toEnvelope(events.toDS())
       .as[String].collect().toSeq: _*)
 
     val q = LogEvents.appendStream(
-      input.toDF.toDF("value"), out, root.resolve("ckpt").toString)
+      input.toDF().toDF("value"), out, root.resolve("ckpt").toString)
     q.awaitTermination()
 
     val back = LogEvents.read(spark, out)

@@ -23,7 +23,7 @@ class EventWindowsSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
     val q = EventWindows.windowedStats(
-      input.toDF.toDF("ts", "event_type", "value"),
+      input.toDF().toDF("ts", "event_type", "value"),
       windowLen = "1 hour", watermark = "30 minutes")
       .writeStream.format("memory").queryName("winstats")
       .outputMode("append").start()
@@ -48,7 +48,7 @@ class EventWindowsSpec extends AnyFunSuite {
   test("sessionize: in-batch gap closes a session; timeout closes the rest") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
-    val q = EventWindows.sessionize(input.toDS, gapMs = 15 * 60 * 1000L,
+    val q = EventWindows.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L,
       watermark = "10 minutes")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()

@@ -24,7 +24,7 @@ class ExtSpec extends AnyFunSuite {
       .select(
         Text.stopwordRatio(Text.tokens(col("text"))).as("sr"),
         Text.typeTokenRatio(Text.tokens(col("text"))).as("ttr"))
-    val r = df.head
+    val r = df.head()
     assert(r.getDouble(0) == 0.4) // "the" twice of 5 tokens
     assert(r.getDouble(1) == 0.6) // {the, cat, runs} of 5
   }
@@ -80,14 +80,14 @@ class ExtSpec extends AnyFunSuite {
       Dedup.minhashSignature(col("s"), 12).as("native"),
       Dedup.minhashSignatureHof(col("s"), 12).as("hof"))
     assert(both.filter(col("native") =!= col("hof")).isEmpty)
-    val sig = both.select(col("native")).head.getSeq[String](0)
+    val sig = both.select(col("native")).head().getSeq[String](0)
     assert(sig.length == 12 && sig.forall(_.length == 8))
   }
 
   test("jaccard: known overlap") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))
-    assert(df.head.getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
+    assert(df.head().getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
   // ---- Similarity ----

@@ -84,14 +84,14 @@ class IngestSpec extends AnyFunSuite {
     val daily = root.resolve("daily").toString
     val batch = spark.read.schema(graft.schema.WeatherSchema.raw)
       .json(Seq(ndjson("2022-08-29", "10:00:00", 300.15),
-        ndjson("2022-08-29", "11:00:00", 302.15)).toDS) // one micro-batch
+        ndjson("2022-08-29", "11:00:00", 302.15)).toDS()) // one micro-batch
     // simulate the crash-retry: same batchId processed twice
     Ingest.ingestBatch(spark, batch, 7L, raw, daily)
     Ingest.ingestBatch(spark, batch, 7L, raw, daily)
     assert(spark.read.parquet(raw).count() == 2) // not 4
     // a different batchId with new data appends alongside
     val batch2 = spark.read.schema(graft.schema.WeatherSchema.raw)
-      .json(Seq(ndjson("2022-08-29", "12:00:00", 310.15)).toDS)
+      .json(Seq(ndjson("2022-08-29", "12:00:00", 310.15)).toDS())
     Ingest.ingestBatch(spark, batch2, 8L, raw, daily)
     assert(spark.read.parquet(raw).count() == 3)
   }
@@ -141,7 +141,7 @@ class IngestSpec extends AnyFunSuite {
     val blocked = root.resolve("raw")
     Files.write(blocked, "not a directory".getBytes)
     val batch = spark.read.schema(graft.schema.WeatherSchema.raw)
-      .json(Seq(ndjson("2022-08-29", "10:00:00", 300.15)).toDS)
+      .json(Seq(ndjson("2022-08-29", "10:00:00", 300.15)).toDS())
     intercept[Exception] {
       Ingest.ingestBatch(spark, batch, 1L, blocked.toString,
         root.resolve("daily").toString, Some(logs))

@@ -24,7 +24,7 @@ class LogEventsSpec extends AnyFunSuite {
 
   test("append partitions by (log_type, message_type) and lowercases the type") {
     val root = Files.createTempDirectory("graft-logs").toString + "/logs"
-    LogEvents.append(events.toDS, root)
+    LogEvents.append(events.toDS(), root)
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set(s"log_type=${LogEvents.ApiLogging}",
       s"log_type=${LogEvents.BqCleanupLogging}"))
@@ -39,7 +39,7 @@ class LogEventsSpec extends AnyFunSuite {
   }
 
   test("envelope round trip preserves every field (P7 both halves)") {
-    val back = LogEvents.fromEnvelope(LogEvents.toEnvelope(events.toDS))
+    val back = LogEvents.fromEnvelope(LogEvents.toEnvelope(events.toDS()))
       .collect().sortBy(_.log_type)
     val expected = events.map(e => e.copy(message_type = e.message_type.toLowerCase))
       .sortBy(_.log_type)

@@ -113,7 +113,7 @@ class PropertySpec extends AnyFunSuite {
           graft.ext.Dedup.minhashSignature(col("u"), 8).as("su"))
         .select(col("su") === zip_with(col("sa"), col("sb"),
           (x, y) => least(x, y)).as("ok"))
-      df.head.getBoolean(0)
+      df.head().getBoolean(0)
     }, cases = 15)
   }
 

@@ -40,7 +40,7 @@ class SkewJoinSpec extends AnyFunSuite {
     import graft.ext.MultiModal
     val df = Seq("abcdefghijklmnopqrstuvwxyz0123456789").toDF("text")
       .select(MultiModal.frameSample(col("text").cast("binary"), 4, 4).as("frames"))
-    val frames = df.head.getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
+    val frames = df.head().getSeq[Array[Byte]](0).map(new String(_, "UTF-8"))
     assert(frames.length == 4)
     assert(frames.head == "abcd") // frame 0 starts at byte 1
     assert(frames.forall(_.length == 4))

@@ -22,7 +22,7 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = StreamDedup.dedupStream(
-      input.toDF.toDF("ts", "doc_id", "text"),
+      input.toDF().toDF("ts", "doc_id", "text"),
       "text", "ts", watermark = "1 hour")
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
@@ -51,7 +51,7 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = StreamDedup.dedupStream(
-      input.toDF.toDF("ts", "doc_id", "text"),
+      input.toDF().toDF("ts", "doc_id", "text"),
       "text", "ts", watermark = "30 minutes")
       .writeStream.format("memory").queryName("dedup_expiry")
       .outputMode("append").start()
@@ -74,7 +74,7 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = StreamDedup.dedupStreamNormalized(
-      input.toDF.toDF("ts", "doc_id", "text"),
+      input.toDF().toDF("ts", "doc_id", "text"),
       "text", "ts", watermark = "1 hour")
       .writeStream.format("memory").queryName("dedup_norm_out")
       .outputMode("append").start()

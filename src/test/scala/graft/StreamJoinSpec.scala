@@ -22,8 +22,8 @@ class StreamJoinSpec extends AnyFunSuite {
     val triggers = MemoryStream[(Timestamp, Long, String)]
     val outcomes = MemoryStream[(Timestamp, Long, String)]
     val joined = StreamJoin.within(
-      triggers.toDF.toDF("t_ts", "t_user", "t_id"),
-      outcomes.toDF.toDF("o_ts", "o_user", "o_id"),
+      triggers.toDF().toDF("t_ts", "t_user", "t_id"),
+      outcomes.toDF().toDF("o_ts", "o_user", "o_id"),
       primaryKey = "t_user", secondaryKey = "o_user",
       primaryTs = "t_ts", secondaryTs = "o_ts",
       maxDelay = "10 minutes", watermark = "30 minutes")

@@ -48,7 +48,7 @@ class WeatherPipelineSpec extends AnyFunSuite {
   )
 
   private lazy val cleaned = CleanWeather.clean(
-    spark.read.schema(WeatherSchema.api).json(apiFixtures.toDS),
+    spark.read.schema(WeatherSchema.api).json(apiFixtures.toDS()),
     lit("2022-08-30"), lit("14:30:00"))
 
   test("clean emits the canonical raw schema") {
@@ -60,7 +60,7 @@ class WeatherPipelineSpec extends AnyFunSuite {
   test("clean: full row carries values and renames through") {
     val r = cleaned.filter($"main.temp" === 300.15).select(
       $"coordinate.longitude", $"weather.main", $"main.ground_level",
-      $"wind.degree", $"rain.rain_1h", $"dt", $"current_time").head
+      $"wind.degree", $"rain.rain_1h", $"dt", $"current_time").head()
     assert(r.getDouble(0) == 87.0)
     assert(r.getString(1) == "Rain")
     assert(r.getLong(2) == 1002L)
@@ -72,13 +72,13 @@ class WeatherPipelineSpec extends AnyFunSuite {
 
   test("clean: absent branches become null leaves (not errors)") {
     val r = cleaned.filter($"main.temp" === 280.15).select(
-      $"rain.rain_1h", $"snow.snow_1h", $"wind.gust", $"main.sea_level").head
+      $"rain.rain_1h", $"snow.snow_1h", $"wind.gust", $"main.sea_level").head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
   test("clean: empty weather array and missing coord → null fields") {
     val r = cleaned.filter($"main.temp" === 290.15).select(
-      $"weather.id", $"weather.main", $"coordinate.longitude").head
+      $"weather.id", $"weather.main", $"coordinate.longitude").head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
