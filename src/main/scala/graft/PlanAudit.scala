@@ -28,7 +28,10 @@ object PlanAudit {
           if (n("SortAggregate") > 0) "SORT-AGG!" else "",
           if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "")
           .filter(_.nonEmpty).mkString(" ")
-        println(f"AUDIT $name%-28s exch=${n("Exchange ")}%2d bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} reuse=${n("ReusedExchange")} hashagg=${n("HashAggregate")} $flags")
+        // codegen stages appear as "*(n) Op" in the string form; count
+        // distinct stage ids, not node mentions
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+        println(f"AUDIT $name%-28s exch=${n("Exchange ")}%2d bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} reuse=${n("ReusedExchange")} hashagg=${n("HashAggregate")} wsc=$wsc%2d $flags")
       } catch { case e: Throwable =>
         println(s"AUDIT $name FAILED: ${e.getMessage}")
       }
