@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark) and several assert on
+// physical plans or mutate runtime conf on derived sessions; running
+// suites sequentially keeps those interactions deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Pass forked-run output straight through to sbt's own stdout/stderr
 // instead of the LoggedOutput pipe that prefixes every line with

@@ -10,40 +10,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * `SortMergeJoin(skew=true)` over a skewed `AQEShuffleRead`.
   */
 class AqeSkewSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // own session: runtime-conf mutations (broadcast threshold, skew
+  // thresholds) must never leak into — or race with — other suites
+  // sharing TestSpark's session
+  lazy val spark = TestSpark.spark.newSession()
 
   test("AQE splits a skewed join partition at runtime") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled")
-      .map(k => k -> conf.getOption(k)).toMap
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
-      // hot key 0 carries 200k of 299k left rows
-      val left = spark.range(0, 200000).select(lit(0L).as("k"), col("id").as("lv"))
-        .union(spark.range(0, 99000)
-          .select((col("id") % 99 + 1).as("k"), col("id").as("lv")))
-      val right = spark.range(0, 100).select(col("id").as("rk"), (col("id") * 2).as("rv"))
-      val joined = left.join(right.hint("merge"), col("k") === col("rk"))
-      joined.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected a runtime skew-split merge join:\n$plan")
-      assert(plan.contains("AQEShuffleRead skewed"))
-      // and the result is still correct
-      assert(joined.count() === 200000L + 99000L)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
+    // hot key 0 carries 200k of 299k left rows
+    val left = spark.range(0, 200000).select(lit(0L).as("k"), col("id").as("lv"))
+      .union(spark.range(0, 99000)
+        .select((col("id") % 99 + 1).as("k"), col("id").as("lv")))
+    val right = spark.range(0, 100).select(col("id").as("rk"), (col("id") * 2).as("rv"))
+    val joined = left.join(right.hint("merge"), col("k") === col("rk"))
+    joined.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected a runtime skew-split merge join:\n$plan")
+    assert(plan.contains("AQEShuffleRead skewed"))
+    // and the result is still correct
+    assert(joined.count() === 200000L + 99000L)
   }
 }
