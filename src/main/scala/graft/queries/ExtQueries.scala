@@ -365,6 +365,33 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Repetition-based quality rules (the C4/Gopher-style filters):
+    // duplicate-trigram ratio (1 − distinct/total 3-grams) and top
+    // single-token frequency. Both are ratios of exact integers, so
+    // the doubles divide identically cross-engine; the keep flag is a
+    // pure predicate over them.
+    "x22_repetition_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n3", greatest(col("n_tokens") - 2, lit(0L)))
+        .withColumn("d3", size(Text.wordShingles(col("toks"))).cast("long"))
+      val topTf = docs
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
+      docs.join(topTf, "doc_id")
+        .withColumn("dup3_ratio",
+          when(col("n3") === 0, lit(0.0)).otherwise(
+            round(lit(1.0) - col("d3").cast("double") / col("n3").cast("double"), 4)))
+        .withColumn("top_tok_ratio",
+          round(col("max_tf").cast("double") / col("n_tokens").cast("double"), 4))
+        .select(col("doc_id"), col("n_tokens"),
+          col("dup3_ratio"), col("top_tok_ratio"),
+          (col("dup3_ratio") <= 0.2 && col("top_tok_ratio") <= 0.2).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash-split (train/holdout ≈ 90/10 via 230 of 256
     // md5 buckets) with per-stratum counts — membership is a pure
     // function of doc_id, so any re-run/re-shard/engine agrees.
@@ -793,6 +820,34 @@ object ExtQueries {
 
     "x16_ann_kmeans" ->
       kmeansIvfSql(k = 8, dims = 64, iters = 2, nProbe = 2, topK = 3, nQueries = 20),
+
+    "x22_repetition_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    greatest(CAST(len(t) AS BIGINT) - 2, 0) AS n3,
+        |    CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                            for i in range(1, len(t) - 1)])) AS BIGINT) AS d3
+        |  FROM tok),
+        |tf AS (
+        |  SELECT doc_id, unnest(t) AS token FROM tok),
+        |mtf AS (
+        |  SELECT doc_id, max(c) AS max_tf FROM (
+        |    SELECT doc_id, token, count(*) AS c FROM tf GROUP BY doc_id, token)
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN b.n3 = 0 THEN 0.0
+        |         ELSE round(1.0 - CAST(b.d3 AS DOUBLE) / CAST(b.n3 AS DOUBLE), 4)
+        |    END AS dup3_ratio,
+        |    round(CAST(m.max_tf AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 4)
+        |      AS top_tok_ratio
+        |  FROM base b JOIN mtf m USING (doc_id))
+        |SELECT doc_id, n_tokens, dup3_ratio, top_tok_ratio,
+        |  (dup3_ratio <= 0.2 AND top_tok_ratio <= 0.2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x21_hash_split" ->
       """WITH s AS (
