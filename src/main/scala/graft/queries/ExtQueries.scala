@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, KMeansLite, Pack, Quantize, Sampling, Similarity, Text}
+import graft.ext.{Components, Dedup, KMeansLite, Pack, Quantize, Sampling, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -390,6 +390,95 @@ object ExtQueries {
           col("dup3_ratio"), col("top_tok_ratio"),
           (col("dup3_ratio") <= 0.2 && col("top_tok_ratio") <= 0.2).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Dedup CLUSTERS: near-dup pairs (the x02 MinHash/LSH pipeline) fed
+    // into connected components (iterative min-label propagation,
+    // ext/Components) — the step that turns pairwise edges into dedup
+    // decisions. Corpus plants variant chains: every even doc gets an
+    // 80%-prefix copy (id+10000), every 4th doc additionally a
+    // 55%-prefix copy (id+20000); trigram containment makes
+    // J(base, 80%) ≈ 0.8 and J(80%, 55%) ≈ 0.69 but J(base, 55%) ≈
+    // 0.55 — near the LSH S-curve knee, so some clusters connect ONLY
+    // transitively through the middle variant and the component step is
+    // doing real work. Canonical survivor = component min id.
+    "x23_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def mutant(frac: Double, shift: Int, every: Int) = docs
+        .filter(pmod(col("doc_id"), lit(every)) === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), lit(1),
+            greatest(floor(size(Text.tokens(col("text"))) * frac).cast("int"),
+              lit(1))), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+        .unionByName(mutant(0.8, 10000, 2))
+        .unionByName(mutant(0.55, 20000, 4)))
+      val sh = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      val edges = Dedup.nearDupPairs(sh, "doc_id", "s",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      val comp = Components.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      val sizes = comp.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Train/eval contamination check (the n-gram decontamination step of
+    // LLM training pipelines): the train side is every distinct 5-gram
+    // in the corpus; the eval side plants known leaks (truncated copies
+    // of even docs) and known-fresh docs (token order reversed) in equal
+    // halves. The overlap join is an equi-join on the 5-gram string —
+    // the vocabulary side is deduplicated first, so the shuffle carries
+    // each distinct gram once, never |corpus| copies.
+    "x24_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = spread(docs)
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 5)
+        .select(explode(Text.wordShingles(col("t"), 5)).as("gram"))
+        .distinct()
+      val evalGrams = spread(docs)
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("et",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            slice(col("t"), lit(1), greatest(size(col("t")) - 2, lit(1))))
+            .otherwise(reverse(col("t"))))
+        .filter(size(col("et")) >= 5)
+        .select((col("doc_id") + 50000).as("eval_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("leaked"))
+            .otherwise(lit("fresh")).as("origin"),
+          explode(Text.wordShingles(col("et"), 5)).as("gram"))
+      evalGrams.join(vocab.withColumn("hit", lit(1L)), Seq("gram"), "left")
+        .groupBy(col("eval_id"), col("origin"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("contam_ratio",
+          round(col("n_hit").cast("double") / col("n_grams").cast("double"), 4))
+        .withColumn("contaminated", col("contam_ratio") >= 0.2)
+        .orderBy(col("eval_id"))
+    }),
+
+    // Corpus-level n-gram inventory: top-10 trigrams per language by
+    // document frequency (shingles are distinct per doc, so the count IS
+    // df) — the blocklist-building step of contamination filtering.
+    // Shuffles on (lang, gram) then lang; both keys bounded.
+    "x25_corpus_ngrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("df").desc, col("gram"))
+      spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("lang"), explode(Text.wordShingles(col("t"))).as("gram"))
+        .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("gram"), col("df"))
+        .orderBy(col("lang"), col("rnk"))
     }),
 
     // Deterministic hash-split (train/holdout ≈ 90/10 via 230 of 256
@@ -848,6 +937,117 @@ object ExtQueries {
         |SELECT doc_id, n_tokens, dup3_ratio, top_tok_ratio,
         |  (dup3_ratio <= 0.2 AND top_tok_ratio <= 0.2) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same LSH parameters as x02 (12 hashes / 4 bands of 3); the
+    // component step is DuckDB's recursive transitive closure — min
+    // reachable id per node — which equals min-label-propagation's
+    // fixpoint by definition.
+    "x23_dedup_clusters" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(t[1:greatest(CAST(floor(len(t) * 0.8) AS INT), 1)], ' ')
+        |  FROM tok0 WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(t[1:greatest(CAST(floor(len(t) * 0.55) AS INT), 1)], ' ')
+        |  FROM tok0 WHERE doc_id % 4 = 0),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  (c.doc_id = c.cluster_id) AS is_canonical
+        |FROM comp c JOIN sizes s USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "x24_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |vocab AS (
+        |  SELECT DISTINCT unnest(
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |                   || t[i+3] || ' ' || t[i+4]
+        |                   for i in range(1, len(t) - 3)])) AS gram
+        |  FROM tok WHERE len(t) >= 5),
+        |ev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN t[1:greatest(len(t) - 2, 1)]
+        |         ELSE list_reverse(t) END AS et
+        |  FROM tok),
+        |evg AS (
+        |  SELECT doc_id + 50000 AS eval_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'leaked' ELSE 'fresh' END AS origin,
+        |    unnest(list_distinct([et[i] || ' ' || et[i+1] || ' ' || et[i+2] || ' '
+        |                          || et[i+3] || ' ' || et[i+4]
+        |                          for i in range(1, len(et) - 3)])) AS gram
+        |  FROM ev WHERE len(et) >= 5),
+        |j AS (
+        |  SELECT e.eval_id, e.origin,
+        |    count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN v.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit
+        |  FROM evg e LEFT JOIN vocab v USING (gram)
+        |  GROUP BY 1, 2)
+        |SELECT eval_id, origin, n_grams, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS contam_ratio,
+        |  (round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.2)
+        |    AS contaminated
+        |FROM j ORDER BY eval_id""".stripMargin,
+
+    "x25_corpus_ngrams" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT lang,
+        |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          for i in range(1, len(t) - 1)])) AS gram
+        |  FROM tok WHERE len(t) >= 3),
+        |df AS (SELECT lang, gram, count(*) AS df FROM sh GROUP BY lang, gram),
+        |r AS (
+        |  SELECT lang, gram, df,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |                            ORDER BY df DESC, gram) AS BIGINT) AS rnk
+        |  FROM df)
+        |SELECT lang, rnk, gram, df FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
 
     "x21_hash_split" ->
       """WITH s AS (

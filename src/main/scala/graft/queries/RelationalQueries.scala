@@ -190,6 +190,32 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2d distribution stats: EXACT grouped percentiles (p50/p90/p99 of
+    // order value per priority) via explicit rank positions — one
+    // shuffle on the group key, rows sorted within their group's window
+    // partition. Deterministic cross-engine because the position is an
+    // integer (floor((n-1)·p)+1 over a (price, key)-tiebroken order),
+    // unlike interpolating quantiles whose float blends differ by ulps.
+    // Exact per-group sort is the bounded-group-count shape; for
+    // unbounded/skewed cardinalities the sketch path
+    // (approx_percentile, a partial-aggregable KLL) replaces it.
+    "q23_percentile_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wc = Window.partitionBy(col("o_orderpriority"))
+      def atP(p: Double) = round(
+        max(when(col("rn") === floor((col("n") - 1) * p) + 1,
+          col("o_totalprice"))), 2)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n_orders"),
+          atP(0.5).as("p50"), atP(0.9).as("p90"), atP(0.99).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // §2c P5/P11 + string surface: concat, substring, case, upper, length.
     "q14_string_projection" -> ((s, dir) =>
       Sorted.byKey(t(s, dir, "part"), col("p_partkey"))
@@ -419,6 +445,24 @@ object RelationalQueries {
         |FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q23_percentile_stats" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, max(n) AS n_orders,
+        |  round(max(CASE WHEN rn = floor((n - 1) * 0.5) + 1
+        |                 THEN o_totalprice END), 2) AS p50,
+        |  round(max(CASE WHEN rn = floor((n - 1) * 0.9) + 1
+        |                 THEN o_totalprice END), 2) AS p90,
+        |  round(max(CASE WHEN rn = floor((n - 1) * 0.99) + 1
+        |                 THEN o_totalprice END), 2) AS p99
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q14_string_projection" ->
       """SELECT p_partkey,
