@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Components, Dedup, KMeansLite, Pack, Quantize, Sampling, Similarity, Text}
+import graft.ext.{Components, Dedup, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -479,6 +479,38 @@ object ExtQueries {
         .filter(col("rnk") <= 10)
         .select(col("lang"), col("rnk"), col("gram"), col("df"))
         .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // PII scrub (ext/Redact): detect + redact emails / IPv4s / NANP
+    // phones. The corpus plants deterministic PII built from doc_id
+    // arithmetic (docs have none naturally), so detection counts and
+    // the md5 of every fully-redacted text are oracle-checkable. Narrow
+    // codegen'd regexp map — zero shuffle; the only exchange is the
+    // final presentation sort.
+    "x26_pii_redaction" -> ((s, dir) => {
+      val planted = spread(t(s, dir, "documents")).withColumn("pii_text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" Contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".0."), pmod(col("doc_id") * 3, lit(256)).cast("string")))
+            .otherwise(lit(""))))
+      planted.select(
+        col("doc_id"),
+        Redact.countMatches(col("pii_text"), Redact.EmailPattern).as("n_emails"),
+        Redact.countMatches(col("pii_text"), Redact.PhonePattern).as("n_phones"),
+        Redact.countMatches(col("pii_text"), Redact.Ipv4Pattern).as("n_ips"),
+        length(Redact.redact(col("pii_text"))).cast("long").as("redacted_len"),
+        md5(Redact.redact(col("pii_text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // Deterministic hash-split (train/holdout ≈ 90/10 via 230 of 256
@@ -1048,6 +1080,44 @@ object ExtQueries {
         |  FROM df)
         |SELECT lang, rnk, gram, df FROM r WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
+
+    // Same regex subset in RE2 (DuckDB) and java.util.regex: no
+    // lookaround/backreferences, `\b` word boundaries, explicit 'g'
+    // flag (DuckDB regexp_replace is first-match-only by default;
+    // Spark's replaces all).
+    "x26_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |              || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |              || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |         ELSE '' END AS pii_text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, pii_text,
+        |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(red) AS BIGINT) AS redacted_len,
+        |  md5(red) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x21_hash_split" ->
       """WITH s AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.AsOfJoin
 
 /** Generic relational capability surface (SURVEY.md §2d "not present"
   * list, §2e joins, §2f windows/sorts/limits/set-ops) demonstrated over
@@ -214,6 +215,25 @@ object RelationalQueries {
         .agg(max(col("n")).as("n_orders"),
           atP(0.5).as("p50"), atP(0.9).as("p90"), atP(0.99).as("p99"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // As-of join (ops/AsOfJoin): click→purchase attribution — every
+    // purchase gets the user's most recent click at-or-before it. The
+    // union+window formulation: ONE hash shuffle of both sides on
+    // user_id, a per-partition sort, no inequality join (which Catalyst
+    // can only nested-loop within key groups, O(n²) on a hot user).
+    "q24_asof_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(purchases, clicks, key = "user_id", time = "ts",
+          tiebreak = "event_id", payload = Seq("event_id", "ts", "value"))
+        .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+          col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"),
+          round(col("value") - col("asof_value"), 2).as("uplift"))
+        .orderBy(col("event_id"))
     }),
 
     // §2c P5/P11 + string surface: concat, substring, case, upper, length.
@@ -463,6 +483,30 @@ object RelationalQueries {
         |                 THEN o_totalprice END), 2) AS p99
         |FROM r GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Mirrors the union+window formulation rather than DuckDB's native
+    // ASOF JOIN, whose equal-timestamp tie choice is unspecified; this
+    // SQL is deterministic by construction (tb tie-break).
+    "q24_asof_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tb, event_id, value,
+        |    NULL::BIGINT AS p_event_id, NULL::TIMESTAMP AS p_ts,
+        |    NULL::DOUBLE AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, ts, side, event_id, value,
+        |    last_value(p_event_id IGNORE NULLS) OVER win AS click_id,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS click_ts,
+        |    last_value(p_value IGNORE NULLS) OVER win AS click_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tb
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts AS purchase_ts, click_id, click_ts,
+        |  round(value - click_value, 2) AS uplift
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q14_string_projection" ->
       """SELECT p_partkey,

@@ -70,6 +70,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q24: the as-of join is one window pass — no join operator at all") {
+    val s = finalPlan("q24_asof_attribution")
+    assert(!s.contains("Join"),
+      "the union+window formulation must not degrade to an inequality join")
+    assert(s.contains("Window"),
+      "the carried-forward payload must come from a window operator")
+  }
+
   test("w02: incremental rollup scopes the scan with a dt data filter") {
     val s = finalPlan("w02_daily_rollup_incremental")
     // on the dt-partitioned raw store this same predicate becomes a
