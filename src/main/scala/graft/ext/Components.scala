@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-duplicate graph — the step that
   * turns pairwise near-dup EDGES (Dedup.nearDupPairs, x02) into dedup
@@ -20,43 +21,69 @@ import org.apache.spark.sql.functions._
   * why label propagation is the standard industrial shape for dedup
   * clustering rather than a full large-star/small-star implementation.
   *
+  * Seeding covers nodes ∪ edge endpoints: an endpoint that is missing
+  * from the node frame still participates with its own id as a label
+  * (it can be the component minimum and it can bridge a chain), so the
+  * per-round id set is CLOSED — messages only flow to seeded ids —
+  * which is what makes the strict-decrease convergence check complete.
+  *
   * Scale posture per round: one equi-join of the (symmetrized) edge list
   * against the label table on the node id + one min-aggregate, both
   * hash-partitioned on node id — no broadcast of anything
   * corpus-sized, no driver-side graph. The only driver work is the
-  * convergence check, a count of changed labels. Each round's result is
-  * locally checkpointed: labels are REBUILT per round, so without
-  * truncation the lineage (and Catalyst analysis time) grows linearly
-  * with rounds; a lost executor just recomputes from the previous
-  * round's checkpoint blocks, and a failed driver restarts the whole
-  * (idempotent, deterministic) job — acceptable for an iterative
-  * analytic, unlike the durability-critical upsert path (DailyTable)
-  * where localCheckpoint was a correctness hazard.
+  * convergence check, a count of changed labels. Each round's labels
+  * are materialized as a persisted RDD wrapped back into a leaf
+  * DataFrame: Catalyst sees a scan, not round-N's full lineage (whose
+  * analysis cost would grow linearly with rounds — the edge list alone
+  * drags the whole LSH candidate pipeline into every plan), and the
+  * previous round's blocks are unpersisted DETERMINISTICALLY as soon as
+  * the next round is materialized — executor storage holds at most two
+  * label snapshots regardless of round count (localCheckpoint would
+  * truncate lineage too, but frees its blocks only when the GC/
+  * ContextCleaner gets around to it).
   */
 object Components {
 
-  /** @param nodes one row per node (extra columns ignored)
+  /** @param nodes one row per node (extra columns ignored); endpoints
+    *              appearing only in `edges` are seeded automatically
     * @param idCol  node id column in `nodes` (numeric)
     * @param edges  undirected edge list, one row per edge
     * @param aCol   edge endpoint column in `edges`
     * @param bCol   other endpoint column in `edges`
-    * @param maxIter hard cap on propagation rounds (diameter bound)
+    * @param maxIter hard cap on propagation rounds (diameter bound);
+    *                reaching it without a fixpoint throws — silently
+    *                returning partially-propagated labels would hand
+    *                the caller wrong cluster ids
     * @return (idCol, cluster_id) — cluster_id = min node id reachable
     */
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+
+    // Eagerly compute `df` into a persisted RDD and wrap it back into a
+    // leaf DataFrame: truncated lineage for Catalyst, deterministic
+    // block release for us. The label/edge rows are a few longs each —
+    // the Row round-trip is noise next to a per-round shuffle.
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
     val e = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // Symmetrize once and keep the (tiny relative to the corpus) edge
     // list materialized across rounds instead of re-deriving it from
     // the candidate-generation pipeline every iteration.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    val (sym, symRdd) = materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var (labels, labelsRdd) = materialize(
+      nodes.select(col(idCol).cast("long").as("id"))
+        .union(sym.select(col("src").as("id")))
+        .distinct()
+        .withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -64,17 +91,28 @@ object Components {
       // of its own and everything it heard
       val msgs = sym.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any strict decrease" = "changed"
+      val (next, nextRdd) = materialize(
+        labels.union(msgs)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+      // seeding closed the id set, so next and labels carry identical
+      // ids and labels only ever decrease: "any strict decrease" =
+      // "changed"
       val changed = next.as("n")
         .join(labels.select(col("id"), col("lbl").as("prev")), "id")
         .filter(col("lbl") < col("prev"))
         .count()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
+    }
+    symRdd.unpersist(blocking = false)
+    if (!converged) {
+      labelsRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter (rounds needed = graph diameter)")
     }
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }

@@ -486,26 +486,29 @@ object RelationalQueries {
 
     // Mirrors the union+window formulation rather than DuckDB's native
     // ASOF JOIN, whose equal-timestamp tie choice is unspecified; this
-    // SQL is deterministic by construction (tb tie-break).
+    // SQL is deterministic by construction (tb tie-break). The payload
+    // rides as ONE struct through a single last_value(IGNORE NULLS),
+    // exactly like AsOfJoin.asOf — all attached columns come from the
+    // same latest at-or-before click row.
     "q24_asof_attribution" ->
       """WITH u AS (
         |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tb, event_id, value,
-        |    NULL::BIGINT AS p_event_id, NULL::TIMESTAMP AS p_ts,
-        |    NULL::DOUBLE AS p_value
+        |    NULL::STRUCT(event_id BIGINT, ts TIMESTAMP, value DOUBLE) AS p
         |  FROM events WHERE event_type = 'purchase'
         |  UNION ALL
-        |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts, value
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL,
+        |    struct_pack(event_id := event_id, ts := ts, value := value)
         |  FROM events WHERE event_type = 'click'),
         |w AS (
         |  SELECT user_id, ts, side, event_id, value,
-        |    last_value(p_event_id IGNORE NULLS) OVER win AS click_id,
-        |    last_value(p_ts IGNORE NULLS) OVER win AS click_ts,
-        |    last_value(p_value IGNORE NULLS) OVER win AS click_value
+        |    last_value(p IGNORE NULLS) OVER win AS carried
         |  FROM u
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tb
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, ts AS purchase_ts, click_id, click_ts,
-        |  round(value - click_value, 2) AS uplift
+        |SELECT user_id, event_id, ts AS purchase_ts,
+        |  struct_extract(carried, 'event_id') AS click_id,
+        |  struct_extract(carried, 'ts') AS click_ts,
+        |  round(value - struct_extract(carried, 'value'), 2) AS uplift
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q14_string_projection" ->

@@ -59,6 +59,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(100L) === ((Some(12L), Some(2.0))))
   }
 
+  test("nullable payload columns come from the single latest right row") {
+    // latest click has a null value: asof_value must be null, NOT
+    // stitched from the older row that happened to have one
+    val left = frame(Seq((1L, ts(9), 100L, 9.0)))
+    val right = Seq(
+      (1L, ts(2), 11L, Some(5.0)),
+      (1L, ts(6), 12L, None: Option[Double]))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.asOf(left, right, key = "user_id", time = "ts",
+        tiebreak = "event_id", payload = Seq("event_id", "value"))
+      .select(col("asof_event_id"), col("asof_value"))
+      .as[(Option[Long], Option[Double])].collect().head
+    assert(got === ((Some(12L), None)))
+  }
+
   test("every left row survives exactly once, even with zero right rows") {
     val out = AsOfJoin.asOf(
       frame(Seq((1L, ts(1), 100L, 9.0), (1L, ts(2), 101L, 9.0))),

@@ -54,4 +54,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(2L) === 2L)
     assert(got(7L) === 2L)
   }
+
+  test("a node-frame-absent endpoint bridges a multi-hop chain") {
+    // node 3 exists only as an edge endpoint but is the middle of the
+    // 5-3-1 chain: label 1 must cross it, needing >1 round — a
+    // convergence check that ignores first-seen ids stops too early
+    // and leaves 5 labelled 5
+    val got = run(Seq(1L, 5L), Seq((5L, 3L), (3L, 1L)))
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("a node-frame-absent endpoint can be the component minimum") {
+    // id 0 never appears in the node frame; its own id must still seed
+    // the label pool per the min-reachable-id contract
+    val got = run(Seq(5L, 7L), Seq((5L, 0L), (0L, 7L)))
+    assert(got === Map(0L -> 0L, 5L -> 0L, 7L -> 0L))
+  }
+
+  test("hitting maxIter without a fixpoint throws instead of returning wrong labels") {
+    // a 6-node path needs 5 rounds; cap at 2
+    val nodes = (1L to 6L)
+    val edges = (1L to 5L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(
+        nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
