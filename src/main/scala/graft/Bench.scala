@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   *  - the JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
   *    default `BENCH.json` in the working dir) because sbt prefixes
   *    stdout with `[info]`, which broke the driver's parse in round 1.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and
+  * reports the MIN. Rounds 3/4 showed the same query swinging >10×
+  * between rounds (q14 1.4s→10.7s, x12 22s→1.8s, x23 7.7s→29.6s) with
+  * no code change — single-shot times at sf0.1 are dominated by codegen
+  * compilation, JIT warmup and GC pauses from the 55 preceding queries,
+  * not by plan quality. Min-of-reps measures steady-state throughput,
+  * which is the quantity that extrapolates to a long-running cluster
+  * job; the one-shot number extrapolates to nothing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,16 +48,21 @@ object Bench {
           .queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
         catch { case _: Throwable => () }
       }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Full materialization: iterate every InternalRow of every partition
-      // on the executors. Unlike count(), nothing upstream can be pruned.
-      try fn(spark, sfDir).queryExecution.toRdd
-        .foreachPartition(it => while (it.hasNext) it.next())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // Full materialization: iterate every InternalRow of every
+        // partition on the executors. Unlike count(), nothing upstream
+        // can be pruned.
+        try fn(spark, sfDir).queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) it.next())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

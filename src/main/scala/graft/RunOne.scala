@@ -2,15 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: run one registered query by name with bench-style full
-  * materialization and print its wall time (and optionally the
-  * formatted physical plan) — `runMain graft.RunOne <name> [explain]`.
+/** Dev utility: run registered queries by name (comma-separated) with
+  * bench-style full materialization and print wall times (and
+  * optionally the formatted physical plan) —
+  * `runMain graft.RunOne <name>[,<name>...] [explain]`.
   * SF dir from SPARK_GRAFT_SF_DIR (default sf0.1), repeats from
   * SPARK_GRAFT_REPS (default 2: one warm, one measured).
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val explain = args.length > 1 && args(1) == "explain"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,13 +24,15 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (explain) fn(spark, sfDir).explain("formatted")
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd
-        .foreachPartition(it => while (it.hasNext) it.next())
-      println(f"RUNONE $name rep=$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) it.next())
+        println(f"RUNONE $name rep=$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

@@ -30,17 +30,24 @@ import org.apache.spark.storage.StorageLevel
   * Scale posture per round: one equi-join of the (symmetrized) edge list
   * against the label table on the node id + one min-aggregate, both
   * hash-partitioned on node id — no broadcast of anything
-  * corpus-sized, no driver-side graph. The only driver work is the
-  * convergence check, a count of changed labels. Each round's labels
-  * are materialized as a persisted RDD wrapped back into a leaf
-  * DataFrame: Catalyst sees a scan, not round-N's full lineage (whose
-  * analysis cost would grow linearly with rounds — the edge list alone
-  * drags the whole LSH candidate pipeline into every plan), and the
-  * previous round's blocks are unpersisted DETERMINISTICALLY as soon as
-  * the next round is materialized — executor storage holds at most two
-  * label snapshots regardless of round count (localCheckpoint would
-  * truncate lineage too, but frees its blocks only when the GC/
-  * ContextCleaner gets around to it).
+  * corpus-sized, no driver-side graph. Each round is ONE Spark job:
+  * the aggregate carries the node's previous label alongside the new
+  * minimum (the self row is tagged before the union, so
+  * `min(prev-tagged lbl)` IS the old label — the id set is closed by
+  * seeding), and the changed-label count is taken from the same
+  * materialization pass that caches the round's output — no separate
+  * next-vs-prev join job, which at tiny per-round data would double the
+  * driver/scheduling cost that dominates, and at 100 TB would double
+  * the number of passes over the label table. Each round's labels are
+  * materialized as a persisted RDD wrapped back into a leaf DataFrame:
+  * Catalyst sees a scan, not round-N's full lineage (whose analysis
+  * cost would grow linearly with rounds — the edge list alone drags the
+  * whole LSH candidate pipeline into every plan), and the previous
+  * round's blocks are unpersisted DETERMINISTICALLY as soon as the next
+  * round is materialized — executor storage holds at most two label
+  * snapshots regardless of round count (localCheckpoint would truncate
+  * lineage too, but frees its blocks only when the GC/ContextCleaner
+  * gets around to it).
   */
 object Components {
 
@@ -91,18 +98,27 @@ object Components {
       // of its own and everything it heard
       val msgs = sym.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val (next, nextRdd) = materialize(
-        labels.union(msgs)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
-      // seeding closed the id set, so next and labels carry identical
-      // ids and labels only ever decrease: "any strict decrease" =
-      // "changed"
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .filter(col("lbl") < col("prev"))
-        .count()
+      // Tag the self row's label as `prev` before the union: seeding
+      // closed the id set, so every id has exactly one self row and
+      // min(prev) recovers the old label in the SAME aggregate that
+      // computes the new one — the convergence check rides along
+      // instead of costing a second join + pass over the labels.
+      val nextDf = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .union(msgs.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
+      // One action materializes the round AND counts strict decreases
+      // ("changed"): labels only ever shrink, so lbl < prev iff the
+      // node heard a smaller label this round.
+      val nextRdd = nextDf.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = nextRdd.mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { val r = it.next(); if (r.getLong(1) < r.getLong(2)) n += 1 }
+        Iterator.single(n)
+      }.sum().toLong
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = spark.createDataFrame(nextRdd, nextDf.schema)
+        .select(col("id"), col("lbl"))
       labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
