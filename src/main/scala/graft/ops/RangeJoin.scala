@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval/range join — points matched to `[lo, hi]` intervals — via
+  * fixed-width bucketing. The reference performs no joins at all
+  * (SURVEY.md §2e), so this is north-star extension surface: the
+  * "which events fall inside which campaign/session/validity window"
+  * primitive that every training-data pipeline needs and that vanilla
+  * Spark only offers as a theta join.
+  *
+  * Why not `probe.join(intervals, point >= lo && point <= hi)`: a join
+  * with no equality predicate plans as BroadcastNestedLoopJoin (or a
+  * cartesian), i.e. O(|probe| × |intervals|) comparisons — fine for a
+  * handful of intervals, fatal when intervals scale with the corpus.
+  *
+  * The bucketed shape: pick a bucket width ~ the typical interval
+  * length; each interval is REPLICATED to every bucket it overlaps
+  * (`sequence(floor(lo/w), floor(hi/w))` — bounded fan-out when
+  * interval length is bounded), each point belongs to EXACTLY ONE
+  * bucket, and the join becomes an equi-join on the bucket id refined
+  * by the actual range predicate. Each (point, interval) match is
+  * produced exactly once — the point's single bucket is necessarily
+  * one of the interval's replicas — so no post-join dedup is needed.
+  * The shuffle is hash-partitioned on the bucket id: O(|probe| +
+  * |intervals| · avg_span/w) rows, never a nested loop. Skewed buckets
+  * (a hot hour) are ordinary AQE-splittable shuffle skew.
+  *
+  * This is the same replicate-to-overlapping-buckets strategy
+  * documented for interval joins in public engines (e.g. Databricks'
+  * range-join optimization, Flink's interval join); Spark has no
+  * built-in, so composing it from `sequence` + `explode` + equi-join
+  * is the (a)-tier implementation per SURVEY §4's ladder.
+  */
+object RangeJoin {
+
+  /** Join `probe` rows to `intervals` rows where
+    * `probe(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`
+    * (both bounds inclusive), all three columns numeric (e.g. epoch
+    * millis).
+    *
+    * @param bucketWidth bucket size in the point/bound units; choose
+    *                    ≥ the typical interval length so the per-
+    *                    interval replication factor stays ~2
+    * @return matched rows carrying all probe columns + all interval
+    *         columns (names must not collide)
+    */
+  def byBucket(
+      probe: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    val pr = probe.withColumn("__bucket", bucketOf(col(pointCol)))
+    pr.join(iv,
+        pr("__bucket") === iv("__bucket") &&
+          col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -584,6 +584,60 @@ object ExtQueries {
           round(Quantize.maxError(col("v"), col("deq")), 6).as("max_err6"),
           round(Similarity.cosine(col("v"), col("deq")), 6).as("recon_cos6"))),
 
+    // KMV distinct-count sketch (ext/Kmv): per-language distinct-
+    // TRIGRAM cardinality (the size of the n-gram inventory x25
+    // enumerates) estimated from a bounded 64-minima sketch, next to
+    // the exact count. Unlike HLL (approx_count_distinct), md5-KMV is
+    // deterministic, so the ORACLE validates the sketch itself — both
+    // engines keep the same 64 minimum hashes and derive the same
+    // estimate. The partial aggregate ships ≤ 64 hashes per
+    // (partition, lang) — sketch-sized shuffle, corpus-sized never —
+    // while the exact count must shuffle every distinct gram.
+    "x27_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val sk = graft.ext.Kmv.kmv(k)
+      spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("lang"), explode(Text.wordShingles(col("t"))).as("gram"))
+        .withColumn("h", graft.ext.Kmv.hash8(col("gram")))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("gram")).as("exact_distinct"),
+          sk(col("h")).as("sk"))
+        .select(col("lang"), col("exact_distinct"),
+          graft.ext.Kmv.estimate(col("sk"), k).as("kmv_estimate"),
+          try_element_at(col("sk"), lit(k)).as("kth_hash"))
+        .orderBy(col("lang"))
+    }),
+
+    // Edit-distance near-dup: corpus = docs ∪ tail-mutated copies
+    // (last 4 chars → " zq", id+10000). Blocking key = md5 of the
+    // 32-char prefix (mutations never touch it), so candidate pairs
+    // are linear in the corpus, and the O(len²) Levenshtein runs on
+    // bounded 64-char tails only — never full texts, never all pairs.
+    // Both engines implement the classic integer DP, so the distance
+    // is exact cross-engine.
+    "x28_edit_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") >= 40)
+      val mutated = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 4),
+          lit(" zq")).as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+          .unionByName(mutated))
+        .withColumn("blk", md5(substring(col("text"), 1, 32)))
+        .withColumn("tail",
+          col("text").substr(greatest(length(col("text")) - 63, lit(1)),
+            lit(64)))
+        .select(col("doc_id"), col("blk"), col("tail"))
+      corpus.as("a").hint("merge") // exchange reuse: one corpus pass
+        .join(corpus.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.tail"), col("b.tail")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -1201,6 +1255,60 @@ object ExtQueries {
          |    AS max_err6,
          |  round(${cosineSql("v", "deq")}, 6) AS recon_cos6
          |FROM d ORDER BY vec_id""".stripMargin,
+
+    // The oracle recomputes the sketch itself: distinct 8-hex md5
+    // hashes per lang, the 64th smallest (lexicographic = numeric for
+    // fixed-width hex), and the identical (k−1)/f arithmetic.
+    "x27_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split_regex(text, '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT lang,
+        |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          for i in range(1, len(t) - 1)])) AS token
+        |  FROM tok WHERE len(t) >= 3),
+        |h AS (
+        |  SELECT DISTINCT lang, substr(md5(token), 1, 8) AS h FROM grams),
+        |r AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h),
+        |kth AS (
+        |  SELECT lang, max(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+        |    max(nd) AS nd
+        |  FROM r GROUP BY lang),
+        |ex AS (
+        |  SELECT lang, count(DISTINCT token) AS exact_distinct
+        |  FROM grams GROUP BY lang)
+        |SELECT e.lang, e.exact_distinct,
+        |  round(CASE WHEN k.kth_hash IS NULL THEN CAST(k.nd AS DOUBLE)
+        |    ELSE 63.0 / ((CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(k.kth_hash, i, 1)) - 1)
+        |       * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS DOUBLE) + 1.0) / 4294967296.0)
+        |    END, 4) AS kmv_estimate,
+        |  k.kth_hash
+        |FROM ex e JOIN kth k USING (lang)
+        |ORDER BY e.lang""".stripMargin,
+
+    "x28_edit_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 40),
+        |corpus AS (
+        |  SELECT doc_id, text FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substr(text, 1, length(text) - 4) || ' zq'
+        |  FROM docs),
+        |c AS (
+        |  SELECT doc_id, md5(substr(text, 1, 32)) AS blk,
+        |    substr(text, greatest(length(text) - 63, 1), 64) AS tail
+        |  FROM corpus)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.tail, b.tail) AS BIGINT) AS edit_dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.tail, b.tail) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -330,6 +330,28 @@ object RelationalQueries {
         .orderBy(col("s_name"))
     }),
 
+    // Interval/range join (ops/RangeJoin): campaign windows (every
+    // 97th event opens a 2-hour window) matched to every event inside
+    // them. The bucketed replicate-and-refine equi-join replaces the
+    // BroadcastNestedLoopJoin a bare inequality predicate would plan —
+    // the oracle is the plain inequality join, proving row-identity.
+    "q25_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_millis(col("ts")).as("lo"),
+          (unix_millis(col("ts")) + 7200000L).as("hi"))
+      val pr = ev.select(col("user_id"), unix_millis(col("ts")).as("pt"),
+        col("value"))
+      graft.ops.RangeJoin.byBucket(pr, "pt", iv, "lo", "hi",
+          bucketWidth = 3600000L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumExact(col("value"), 2).as("total_value"))
+        .orderBy(col("interval_id"))
+    }),
+
     // §2c P3+P4+P13: filename cleanup → stem → table dispatch with the
     // reference's silent skip of unmapped stems (Load-gcs-to-bq/main.py:70).
     "q19_dispatch" -> ((s, dir) => {
@@ -583,6 +605,23 @@ object RelationalQueries {
         |WHERE s_nationkey = 3
         |GROUP BY s_name
         |ORDER BY s_name""".stripMargin,
+
+    // Plain inequality join — DuckDB proves the bucketed equi-join
+    // produces exactly the theta-join's rows.
+    "q25_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id,
+        |    epoch_ms(ts) AS lo, epoch_ms(ts) + 7200000 AS hi
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT interval_id,
+        |  count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM iv JOIN events e
+        |  ON epoch_ms(e.ts) >= iv.lo AND epoch_ms(e.ts) <= iv.hi
+        |GROUP BY interval_id
+        |ORDER BY interval_id""".stripMargin,
 
     "q19_dispatch" ->
       """SELECT o_orderkey, stem,

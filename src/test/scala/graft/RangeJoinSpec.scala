@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val intervals = Seq(
+    // (interval_id, lo, hi)
+    (1L, 100L, 199L),
+    (2L, 150L, 250L), // overlaps interval 1
+    (3L, 900L, 900L)  // degenerate single-point interval
+  ).toDF("interval_id", "lo", "hi")
+
+  private val points = Seq(
+    (10L, 100L), // lo-inclusive edge of 1
+    (11L, 199L), // hi-inclusive edge of 1, inside 2
+    (12L, 175L), // inside both 1 and 2
+    (13L, 250L), // hi edge of 2
+    (14L, 251L), // just outside everything
+    (15L, 900L), // the degenerate interval
+    (16L, 50L)   // before everything
+  ).toDF("point_id", "pt")
+
+  private def matches(bucketWidth: Long): Set[(Long, Long)] =
+    RangeJoin.byBucket(points, "pt", intervals, "lo", "hi", bucketWidth)
+      .select($"point_id", $"interval_id").as[(Long, Long)].collect().toSet
+
+  private val expected = Set(
+    (10L, 1L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+    (13L, 2L), (15L, 3L))
+
+  test("matches exactly the inclusive-range pairs, each pair once") {
+    assert(matches(bucketWidth = 100L) === expected)
+  }
+
+  test("result is invariant to the bucket width") {
+    // width smaller than intervals (high replication), width larger
+    // than the whole domain (single bucket), and a non-divisor width
+    for (w <- Seq(7L, 100000L, 33L)) assert(matches(w) === expected)
+  }
+
+  test("plans as an equi-join on the bucket, not a nested loop") {
+    val plan = RangeJoin
+      .byBucket(points, "pt", intervals, "lo", "hi", 100L)
+      .queryExecution.executedPlan
+    val nested = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(nested.isEmpty, "range join must not fall back to a nested loop")
+  }
+}
