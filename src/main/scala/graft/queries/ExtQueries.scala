@@ -638,6 +638,65 @@ object ExtQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental dedup — the production shape: a NEW batch deduped
+    // against the existing corpus without ever re-deduping the corpus.
+    // Batch = even docs copied verbatim (dups to drop), odd docs with
+    // reversed token order (genuinely new). One left_anti equi-join on
+    // the content hash (shuffles only the hashes, corpus never
+    // rewritten) + one window for batch-internal dups.
+    "x29_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusHashes = docs.select(md5(col("text")).as("h")).distinct()
+      val batch = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(array_join(reverse(Text.tokens(col("text"))), " "))
+          .as("text"),
+        col("lang"))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      batch.withColumn("h", md5(col("text")))
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic per-source capping (the "no single domain dominates
+    // the corpus" pretraining rule): keep ≤ 20 docs per (source, lang),
+    // chosen by md5(doc_id) order — a stable pseudo-random sample, not
+    // "first 20 by id" (which biases toward old docs) and not rand()
+    // (which is irreproducible). One window keyed on the cap group.
+    "x30_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter(col("pick") <= 20)
+        .select(col("source"), col("lang"), col("pick"), col("doc_id"))
+        .orderBy(col("source"), col("lang"), col("pick"))
+    }),
+
+    // Sliding-window chunking with overlap (the RAG/pretrain chunker
+    // x19's disjoint packing doesn't cover): window=128 tokens,
+    // stride=96, last partial window kept iff it adds new tokens.
+    // Pure narrow sequence+explode — chunk count per doc is
+    // ceil((n-window)/stride)+1, no shuffle except the output sort.
+    "x31_stride_chunks" -> ((s, dir) => {
+      val win = 128
+      val stride = 96
+      val docs = Sorted.byKey(t(s, dir, "documents"), col("doc_id"))
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      docs.select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L),
+            greatest(ceil((col("n_tokens") - win).cast("double") / stride)
+              .cast("long"), lit(0L)))).as("chunk_idx"))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("tok_start"),
+          least(col("chunk_idx") * stride + win, col("n_tokens")).as("tok_end"))
+        .filter(col("tok_start") < col("n_tokens"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -1309,6 +1368,54 @@ object ExtQueries {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.tail, b.tail) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x29_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE array_to_string(
+        |           list_reverse(string_split_regex(text, '\s+')), ' ')
+        |    END AS text,
+        |    lang
+        |  FROM documents),
+        |k AS (
+        |  SELECT b.doc_id, b.lang, md5(b.text) AS h
+        |  FROM batch b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, lang FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "x30_source_cap" ->
+      """SELECT source, lang, pick, doc_id FROM (
+        |  SELECT source, lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick
+        |  FROM documents)
+        |WHERE pick <= 20
+        |ORDER BY source, lang, pick""".stripMargin,
+
+    "x31_stride_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil(CAST(n_tokens - 128 AS DOUBLE) / 96.0)
+        |                    AS BIGINT), 0) + 1)) AS chunk_idx
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, chunk_idx,
+        |  chunk_idx * 96 AS tok_start,
+        |  least(chunk_idx * 96 + 128, n_tokens) AS tok_end
+        |FROM c
+        |WHERE chunk_idx * 96 < n_tokens
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
