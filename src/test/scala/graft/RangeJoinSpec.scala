@@ -52,4 +52,28 @@ class RangeJoinSpec extends AnyFunSuite {
     val nested = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
     assert(nested.isEmpty, "range join must not fall back to a nested loop")
   }
+
+  test("property: equals the reference theta join on random inputs") {
+    // seeded random intervals/points, checked against an in-memory
+    // nested-loop reference — the definitive bucket-boundary guard
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val iv = (1 to 30).map(i =>
+        (i.toLong, rnd.between(-500L, 500L), rnd.between(0L, 300L)))
+        .map { case (id, lo, span) => (id, lo, lo + span) }
+      val pts = (1 to 200).map(i => (i.toLong, rnd.between(-600L, 900L)))
+      val expectedPairs = (for {
+        (pid, p) <- pts
+        (iid, lo, hi) <- iv
+        if p >= lo && p <= hi
+      } yield (pid, iid)).toSet
+      val width = Seq(1L, 17L, 250L, 5000L)(trial % 4)
+      val got = RangeJoin.byBucket(
+          pts.toDF("point_id", "pt"), "pt",
+          iv.toDF("interval_id", "lo", "hi"), "lo", "hi", width)
+        .select($"point_id", $"interval_id").as[(Long, Long)]
+        .collect().toSet
+      assert(got === expectedPairs, s"trial $trial width $width")
+    }
+  }
 }
