@@ -613,10 +613,13 @@ object ExtQueries {
     // Edit-distance near-dup: corpus = docs ∪ tail-mutated copies
     // (last 4 chars → " zq", id+10000). Blocking key = md5 of the
     // 32-char prefix (mutations never touch it), so candidate pairs
-    // are linear in the corpus, and the O(len²) Levenshtein runs on
-    // bounded 64-char tails only — never full texts, never all pairs.
-    // Both engines implement the classic integer DP, so the distance
-    // is exact cross-engine.
+    // are linear in the corpus, and Levenshtein runs on bounded
+    // 64-char tails only — never full texts, never all pairs. The
+    // THRESHOLDED form (3-arg levenshtein, banded DP: O(k·n) cells,
+    // early abandon past the k=10 band, returns −1 beyond it) replaces
+    // the full O(n·m) table; within the band the distance is the
+    // classic integer DP, exact cross-engine, so the oracle's
+    // unthresholded distance ≤ 10 filter selects identical rows.
     "x28_edit_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("n_chars") >= 40)
       val mutated = docs.select((col("doc_id") + 10000).as("doc_id"),
@@ -633,8 +636,9 @@ object ExtQueries {
         .join(corpus.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.tail"), col("b.tail")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 10)
+          levenshtein(col("a.tail"), col("b.tail"), 10).cast("long")
+            .as("edit_dist"))
+        .filter(col("edit_dist") >= 0) // −1 = abandoned beyond the band
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -696,6 +700,48 @@ object ExtQueries {
           least(col("chunk_idx") * stride + win, col("n_tokens")).as("tok_end"))
         .filter(col("tok_start") < col("n_tokens"))
     }),
+
+    // Unigram language-model quality scoring (the CCNet/KenLM-style
+    // "perplexity filter" of pretraining pipelines, with the corpus's
+    // own unigram distribution standing in for the external LM): each
+    // token scores ln p(token), a doc scores the mean; improbable
+    // token salads rank low. Determinism: ln is quantized to 6
+    // decimals (the one non-correctly-rounded primitive — x20's idf
+    // precedent), then scaled to exact integer micro-units so the
+    // per-doc SUM is order-independent; only the final mean divides.
+    // Shape: one vocab aggregate + an equi-join on token (broadcast
+    // here; hash join on token at scale) + one per-doc aggregate.
+    "x32_unigram_logprob" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val scored = toks
+        .join(broadcast(vocab), "token")
+        .crossJoin(broadcast(total))
+        .withColumn("lp6_e6",
+          round(round(log(col("c").cast("double") / col("total").cast("double")), 6)
+            * 1e6).cast("long"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp6_e6")).as("sum_e6"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_e6").cast("double")
+            / (col("n_tokens") * 1000000L).cast("double"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-width length histogram per language — corpus EDA / length
+    // filtering support: 100-char buckets capped at bucket 9. Single
+    // hash aggregate on the (lang, bucket) pair.
+    "x33_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          least(floor(col("n_chars") / 100), lit(9L)).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))),
 
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
@@ -1416,6 +1462,35 @@ object ExtQueries {
         |FROM c
         |WHERE chunk_idx * 96 < n_tokens
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x32_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(round(ln(CAST(v.c AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6)
+        |               * 1e6) AS BIGINT) AS lp6_e6
+        |  FROM tok t JOIN vocab v USING (token), tot)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  round(CAST(sum(lp6_e6) AS DOUBLE)
+        |        / CAST(count(*) * 1000000 AS DOUBLE), 4) AS avg_logp
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x33_length_histogram" ->
+      """SELECT lang,
+        |  least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
+        |  count(*) AS n_docs,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang, bucket""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
