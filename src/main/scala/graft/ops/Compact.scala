@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction — the operational counterpart of the
+  * streaming ingest path (streaming/Ingest): a micro-batch file sink
+  * writes one-file-per-trigger (the reference writes one GCS blob per
+  * hour, Load-Data-From-API/main.py:145-152), so a long-running landing
+  * or raw table accumulates thousands of tiny parquet files, and at
+  * cluster scale every query then pays one task + one open per file
+  * while the scheduler chokes on listing. Periodic compaction rewrites
+  * a directory into ~`targetRowsPerFile`-sized files.
+  *
+  * Mechanics: read → `repartition(ceil(rows/target))` (round-robin —
+  * balanced output sizes, no skew inherited from input layout) → write
+  * to a staging dir next to the target → swap via two renames. The
+  * swap is NOT transactional (two renames, not one atomic commit):
+  * concurrent readers can hit the gap, which is why production tables
+  * at scale sit behind a table format with snapshot commits; this
+  * operator is for the bare-directory layout the harness uses, and the
+  * staging write at least guarantees the data is fully materialized
+  * and validated before the old files are touched — a failure before
+  * the swap leaves the source untouched.
+  */
+object Compact {
+
+  /** @return (files before, files after, rows) */
+  def compact(
+      spark: SparkSession, dir: String,
+      targetRowsPerFile: Long): (Int, Int, Long) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hconf)
+
+    def parquetFiles(p: Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+
+    val before = parquetFiles(target)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+
+    val staging = new Path(target.getParent, target.getName + "_compact_staging")
+    fs.delete(staging, true)
+    df.repartition(nFiles.toInt).write.parquet(staging.toString)
+
+    // validate the rewrite before touching the source
+    val rewritten = spark.read.parquet(staging.toString).count()
+    require(rewritten == rows,
+      s"compaction row mismatch: $rows read, $rewritten rewritten")
+
+    val retired = new Path(target.getParent, target.getName + "_compact_retired")
+    fs.delete(retired, true)
+    if (!fs.rename(target, retired))
+      throw new IllegalStateException(s"could not retire $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back
+      throw new IllegalStateException(s"could not promote $staging")
+    }
+    fs.delete(retired, true)
+    (before, parquetFiles(target), rows)
+  }
+}

@@ -743,6 +743,45 @@ object ExtQueries {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("bucket"))),
 
+    // SEMANTIC decontamination — x24's n-gram check caught verbatim
+    // leaks; this catches paraphrase-level leaks by embedding
+    // similarity. Eval set plants leaks (perturbed copies of even
+    // corpus vectors — near-identical direction) and fresh items
+    // (dimension-reversed vectors — independent direction for random
+    // embeddings). Candidates come ONLY from the 8-plane sign-LSH
+    // bucket equi-join (x10's machinery): the shuffle pairs each eval
+    // vector with its bucket's corpus vectors, never eval × corpus.
+    // Output is integer hit counts against the 0.99 threshold, not a
+    // float max: planted cosines sit at ≈0.9998 (leaks) vs ≤0.5
+    // (bucket noise), so the predicate is immune to the ~1e-6
+    // cross-engine summation wobble that a re-rounded max-of-many
+    // would surface at boundary values.
+    "x34_semantic_contamination" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), toD(col("embedding")).as("v"))
+      val evalSet = base.select(
+        (col("vec_id") + 50000).as("eval_id"),
+        when(pmod(col("vec_id"), lit(2)) === 0, lit("leaked"))
+          .otherwise(lit("fresh")).as("origin"),
+        when(pmod(col("vec_id"), lit(2)) === 0,
+          transform(col("v"), (x, i) =>
+            x * 1.02 + (pmod(i, lit(7)) - 3).cast("double") * 0.0001))
+          .otherwise(reverse(col("v"))).as("ev"))
+        .withColumn("bucket", Similarity.signBucket(col("ev"), 8, 64))
+      val corpus = spread(base)
+        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+      evalSet.join(corpus, Seq("bucket"), "left")
+        .withColumn("hit",
+          when(col("v").isNotNull &&
+            Similarity.cosine(col("ev"), col("v")) >= 0.99, 1L)
+            .otherwise(0L))
+        .groupBy(col("eval_id"), col("origin"))
+        .agg(count(col("vec_id")).as("n_candidates"),
+          sum(col("hit")).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+        .orderBy(col("eval_id"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -1491,6 +1530,32 @@ object ExtQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang, bucket""".stripMargin,
+
+    "x34_semantic_contamination" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev AS (
+         |  SELECT vec_id + 50000 AS eval_id,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'leaked' ELSE 'fresh' END AS origin,
+         |    CASE WHEN vec_id % 2 = 0
+         |         THEN [v[i] * 1.02 + CAST(((i - 1) % 7) - 3 AS DOUBLE) * 0.0001
+         |               for i in range(1, len(v)+1)]
+         |         ELSE list_reverse(v) END AS ev
+         |  FROM base),
+         |evb AS (SELECT eval_id, origin, ev, ${bucketSql("ev")} AS bucket FROM ev),
+         |cb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM base),
+         |j AS (
+         |  SELECT e.eval_id, e.origin, c.vec_id,
+         |    CASE WHEN c.vec_id IS NOT NULL
+         |           AND ${cosineSql("e.ev", "c.v")} >= 0.99
+         |         THEN 1 ELSE 0 END AS hit
+         |  FROM evb e LEFT JOIN cb c ON e.bucket = c.bucket)
+         |SELECT eval_id, origin,
+         |  count(vec_id) AS n_candidates,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  (sum(hit) > 0) AS contaminated
+         |FROM j GROUP BY eval_id, origin
+         |ORDER BY eval_id""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
