@@ -709,15 +709,18 @@ object ExtQueries {
     // decimals (the one non-correctly-rounded primitive — x20's idf
     // precedent), then scaled to exact integer micro-units so the
     // per-doc SUM is order-independent; only the final mean divides.
-    // Shape: one vocab aggregate + an equi-join on token (broadcast
-    // here; hash join on token at scale) + one per-doc aggregate.
+    // Shape: one vocab aggregate + an equi-join on token + one per-doc
+    // aggregate. The vocab side is NOT hint-broadcast: a corpus-scale
+    // vocabulary (millions of tokens) must be allowed to hash-join on
+    // the token key — Catalyst/AQE broadcasts it automatically only
+    // while it fits the threshold. Only the 1-row total is pinned.
     "x32_unigram_logprob" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       val total = toks.agg(count(lit(1)).as("total"))
       val scored = toks
-        .join(broadcast(vocab), "token")
+        .join(vocab, "token")
         .crossJoin(broadcast(total))
         .withColumn("lp6_e6",
           round(round(log(col("c").cast("double") / col("total").cast("double")), 6)

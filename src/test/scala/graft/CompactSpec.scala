@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.avg
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Compact
@@ -34,5 +35,30 @@ class CompactSpec extends AnyFunSuite {
     val (before, after, rows) = Compact.compact(spark, dir, 1000L)
     assert(before === 1 && after === 1 && rows === 10L)
     assert(spark.read.parquet(dir).count() === 10L)
+  }
+
+  test("composes with the ingest path: compacting a dt partition keeps the rollup") {
+    // the intended deployment: Ingest's per-micro-batch appends leave
+    // several files inside each dt= partition; compacting one
+    // partition directory must not change what the rollup reads
+    val root = Files.createTempDirectory("compact-raw")
+    val raw = root.resolve("raw").toString
+    def batch(temp: Double) = Seq((java.sql.Date.valueOf("2022-08-29"), temp))
+      .toDF("dt", "temp")
+    // three drip appends → ≥ 3 files in the single dt partition
+    (1 to 3).foreach(i =>
+      batch(300.0 + i).write.mode("append").partitionBy("dt").parquet(raw))
+    val part = root.resolve("raw/dt=2022-08-29").toString
+    val beforeAvg = spark.read.parquet(raw).agg(avg($"temp")).head().getDouble(0)
+
+    val (before, after, rows) = Compact.compact(spark, part, targetRowsPerFile = 100)
+
+    assert(before >= 3 && after === 1 && rows === 3L)
+    val d = spark.read.parquet(raw)
+    assert(d.count() === 3L)
+    // dt still comes from the partition path; values intact
+    assert(d.select($"dt".cast("string")).distinct().as[String].collect()
+      .toSeq === Seq("2022-08-29"))
+    assert(d.agg(avg($"temp")).head().getDouble(0) === beforeAvg)
   }
 }
