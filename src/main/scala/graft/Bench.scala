@@ -48,7 +48,10 @@ object Bench {
           .queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
         catch { case _: Throwable => () }
       }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 reps: on a noisy shared machine two samples still leave the min
+    // 10-20% above quiet-machine steady state; the third buys most of
+    // the remaining stability for ~45s of extra wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -37,4 +37,18 @@ object StreamJoin {
          |$secondaryTs >= $primaryTs AND
          |$secondaryTs <= $primaryTs + INTERVAL $maxDelay""".stripMargin))
   }
+
+  /** Stream-static enrichment — the most common production join: each
+    * micro-batch of the stream joins a STATIC dimension (lookup table,
+    * metadata catalog). No state store is involved at all: the static
+    * side is planned like any batch relation (broadcast under the
+    * threshold, shuffle hash beyond), re-resolved per micro-batch, and
+    * the stream side needs no watermark because nothing is buffered.
+    * Left join so stream rows without a dimension match pass through
+    * with nulls instead of silently dropping.
+    */
+  def enrich(
+      stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(dim, stream(streamKey) === dim(dimKey), "left")
 }

@@ -49,4 +49,28 @@ class StreamJoinSpec extends AnyFunSuite {
         ("imp3", "click-for-imp3")), s"got $got")
     } finally q.stop()
   }
+
+  test("stream-static enrichment: dim attaches per batch, misses pass through") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val events = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamJoin.enrich(
+      events.toDF().toDF("ts", "user", "ev"), dim,
+      streamKey = "user", dimKey = "dim_user")
+      .selectExpr("ev", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData((ts("10:00"), 1L, "a"), (ts("10:01"), 3L, "b"))
+      q.processAllAvailable()
+      events.addData((ts("10:02"), 2L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(String, Option[String])].collect().toSet
+      assert(got == Set(
+        ("a", Some("gold")),
+        ("b", None), // unmatched stream row survives with null tier
+        ("c", Some("silver"))), s"got $got")
+    } finally q.stop()
+  }
 }
