@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Components, Dedup, Text}
+
+/** Scaling probe (dev utility): multiply the documents corpus k× (id-
+  * shifted copies with a per-copy token rotation so copies are NOT
+  * trivial duplicates of each other) and measure the LSH near-dup
+  * pipeline and connected-components clustering at growing corpus
+  * sizes on fixed cores. The point is the CURVE, not the absolute
+  * number: candidate generation is an equi-join on band hashes, so
+  * time should grow ~linearly in corpus size while all-pairs designs
+  * grow quadratically; components rounds track graph diameter, which
+  * is independent of corpus size for dedup graphs.
+  *
+  * `sbt "runMain graft.ScaleProbe [k1,k2,...]"` (default 1,2,4) on
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val ks = args.headOption.getOrElse("1,2,4").split(",").map(_.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val n0 = docs.count()
+
+    ks.foreach { k =>
+      // copy c shifts ids by c*1e6 and rotates each doc's tokens by c,
+      // so cross-copy pairs are near-dups (same shingle multiset minus
+      // boundary trigrams) without being byte-identical — the LSH and
+      // jaccard stages do full work
+      val corpus = (0 until k).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          when(lit(c) === 0, col("text")).otherwise(
+            array_join(concat(
+              slice(Text.tokens(col("text")), c + 1, 100000),
+              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+
+      val sh = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+
+      val t0 = System.nanoTime()
+      val edges = Dedup.nearDupPairs(sh, "doc_id", "s",
+        numHashes = 12, bands = 4, threshold = 0.5).cache()
+      val nEdges = edges.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val comp = Components.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      val nClusters = comp.agg(countDistinct(col("cluster_id"))).head().getLong(0)
+      val tComp = (System.nanoTime() - t1) / 1e9
+
+      println(f"SCALE k=$k docs=${k * n0}%7d pairs=$nEdges%8d " +
+        f"clusters=$nClusters%7d lsh=$tPairs%7.2fs components=$tComp%7.2fs")
+      edges.unpersist()
+    }
+    spark.stop()
+  }
+}
