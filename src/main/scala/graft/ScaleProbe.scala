@@ -70,6 +70,33 @@ object ScaleProbe {
         f"clusters=$nClusters%7d lsh=$tPairs%7.2fs components=$tComp%7.2fs")
       edges.unpersist()
     }
+
+    // Embedding path: sign-LSH near-dup (the x10 shape) at growing
+    // corpus sizes. Each copy c scales the vectors by (1 + c/1000) —
+    // same direction, so cross-copy pairs all collide in their sign
+    // bucket and pass the cosine gate: max planted-pair load per size.
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.ext.Similarity.toDoubleArray(col("embedding")).as("v"))
+      .cache()
+    val e0 = emb.count()
+    ks.foreach { k =>
+      val corpus = (0 until k).map { c =>
+        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          transform(col("v"), x => x * (1.0 + c / 1000.0)).as("v"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", graft.ext.Similarity.signBucket(col("v"), 8, 64))
+      val t0 = System.nanoTime()
+      val n = corpus.as("a").hint("merge")
+        .join(corpus.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.ext.Similarity.cosine(col("a.v"), col("b.v")) >= 0.999)
+        .count()
+      println(f"SCALE-EMB k=$k vecs=${k * e0}%7d pairs=$n%8d " +
+        f"lsh=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
     spark.stop()
   }
 }

@@ -785,6 +785,28 @@ object ExtQueries {
         .orderBy(col("eval_id"))
     }),
 
+    // Embedding prep: L2 normalization (after which cosine = dot — the
+    // precondition every ANN index assumes) and Matryoshka-style
+    // prefix truncation (how much of the norm mass the first 16 of 64
+    // dims carry — the cheap-prefix-search viability metric). Narrow
+    // per-vector map, no shuffle beyond the input range sort.
+    "x35_embed_normalize" -> ((s, dir) => {
+      val norm2 = (v: Column) =>
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      Sorted.byKey(t(s, dir, "embeddings"), col("vec_id"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .withColumn("nrm", norm2(col("v")))
+        .withColumn("unit", transform(col("v"), x => x / col("nrm")))
+        .select(
+          col("vec_id"),
+          round(col("nrm"), 4).as("norm4"),
+          // self-cosine of the normalized vector must be 1 (sanity of
+          // the normalize step; rounding absorbs the re-fold)
+          round(norm2(col("unit")), 4).as("unit_norm4"),
+          round(norm2(slice(col("v"), 1, 16)) / col("nrm"), 4)
+            .as("prefix16_mass4"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -1559,6 +1581,25 @@ object ExtQueries {
          |  (sum(hit) > 0) AS contaminated
          |FROM j GROUP BY eval_id, origin
          |ORDER BY eval_id""".stripMargin,
+
+    "x35_embed_normalize" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, [x * x for x in v]),
+        |                     (a, x) -> a + x)) AS nrm
+        |  FROM p),
+        |u AS (
+        |  SELECT vec_id, nrm, [x / nrm for x in v] AS unit, v
+        |  FROM n)
+        |SELECT vec_id,
+        |  round(nrm, 4) AS norm4,
+        |  round(sqrt(list_reduce(list_prepend(0.0, [x * x for x in unit]),
+        |                         (a, x) -> a + x)), 4) AS unit_norm4,
+        |  round(sqrt(list_reduce(list_prepend(0.0, [x * x for x in v[1:16]]),
+        |                         (a, x) -> a + x)) / nrm, 4) AS prefix16_mass4
+        |FROM u ORDER BY vec_id""".stripMargin,
 
     "x15_sql_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
