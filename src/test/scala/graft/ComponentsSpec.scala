@@ -71,6 +71,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 5L -> 0L, 7L -> 0L))
   }
 
+  test("property: random graphs match an in-memory union-find reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val nodes = (1L to n.toLong).toSeq
+      val edges = Seq.fill(n / 2)(
+        (rnd.between(1L, n + 1L), rnd.between(1L, n + 1L)))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find, then canonical = min id per root
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = {
+        val minOfRoot = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
+        nodes.map(i => i -> minOfRoot(find(i))).toMap
+      }
+      assert(run(nodes, edges) === expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("hitting maxIter without a fixpoint throws instead of returning wrong labels") {
     // a 6-node path needs 5 rounds; cap at 2
     val nodes = (1L to 6L)

@@ -53,6 +53,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(nested.isEmpty, "range join must not fall back to a nested loop")
   }
 
+  test("null points and null bounds drop, matching theta-join semantics") {
+    // a comparison against NULL is never true in a theta join, so rows
+    // with null point/lo/hi must produce no matches (not errors)
+    val iv = Seq((1L, Some(100L), Some(200L)), (2L, None, Some(300L)),
+      (3L, Some(50L), None))
+      .toDF("interval_id", "lo", "hi")
+    val pts = Seq((10L, Some(150L)), (11L, None)).toDF("point_id", "pt")
+    val got = RangeJoin.byBucket(pts, "pt", iv, "lo", "hi", 100L)
+      .select($"point_id", $"interval_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L)))
+  }
+
   test("property: equals the reference theta join on random inputs") {
     // seeded random intervals/points, checked against an in-memory
     // nested-loop reference — the definitive bucket-boundary guard
