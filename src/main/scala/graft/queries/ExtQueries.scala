@@ -807,6 +807,42 @@ object ExtQueries {
             .as("prefix16_mass4"))
     }),
 
+    // MinHash fidelity check — closes the LSH methodology loop: for
+    // every confirmed near-dup pair, compare the SKETCH estimate of
+    // Jaccard (fraction of agreeing signature components — the quantity
+    // LSH banding actually thresholds on) against the exact set
+    // Jaccard. Deterministic because the signatures are md5-derived,
+    // so both engines compute identical sketches; err_pp (percentage
+    // points, integer-scaled) is exact integer arithmetic.
+    "x36_minhash_fidelity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+        .withColumn("sig", Dedup.minhashSignature(col("s"), 12))
+      val pairs = sh.as("a").hint("merge")
+        .join(sh.as("b"), col("a.doc_id") + 10000 === col("b.doc_id"))
+      pairs.select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+            eq => eq)).cast("long").as("agree"),
+          round(Dedup.jaccard(col("a.s"), col("b.s")), 4).as("exact_jac"))
+        .withColumn("est_jac", round(col("agree").cast("double") / 12.0, 4))
+        // floor(x·10⁴+0.5), not a double→long cast: Spark's cast
+        // truncates while DuckDB's rounds, so casts of rounded doubles
+        // diverge at representation boundaries; floor is floor in both
+        .withColumn("err_pp",
+          abs(floor(col("est_jac") * 10000 + 0.5)
+            - floor(col("exact_jac") * 10000 + 0.5)).cast("long"))
+        .orderBy(col("doc_a"))
+    }),
+
     // SQL-API surface: the same native cosine expression, but reached
     // through the FunctionRegistry (GraftExtensions /
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
@@ -1581,6 +1617,43 @@ object ExtQueries {
          |  (sum(hit) > 0) AS contaminated
          |FROM j GROUP BY eval_id, origin
          |ORDER BY eval_id""".stripMargin,
+
+    // Same signature construction as x02's oracle (8-hex chunk h%4 of
+    // md5(shingle + '#' + h/4), min over the shingle set).
+    "x36_minhash_fidelity" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_filter(range(1, 13), i -> a.g[i] = b.g[i]))
+        |         AS BIGINT) AS agree,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |             AS DOUBLE), 4) AS exact_jac
+        |  FROM sig a JOIN sig b ON a.doc_id + 10000 = b.doc_id)
+        |SELECT doc_a, doc_b, agree, exact_jac,
+        |  round(CAST(agree AS DOUBLE) / 12.0, 4) AS est_jac,
+        |  CAST(abs(floor(round(CAST(agree AS DOUBLE) / 12.0, 4) * 10000 + 0.5)
+        |       - floor(exact_jac * 10000 + 0.5)) AS BIGINT) AS err_pp
+        |FROM p ORDER BY doc_a""".stripMargin,
 
     "x35_embed_normalize" ->
       """WITH p AS (
