@@ -428,6 +428,44 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware dedup survivor selection — production pipelines
+    // keep the BEST document of a near-dup cluster (longest, highest
+    // quality), not the lowest id: the x23 cluster machinery (LSH
+    // pairs → components) followed by a per-cluster ranking window on
+    // token count (the truncated variants lose to their source by
+    // construction). One extra window over the cluster id — the
+    // ranking never leaves the cluster's partition.
+    "x37_quality_survivor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def mutant(frac: Double, shift: Int, every: Int) = docs
+        .filter(pmod(col("doc_id"), lit(every)) === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), lit(1),
+            greatest(floor(size(Text.tokens(col("text"))) * frac).cast("int"),
+              lit(1))), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+        .unionByName(mutant(0.8, 10000, 2))
+        .unionByName(mutant(0.55, 20000, 4)))
+      val sh = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      val edges = Dedup.nearDupPairs(sh, "doc_id", "s",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      val comp = Components.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      val withLen = comp.join(
+        corpus.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      withLen
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+          (col("rk") === 1).as("survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Train/eval contamination check (the n-gram decontamination step of
     // LLM training pipelines): the train side is every distinct 5-gram
     // in the corpus; the eval side plants known leaks (truncated copies
@@ -1288,6 +1326,67 @@ object ExtQueries {
         |  (c.doc_id = c.cluster_id) AS is_canonical
         |FROM comp c JOIN sizes s USING (cluster_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // x23's recursive-closure machinery with the survivor rule swapped
+    // from min-id to per-cluster token-length ranking.
+    "x37_quality_survivor" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(t[1:greatest(CAST(floor(len(t) * 0.8) AS INT), 1)], ' ')
+        |  FROM tok0 WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(t[1:greatest(CAST(floor(len(t) * 0.55) AS INT), 1)], ' ')
+        |  FROM tok0 WHERE doc_id % 4 = 0),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+        |rk AS (
+        |  SELECT c.doc_id, c.cluster_id, l.n_tokens,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY l.n_tokens DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN lens l USING (doc_id))
+        |SELECT doc_id, cluster_id, n_tokens, (rk = 1) AS survivor
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     "x24_contamination" ->
       """WITH tok AS (
