@@ -71,6 +71,25 @@ object DailyTable {
     if (exists(spark, path)) upsert(hourly, path, asOf)
     else bootstrap(hourly, path)
 
+  /** Backfill a date RANGE (inclusive) — the repair operation the
+    * reference lacks (its choices are rebuild-everything or
+    * update-today only): recompute the rollup for `[from, to]` and
+    * dynamic-overwrite exactly those day partitions in ONE write.
+    * Days outside the range are untouched (their directories are never
+    * listed in the written frame), and days inside the range with no
+    * source rows keep their stale partition (dynamic overwrite only
+    * replaces partitions present in the output) — same documented
+    * empty-source caveat as [[upsert]]. Cost is one scan of the
+    * range's source rows + one shuffle, independent of table size and
+    * of the number of days repaired.
+    */
+  def backfill(hourly: DataFrame, path: String, from: Date, to: Date): Unit = {
+    require(!to.before(from), s"backfill range is empty: $from..$to")
+    write(DailyRollup.rollup(
+        hourly.filter(col("dt") >= lit(from) && col("dt") <= lit(to))),
+      path, dynamic = true)
+  }
+
   /** Read the daily table back; partition columns (month_part, dt) are
     * restored as typed columns by partition discovery.
     */

@@ -89,6 +89,33 @@ class DailyTableSpec extends AnyFunSuite {
       Set("2022-08-29", "2022-08-30", "2022-09-01"))
   }
 
+  test("backfill repairs exactly the date range; outside days untouched") {
+    val path = tmp()
+    DailyTable.bootstrap(hourly(augRows: _*), path)
+    // corrupt two august days with wrong readings, keep september intact
+    DailyTable.upsert(hourly(
+      hourlyRow("2022-08-29", "01:00:00", 999.15)), path, Date.valueOf("2022-08-29"))
+    DailyTable.upsert(hourly(
+      hourlyRow("2022-08-30", "01:00:00", 999.15)), path, Date.valueOf("2022-08-30"))
+    assert(snapshot(path).exists(_._3 == 726.0)) // corruption visible
+
+    // one write repairs the whole august range from the true source
+    DailyTable.backfill(hourly(augRows: _*), path,
+      Date.valueOf("2022-08-01"), Date.valueOf("2022-08-31"))
+
+    assert(snapshot(path) == Set(
+      ("2022-08-29", 8, 28.0),
+      ("2022-08-30", 8, 7.0),
+      ("2022-09-01", 9, 17.0))) // september was never rewritten
+  }
+
+  test("backfill rejects an empty range") {
+    intercept[IllegalArgumentException] {
+      DailyTable.backfill(hourly(augRows: _*), tmp(),
+        Date.valueOf("2022-09-02"), Date.valueOf("2022-09-01"))
+    }
+  }
+
   test("upsert does not leak partitionOverwriteMode into the session") {
     val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     val path = tmp()
