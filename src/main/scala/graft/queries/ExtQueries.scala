@@ -466,6 +466,36 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Split-leakage audit — the integrity check a train/holdout split
+    // needs AFTER dedup: a near-dup pair straddling the split boundary
+    // leaks training signal into evaluation. Composes the x02 LSH
+    // pipeline (planted near-dup pairs) with the x21 deterministic
+    // hash split — variants hash independently of their source, so
+    // cross-split pairs exist by construction and the audit counts
+    // them per (split, split) cell. Remediation (not shown) is
+    // group-aware splitting: hash the CLUSTER id, not the doc id.
+    "x38_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      Dedup.nearDupPairs(sh, "doc_id", "s",
+          numHashes = 12, bands = 4, threshold = 0.5)
+        .withColumn("split_a", Sampling.holdoutSplit(col("id_a"), 230))
+        .withColumn("split_b", Sampling.holdoutSplit(col("id_b"), 230))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 4).as("avg_jac"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // Train/eval contamination check (the n-gram decontamination step of
     // LLM training pipelines): the train side is every distinct 5-gram
     // in the corpus; the eval side plants known leaks (truncated copies
@@ -1326,6 +1356,65 @@ object ExtQueries {
         |  (c.doc_id = c.cluster_id) AS is_canonical
         |FROM comp c JOIN sizes s USING (cluster_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // x02's pair pipeline + x21's md5-bucket split expression.
+    "x38_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) AS jac
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5),
+        |sp AS (
+        |  SELECT doc_a, doc_b, jac,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_a AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_a AS VARCHAR)), 2, 1)) - 1) < 230
+        |         THEN 'train' ELSE 'holdout' END AS split_a,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_b AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_b AS VARCHAR)), 2, 1)) - 1) < 230
+        |         THEN 'train' ELSE 'holdout' END AS split_b
+        |  FROM p)
+        |SELECT split_a, split_b,
+        |  count(*) AS n_pairs,
+        |  round(avg(jac), 4) AS avg_jac,
+        |  (split_a <> split_b) AS leaky
+        |FROM sp GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin,
 
     // x23's recursive-closure machinery with the survivor rule swapped
     // from min-id to per-cluster token-length ranking.
