@@ -37,6 +37,15 @@ object Compact {
     def parquetFiles(p: Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
 
+    // compact() rewrites ONE leaf data directory. Pointed at a
+    // partitioned table root, listStatus sees only subdirectories
+    // (before=0) and the rewrite would materialize the partition
+    // columns into data files, destroying the dt=/month_part= layout —
+    // so reject roots outright; callers compact each leaf partition.
+    require(fs.listStatus(target).forall(_.isFile),
+      s"$dir contains subdirectories (partitioned table root?) — " +
+        "compact each leaf partition directory instead")
+
     val before = parquetFiles(target)
     val df = spark.read.parquet(dir)
     val rows = df.count()

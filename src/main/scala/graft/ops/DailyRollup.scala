@@ -110,11 +110,19 @@ object DailyRollup {
     * fields, SURVEY §2h: its late data is implicitly mis-dated; here a
     * row later than `lateness` past its day's end is dropped — an
     * explicit, bounded-state policy instead of silent mis-dating).
+    *
+    * Malformed-timestamp divergence from the batch path: a row whose
+    * `dt`/`current_time` fails `to_timestamp` parsing has no event
+    * time, so THIS path drops it (explicitly, via the filter below),
+    * while the batch [[rollup]] still aggregates it under its `dt`.
+    * Streams carrying unparseable stamps should count/route them
+    * upstream if the loss matters.
     */
   def rollupStream(hourly: DataFrame, lateness: String = "2 hours"): DataFrame =
     finish(hourly
       .withColumn("event_ts", to_timestamp(
         concat(col("dt").cast("string"), lit(" "), col("current_time"))))
+      .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", lateness)
       .groupBy(window(col("event_ts"), "1 day"))
       .agg(aggExprs.head, aggExprs.tail: _*)

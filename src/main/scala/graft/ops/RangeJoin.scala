@@ -52,7 +52,14 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
-    val iv = intervals.withColumn("__bucket",
+    // An inverted interval (lo > hi) can match nothing, but Spark's
+    // 2-arg sequence(start, stop) infers a NEGATIVE step for it, so
+    // the malformed row would still replicate to every bucket in its
+    // (descending) span — wasted fan-out that the refine predicate
+    // then discards. Drop such rows before replication.
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
     val pr = probe.withColumn("__bucket", bucketOf(col(pointCol)))
     pr.join(iv,

@@ -490,8 +490,13 @@ object ExtQueries {
         .withColumn("split_a", Sampling.holdoutSplit(col("id_a"), 230))
         .withColumn("split_b", Sampling.holdoutSplit(col("id_b"), 230))
         .groupBy(col("split_a"), col("split_b"))
+        // per-pair jaccard is floor-scaled to integer e4 units BEFORE
+        // the aggregate (the x32/x36 pattern): an integer sum is
+        // order-independent, where round(avg(double), 4) could differ
+        // cross-engine at a .00005 boundary from summation order
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jaccard")), 4).as("avg_jac"))
+          (sum(floor(col("jaccard") * 1e4 + 0.5)).cast("long") /
+            (count(lit(1)) * lit(10000.0))).as("avg_jac"))
         .withColumn("leaky", col("split_a") =!= col("split_b"))
         .orderBy(col("split_a"), col("split_b"))
     }),
@@ -1411,7 +1416,8 @@ object ExtQueries {
         |  FROM p)
         |SELECT split_a, split_b,
         |  count(*) AS n_pairs,
-        |  round(avg(jac), 4) AS avg_jac,
+        |  CAST(sum(floor(jac * 1e4 + 0.5)) AS BIGINT) / (count(*) * 10000.0)
+        |    AS avg_jac,
         |  (split_a <> split_b) AS leaky
         |FROM sp GROUP BY split_a, split_b
         |ORDER BY split_a, split_b""".stripMargin,

@@ -37,6 +37,22 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 10L)
   }
 
+  test("rejects a partitioned table root instead of flattening it") {
+    // pointed at the table ROOT, a rewrite would materialize the
+    // partition column into data files and destroy the dt= layout —
+    // compact() must refuse, leaving the table untouched
+    val root = Files.createTempDirectory("compact-root").resolve("tbl").toString
+    Seq((java.sql.Date.valueOf("2022-08-29"), 1L),
+      (java.sql.Date.valueOf("2022-08-30"), 2L))
+      .toDF("dt", "v").write.partitionBy("dt").parquet(root)
+    val err = intercept[IllegalArgumentException] {
+      Compact.compact(spark, root, targetRowsPerFile = 100)
+    }
+    assert(err.getMessage.contains("subdirectories"))
+    // untouched: both partitions still read back
+    assert(spark.read.parquet(root).count() === 2L)
+  }
+
   test("composes with the ingest path: compacting a dt partition keeps the rollup") {
     // the intended deployment: Ingest's per-micro-batch appends leave
     // several files inside each dt= partition; compacting one

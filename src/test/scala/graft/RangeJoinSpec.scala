@@ -65,6 +65,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Set((10L, 1L)))
   }
 
+  test("inverted intervals (lo > hi) match nothing and are not replicated") {
+    val iv = Seq((1L, 100L, 200L), (2L, 5000L, -5000L)) // 2 is malformed
+      .toDF("interval_id", "lo", "hi")
+    val pts = Seq((10L, 150L), (11L, 0L)).toDF("point_id", "pt")
+    val joined = RangeJoin.byBucket(pts, "pt", iv, "lo", "hi", 100L)
+    assert(joined.select($"point_id", $"interval_id").as[(Long, Long)]
+      .collect().toSet === Set((10L, 1L)))
+    // and it is dropped BEFORE replication — the interval side of the
+    // plan carries a lo <= hi filter, so interval 2's 100-bucket
+    // descending span never materializes
+    val analyzed = joined.queryExecution.analyzed.toString
+    assert(analyzed.contains("(lo"),
+      s"expected a lo <= hi pre-filter in the plan:\n$analyzed")
+  }
+
   test("property: equals the reference theta join on random inputs") {
     // seeded random intervals/points, checked against an in-memory
     // nested-loop reference — the definitive bucket-boundary guard

@@ -52,4 +52,32 @@ class StreamKmvSpec extends AnyFunSuite {
       assert(closed.head._3 === 5.0)
     } finally q.stop()
   }
+
+  test("extra keys group by NAME and survive the post-agg select") {
+    // extraKeys are column names (not expressions) precisely so the
+    // same reference resolves in both the groupBy and the final
+    // select against the aggregated schema
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val q = StreamKmv.windowedDistinct(
+      input.toDF().toDF("ts", "user", "site"),
+      "ts", "user", windowLength = "1 hour", watermark = "30 minutes",
+      k = 64, "site")
+      .writeStream.format("memory").queryName("kmv_keyed")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), "ada", "eu"), (ts("10:05"), "bob", "eu"),
+        (ts("10:10"), "ada", "us"))
+      q.processAllAvailable()
+      input.addData((ts("13:00"), "zoe", "eu")) // close the 10:00 window
+      q.processAllAvailable()
+      val closed = spark.table("kmv_keyed")
+        .select($"window_start", $"site", $"distinct_est")
+        .as[(Timestamp, String, Double)].collect()
+        .filter(_._1 == ts("10:00")).sortBy(_._2)
+      assert(closed.toSeq === Seq(
+        (ts("10:00"), "eu", 2.0), (ts("10:00"), "us", 1.0)))
+    } finally q.stop()
+  }
 }
