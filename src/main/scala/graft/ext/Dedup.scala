@@ -114,6 +114,55 @@ object Dedup {
       .distinct()
   }
 
+  /** The persisted LSH index of a corpus: one row per (doc, band) with
+    * the band hash AND the doc's shingle set (the verification
+    * payload). Computing this once and STORING it is what makes dedup
+    * incremental: each day's new batch computes only its own
+    * signatures and probes the index with an equi-join — the indexed
+    * corpus is never re-read, re-tokenized, or re-hashed.
+    */
+  def bandIndex(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    docs.withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
+      .select(col(idCol).as("id"), col(shinglesCol).as("s"),
+        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental near-dup detection: a new `batch` against a stored
+    * [[bandIndex]], plus within the batch itself. index↔index pairs
+    * are NOT re-derived — they are the already-resolved history — so
+    * the result equals the full-corpus [[nearDupPairs]] restricted to
+    * pairs with at least one batch member (IncrementalLshSpec and
+    * x42's oracle both assert exactly that; on an internally dup-free
+    * index the restriction is vacuous). The probe shuffle is
+    * O(batch bands + index bands), independent of how the pairs are
+    * distributed; pairs come out as (lower id, higher id) regardless
+    * of side.
+    */
+  def incrementalPairs(
+      index: DataFrame, batch: DataFrame, idCol: String,
+      shinglesCol: String, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bk = bandIndex(batch, idCol, shinglesCol, numHashes, bands)
+    val cross = index.as("a")
+      .join(bk.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        jaccard(col("a.s"), col("b.s")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+    cross.unionByName(
+        nearDupPairs(batch, idCol, shinglesCol, numHashes, bands, threshold))
+      .distinct()
+  }
+
   /** bandedPairs + exact-Jaccard confirmation in ONE pass: the shingle
     * arrays ride along through the band explode, so the pair join emits
     * (id_a, id_b, jaccard) directly instead of re-joining the corpus

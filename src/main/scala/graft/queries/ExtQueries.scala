@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Components, Dedup, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text}
+import graft.ext.{Cms, Components, Dedup, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -934,6 +934,126 @@ object ExtQueries {
         FROM emb_sql e CROSS JOIN q
         ORDER BY e.vec_id
       """)
+    }),
+
+    // Group-aware (leakage-free) train/holdout split — the remediation
+    // x38's audit calls for: hash the near-dup CLUSTER id, not the doc
+    // id, so every variant of a document lands in the same split and no
+    // near-dup pair can straddle the boundary (GroupSplitSpec asserts
+    // zero crossing pairs on this exact pipeline). Same corpus and LSH
+    // pipeline as x38, x23's components to get cluster ids, x21's
+    // md5-bucket membership applied to the cluster id. The split stays
+    // a pure function of the data — rerunning with more executors or a
+    // grown corpus keeps every old doc's assignment.
+    "x39_group_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+        .unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      val edges = Dedup.nearDupPairs(sh, "doc_id", "s",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      Components.connectedComponents(
+          corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+        .withColumn("split", Sampling.holdoutSplit(col("cluster_id"), 230))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heavy hitters under a count-min sketch (ext/Cms): the counter
+    // grid is a 4×256 hash aggregate — map-side combined, constant
+    // size at ANY corpus scale — and the top-20 trigrams probe it with
+    // a broadcast join. cms_est >= exact_df always (collisions only
+    // add); the overest column is the sketch's documented error, and
+    // the oracle recomputes the identical md5-bucketed grid. Trigrams
+    // rather than tokens: the corpus vocabulary is too small to
+    // exercise collisions (TESTDATA note). The exact top-20 ranking
+    // here is the presentation baseline; unbounded-cardinality
+    // deployments swap in the x17 bounded top-k Aggregator.
+    "x40_heavy_hitters" -> ((s, dir) => {
+      val occ = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(Text.wordShingles(col("t"))).as("gram"))
+      val exact = occ.groupBy(col("gram")).agg(count(lit(1)).as("exact_df"))
+      val grid = Cms.counterGrid(occ, "gram", depth = 4, width = 256)
+      val w = Window.orderBy(col("exact_df").desc, col("gram"))
+      val top = exact.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+      Cms.estimate(top, "gram", grid, depth = 4, width = 256)
+        .select(col("rnk"), col("gram"), col("exact_df"), col("cms_est"),
+          (col("cms_est") - col("exact_df")).as("overest"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Z-order layout clustering (ext/ZOrder): measure how much a
+    // Morton-interleaved sort key improves file-level pruning over a
+    // single-column sort. 64 equal buckets model the table's files;
+    // the probe is a date-slab box (all customers, 1/8 of the date
+    // range) — the worst case for a custkey-sorted layout, which must
+    // scan EVERY file because each spans the full date range, while
+    // the z-sorted layout confines the slab to the files whose
+    // rectangle intersects it. All integer bit arithmetic, so the
+    // oracle reproduces the layout exactly. (The global ntile here is
+    // the metric harness; writing the layout at scale is
+    // `repartitionByRange(z)` + sortWithinPartitions, no global
+    // window.)
+    "x41_zorder_layout" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).as("od"))
+      val bounds = o.agg(
+        min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+        min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+      val n = o.crossJoin(broadcast(bounds))
+        .withColumn("nx",
+          ZOrder.normalize255(col("o_custkey"), col("cmin"), col("cmax")))
+        .withColumn("ny", ZOrder.normalize255(col("od"), col("dmin"), col("dmax")))
+        .withColumn("z", ZOrder.interleave8(col("nx"), col("ny")))
+      def scanCost(stats: DataFrame, layout: String) = stats
+        .withColumn("hit", col("y_max") >= 32L && col("y_min") <= 63L)
+        .groupBy()
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_buckets_scanned"),
+          sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          col("n_buckets_scanned"), col("rows_scanned"))
+      scanCost(ZOrder.bucketStats(n, 64, "nx", "ny",
+          col("nx"), col("o_orderkey")), "custkey_sorted")
+        .unionByName(scanCost(ZOrder.bucketStats(n, 64, "nx", "ny",
+          col("z"), col("o_orderkey")), "zorder"))
+        .orderBy(col("layout"))
+    }),
+
+    // Incremental LSH index maintenance (ext/Dedup.bandIndex +
+    // incrementalPairs): the new batch (truncated variants) probes the
+    // EXISTING corpus's persisted band index instead of recomputing it
+    // — the daily-ingest form of x02. The oracle is x02's full-corpus
+    // recompute VERBATIM: on an internally-dedup'd index the
+    // incremental path must find exactly the pairs the full pipeline
+    // finds, which is the strongest statement of its correctness.
+    "x42_incremental_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      def shingled(d: DataFrame) = spread(d)
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      val index = Dedup.bandIndex(
+        shingled(docs.select(col("doc_id"), col("text"))), "doc_id", "s")
+      Dedup.incrementalPairs(index, shingled(mutated), "doc_id", "s")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
   )
 
@@ -1900,5 +2020,199 @@ object ExtQueries {
         |FROM p
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    // x38's pair pipeline + x23's recursive closure, with x21's
+    // md5-bucket split applied to the CLUSTER id.
+    "x39_group_split" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (strpos('0123456789abcdef',
+        |              substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef',
+        |              substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) < 230
+        |       THEN 'train' ELSE 'holdout' END AS split
+        |FROM comp
+        |ORDER BY doc_id""".stripMargin,
+
+    // The md5-bucketed 4×256 counter grid recomputed relationally;
+    // min-of-4-cells per probed gram. All integers.
+    "x40_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |occ AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |exact AS (SELECT gram, count(*) AS exact_df FROM occ GROUP BY gram),
+        |grid AS (
+        |  SELECT r,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(gram || '#' || CAST(r AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(gram || '#' || CAST(r AS VARCHAR)), 2, 1)) - 1) AS bucket,
+        |    count(*) AS cnt
+        |  FROM occ, range(0, 4) rr(r)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT gram, exact_df,
+        |    CAST(row_number() OVER (ORDER BY exact_df DESC, gram) AS BIGINT) AS rnk
+        |  FROM exact
+        |  QUALIFY rnk <= 20),
+        |probe AS (
+        |  SELECT t.rnk, t.gram, t.exact_df, r,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(t.gram || '#' || CAST(r AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(t.gram || '#' || CAST(r AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM top t, range(0, 4) rr(r)),
+        |est AS (
+        |  SELECT p.rnk, p.gram, p.exact_df, min(g.cnt) AS cms_est
+        |  FROM probe p JOIN grid g ON g.r = p.r AND g.bucket = p.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT rnk, gram, exact_df, cms_est, cms_est - exact_df AS overest
+        |FROM est ORDER BY rnk""".stripMargin,
+
+    // The same integer normalize/interleave/ntile layout arithmetic;
+    // floor() (not CAST) before BIGINT because DuckDB's double→int
+    // cast rounds where Spark's truncates.
+    "x41_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS od
+        |  FROM orders),
+        |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |             min(od) AS dmin, max(od) AS dmax FROM o),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN cmax = cmin THEN 0
+        |         ELSE CAST(floor((o_custkey - cmin) * 255.0 / (cmax - cmin)) AS BIGINT)
+        |    END AS nx,
+        |    CASE WHEN dmax = dmin THEN 0
+        |         ELSE CAST(floor((od - dmin) * 255.0 / (dmax - dmin)) AS BIGINT)
+        |    END AS ny
+        |  FROM o, b),
+        |z AS (
+        |  SELECT o_orderkey, nx, ny,
+        |    CAST(list_sum([(((nx >> i) & 1) << (2*i + 1)) + (((ny >> i) & 1) << (2*i))
+        |                   for i in range(0, 8)]) AS BIGINT) AS zv
+        |  FROM n),
+        |linstats AS (
+        |  SELECT bucket, count(*) AS n_rows, min(ny) AS y_min, max(ny) AS y_max
+        |  FROM (SELECT ntile(64) OVER (ORDER BY nx, o_orderkey) AS bucket, ny FROM z)
+        |  GROUP BY bucket),
+        |zstats AS (
+        |  SELECT bucket, count(*) AS n_rows, min(ny) AS y_min, max(ny) AS y_max
+        |  FROM (SELECT ntile(64) OVER (ORDER BY zv, o_orderkey) AS bucket, ny FROM z)
+        |  GROUP BY bucket),
+        |res AS (
+        |  SELECT 'custkey_sorted' AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_buckets_scanned,
+        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN n_rows ELSE 0 END)
+        |         AS BIGINT) AS rows_scanned
+        |  FROM linstats
+        |  UNION ALL
+        |  SELECT 'zorder',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN 1 ELSE 0 END)
+        |         AS BIGINT),
+        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN n_rows ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM zstats)
+        |SELECT layout, n_buckets, n_buckets_scanned, rows_scanned
+        |FROM res ORDER BY layout""".stripMargin,
+
+    // x02's full-corpus recompute, restricted to pairs that TOUCH the
+    // new batch (doc_b >= 10000 — any pair with a batch member has its
+    // higher id there): the incremental probe must find exactly those.
+    // The 25 index-internal pairs the full recompute also surfaces are
+    // natural near-dups WITHIN the original corpus — already-resolved
+    // history an incremental pass rightly never re-derives.
+    "x42_incremental_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) AS jac
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.5 AND doc_b >= 10000
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -366,6 +366,26 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("stem"), col("target_table"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // §2g beyond the reference: slowly-changing-dimension (type 2)
+    // construction from a change log — each user's event stream becomes
+    // versioned validity intervals (valid_from, valid_to, is_current),
+    // the point-in-time dimension table a warehouse maintains next to
+    // its facts. ONE window keyed on the entity: lead() supplies the
+    // closing timestamp, so the table shuffles once on user_id — the
+    // classic "self-join to the next change" formulation costs a second
+    // shuffle and magnifies hot-entity skew.
+    "q26_scd2_versions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -638,5 +658,16 @@ object RelationalQueries {
         |  FROM orders)
         |WHERE stem = 'hourly-weather-data'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_scd2_versions" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
   )
 }
