@@ -67,11 +67,18 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision: rounds 1-5 all ended `"parsed": null` in
+    // the driver's BENCH_r*.json even after the raw-fd fix — the
+    // captured stdout TAIL starts mid-line (BENCH_r05 tail begins at
+    // q12), i.e. the full-double line (~3.5 KB for 70+ queries)
+    // overflows the driver's tail window and the opening `{` is cut.
+    // 3 decimals is all the signal a 0.1s-noise-floor bench has anyway.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(out), line + "\n")
     println(line)

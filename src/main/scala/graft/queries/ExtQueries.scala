@@ -1055,6 +1055,188 @@ object ExtQueries {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+    // Corpus mixture sampling — hit target per-language proportions
+    // (the data-mixing step before LLM training: 40% en, 20% de/fr,
+    // 10% es/zh of a 300-doc budget) with a DETERMINISTIC pick: docs
+    // rank within their language by md5 of the id, so the sample is
+    // reproducible across runs/engines and unbiased w.r.t. any data
+    // ordering (x30's capping argument). One window shuffle on lang;
+    // membership is a pure function of (lang, doc_id).
+    "x43_mixture_sample" -> ((s, dir) => {
+      val weights = Seq(
+        "en" -> 0.40, "de" -> 0.20, "fr" -> 0.20, "es" -> 0.10, "zh" -> 0.10)
+      val budget = 300L
+      val quota = weights.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+        when(col("lang") === l, lit(math.floor(budget * w).toLong)).otherwise(acc)
+      }
+      val wnd = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(wnd).cast("long"))
+        .withColumn("quota", quota)
+        .withColumn("selected", col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rn"), col("quota"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Interpolation-free Laplace BIGRAM LM scoring — x32's unigram
+    // quality filter upgraded one order: p(w2|w1) = (c12+1)/(c1+V),
+    // per-doc mean log-prob in integer micro-units (same quantization
+    // as x32, so the aggregate is order-independent cross-engine).
+    // Shuffles: one on the bigram string, one on the context word, one
+    // on doc_id; V is a broadcast scalar.
+    "x44_bigram_lm" -> ((s, dir) => {
+      val toksDf = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+      val vsize = toksDf.select(explode(col("t")).as("token"))
+        .agg(countDistinct(col("token")).as("v"))
+      val bg = toksDf.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-1)," +
+            " i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("b"))
+        .withColumn("w1", element_at(split(col("b"), " "), 1))
+      val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      bg.join(cb, "b").join(cw, "w1").crossJoin(broadcast(vsize))
+        .withColumn("lp_e6",
+          round(round(log((col("cb").cast("double") + lit(1.0)) /
+            (col("cw").cast("double") + col("v").cast("double"))), 6) * 1e6)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_e6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_e6").cast("double")
+            / (col("n_bigrams") * 1000000L).cast("double"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Snapshot diff — added/removed/changed/unchanged between two
+    // dataset versions (v2 derived deterministically: every 10th doc
+    // dropped, ids ≡1 edited, ids ≡2 re-added as new docs). The diff
+    // is ONE full-outer hash join on the key comparing content hashes,
+    // never texts — at 100 TB the md5 rides the shuffle at 32 bytes/row
+    // and the join output is the audit table a lakehouse version-diff
+    // (table-format snapshot compare) would produce.
+    "x45_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 1,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"),
+          col("source"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"), col("source")))
+      docs.select(col("doc_id"), col("text"), col("source")).as("a")
+        .join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          coalesce(col("a.source"), col("b.source")).as("source"),
+          when(col("b.doc_id").isNull, lit("removed"))
+            .when(col("a.doc_id").isNull, lit("added"))
+            .when(md5(col("a.text")) =!= md5(col("b.text")), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Data-quality expectations audit — the constraint screen a
+    // pipeline runs before promoting a batch: null/range/set/pattern/
+    // uniqueness checks computed in ONE pass (a single hash-free
+    // aggregate with map-side partials; every check is a conditional
+    // sum), then unpivoted to a check-per-row report. Checks that pass
+    // report 0 — the audit's value is the machinery, not planted dirt.
+    "x46_dq_expectations" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+      ev.agg(
+          count(lit(1)).as("n_rows"),
+          viol(col("value").isNull).as("null_value"),
+          viol(col("value") < 0).as("negative_value"),
+          viol(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"))
+            .as("unknown_event_type"),
+          viol(col("ts").isNull).as("null_ts"),
+          viol(col("ts") < lit("2024-01-01").cast("timestamp") ||
+            col("ts") >= lit("2026-01-01").cast("timestamp"))
+            .as("ts_out_of_range"),
+          (count(lit(1)) - countDistinct(col("event_id")))
+            .as("duplicate_event_id"),
+          viol(col("props").isNull || !col("props").like("{%"))
+            .as("malformed_props"))
+        .select(col("n_rows"), expr(
+          "stack(7," +
+            " 'duplicate_event_id', duplicate_event_id," +
+            " 'malformed_props', malformed_props," +
+            " 'negative_value', negative_value," +
+            " 'null_ts', null_ts," +
+            " 'null_value', null_value," +
+            " 'ts_out_of_range', ts_out_of_range," +
+            " 'unknown_event_type', unknown_event_type)" +
+            " as (check_name, n_violations)"))
+        .withColumn("violation_ppm",
+          floor((col("n_violations") * 1000000L).cast("double")
+            / col("n_rows").cast("double")).cast("long"))
+        .select(col("check_name"), col("n_rows"), col("n_violations"),
+          col("violation_ppm"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Trailing 7-day distinct actives per day — the rolling engagement
+    // metric. The stream first shrinks to distinct (user, day) pairs
+    // (≤ users × days, orders of magnitude under the event count), the
+    // day spine is a BOUNDED broadcast side (days, not rows), and the
+    // count-distinct shuffles on the day. Windowed count distinct
+    // can't be expressed as a frame (DISTINCT is not frame-able), so
+    // the spine join IS the scalable formulation.
+    "x47_rolling_active" -> ((s, dir) => {
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = pairs.select(col("d").as("day")).distinct()
+      pairs.join(broadcast(days),
+          col("d") >= date_sub(col("day"), 6) && col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"),
+          countDistinct(col("d")).as("days_covered"))
+        .orderBy(col("day"))
+    }),
+
+    // IQR outlier screen per group — exact q23-style rank percentiles
+    // give p25/p75, Tukey fences (±1.5·IQR) flag anomalies. The corpus
+    // plants deterministic anomalies (every 199th event's value ×25 —
+    // the x26 planted-PII pattern: the data has none naturally), so
+    // flagged counts are integer-exact cross-engine; the fences are
+    // identical doubles because both engines run the identical IEEE
+    // expression on identical inputs. Shuffle shapes: one window on
+    // the group, one broadcast join of a 5-row bounds table.
+    "x48_outlier_fences" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_type"), col("event_id"),
+        when(pmod(col("event_id"), lit(199)) === 0, col("value") * 25.0)
+          .otherwise(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      val wc = Window.partitionBy(col("event_type"))
+      def atP(p: Double) =
+        max(when(col("rn") === floor((col("n") - 1) * p) + 1, col("v")))
+      val bounds = base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy(col("event_type"))
+        .agg(atP(0.25).as("p25"), atP(0.75).as("p75"))
+        .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+        .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+        .select(col("event_type"), col("hi"), col("lo"))
+      base.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+          round(max(col("hi")), 2).as("hi_fence"),
+          round(max(col("lo")), 2).as("lo_fence"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2214,5 +2396,136 @@ object ExtQueries {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.5 AND doc_b >= 10000
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x43_mixture_sample" ->
+      """SELECT doc_id, lang, source, rn, quota, (rn <= quota) AS selected
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(CASE lang WHEN 'en' THEN 120 WHEN 'de' THEN 60
+        |                   WHEN 'fr' THEN 60 WHEN 'es' THEN 30
+        |                   WHEN 'zh' THEN 30 ELSE 0 END AS BIGINT) AS quota
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x44_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bgw AS (
+        |  SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1])) AS b
+        |    FROM tok WHERE len(t) >= 2)),
+        |cb AS (SELECT b, count(*) AS cb FROM bgw GROUP BY b),
+        |cw AS (SELECT w1, count(*) AS cw FROM bgw GROUP BY w1),
+        |v AS (SELECT count(DISTINCT token) AS v
+        |      FROM (SELECT unnest(t) AS token FROM tok)),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(round(ln((CAST(cb.cb AS DOUBLE) + 1.0)
+        |      / (CAST(cw.cw AS DOUBLE) + CAST(v.v AS DOUBLE))), 6) * 1e6)
+        |      AS BIGINT) AS lp_e6
+        |  FROM bgw g JOIN cb USING (b) JOIN cw USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp_e6) AS DOUBLE) / (count(*) * 1000000.0), 4)
+        |    AS avg_logp
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x45_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN text || ' rev2' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'fresh ' || text, source
+        |  FROM documents WHERE doc_id % 10 = 2)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  COALESCE(a.source, b.source) AS source,
+        |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x46_dq_expectations" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_value,
+        |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS negative_value,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |      ('click', 'view', 'purchase', 'signup', 'error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type,
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_ts,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |      OR ts >= TIMESTAMP '2026-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+        |    count(*) - count(DISTINCT event_id) AS duplicate_event_id,
+        |    CAST(sum(CASE WHEN props IS NULL OR props NOT LIKE '{%'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS malformed_props
+        |  FROM events),
+        |checks AS (
+        |  SELECT 'duplicate_event_id' AS check_name, n_rows,
+        |    duplicate_event_id AS n_violations FROM agg
+        |  UNION ALL SELECT 'malformed_props', n_rows, malformed_props FROM agg
+        |  UNION ALL SELECT 'negative_value', n_rows, negative_value FROM agg
+        |  UNION ALL SELECT 'null_ts', n_rows, null_ts FROM agg
+        |  UNION ALL SELECT 'null_value', n_rows, null_value FROM agg
+        |  UNION ALL SELECT 'ts_out_of_range', n_rows, ts_out_of_range FROM agg
+        |  UNION ALL SELECT 'unknown_event_type', n_rows, unknown_event_type
+        |    FROM agg)
+        |SELECT check_name, n_rows, n_violations,
+        |  CAST(floor(CAST(n_violations * 1000000 AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE)) AS BIGINT) AS violation_ppm
+        |FROM checks
+        |ORDER BY check_name""".stripMargin,
+
+    "x47_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM pairs)
+        |SELECT day, count(DISTINCT user_id) AS active_users_7d,
+        |  count(DISTINCT d) AS days_covered
+        |FROM pairs JOIN days ON d >= day - 6 AND d <= day
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "x48_outlier_fences" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 199 = 0 THEN value * 25.0 ELSE value END AS v
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM base),
+        |pct AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+        |        THEN v END) AS p25,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+        |        THEN v END) AS p75
+        |  FROM ranked GROUP BY event_type),
+        |bounds AS (
+        |  SELECT event_type, p75 + (p75 - p25) * 1.5 AS hi,
+        |    p25 - (p75 - p25) * 1.5 AS lo
+        |  FROM pct)
+        |SELECT b.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  round(max(hi), 2) AS hi_fence, round(max(lo), 2) AS lo_fence
+        |FROM base b JOIN bounds USING (event_type)
+        |GROUP BY b.event_type
+        |ORDER BY b.event_type""".stripMargin,
   )
 }

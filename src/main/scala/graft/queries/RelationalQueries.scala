@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, Bucketed, Cdc}
 
 /** Generic relational capability surface (SURVEY.md §2d "not present"
   * list, §2e joins, §2f windows/sorts/limits/set-ops) demonstrated over
@@ -386,6 +386,98 @@ object RelationalQueries {
           col("ts").as("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("user_id"), col("version"))
     }),
+
+    // CDC apply (ops/Cdc): collapse a change log into current state —
+    // the general row-level form of the reference's one-day upsert
+    // (update sql:2-36). The log is derived deterministically from
+    // lineitem (linenumber = change sequence; every 11th (key+seq) is a
+    // delete). ONE window shuffle on the key; see Cdc.applyLatest for
+    // why the join/groupBy formulations lose at scale.
+    "q27_cdc_apply" -> ((s, dir) => {
+      val log = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(11)) === 0, lit("D"))
+          .when(col("l_linenumber") === 1, lit("I"))
+          .otherwise(lit("U")).as("op"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // the price tiebreak makes the change order total (Cdc contract)
+      Cdc.applyLatest(log, "l_orderkey",
+          Seq(col("l_linenumber"), col("l_extendedprice")), "op")
+        .select(col("l_orderkey"), col("op").as("last_op"),
+          round(col("l_extendedprice"), 2).as("last_price"), col("n_changes"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Co-located bucketed join (ops/Bucketed): both fact tables are
+    // materialized once with bucketBy(8, key).sortBy(key), so the
+    // repeated fact-fact join plans with NO exchange and NO sort on
+    // either side (BucketedJoinSpec asserts the plan). The oracle joins
+    // the raw tables — results must be layout-invariant.
+    "q28_bucketed_join" -> ((s, dir) => {
+      val li = Bucketed.table(s,
+        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 8),
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey")
+      val ord = Bucketed.table(s,
+        Bucketed.nameFor(dir, "orders", "o_orderkey", 8),
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey")
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Funnel analysis over the event stream: per user, the first view,
+    // the first click AFTER that view, the first purchase AFTER that
+    // click — the ordered-step conversion measurement every product
+    // analytics stack runs. Three aggregates + two joins, ALL keyed on
+    // user_id: after the first shuffle every stage is co-partitioned,
+    // so no new shuffle shape appears and a hot user stays one
+    // partition's problem (bounded: a user's events, not the table).
+    "q29_funnel_stages" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def stage(typ: String) = ev
+        .filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") > col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      v.join(c.select(col("user_id"), col("first_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("first_purchase")), Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view"), col("first_click"),
+          col("first_purchase"),
+          (lit(1L) + when(col("first_click").isNotNull, 1L).otherwise(0L)
+            + when(col("first_purchase").isNotNull, 1L).otherwise(0L))
+            .as("stage_reached"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gaps-and-islands: per user, streaks of consecutive active days
+    // (distinct activity dates grouped by the date-minus-row_number
+    // anchor). One window + one aggregate, both keyed on user_id; the
+    // distinct shrinks the stream to ≤ users × days rows first.
+    "q30_activity_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -669,5 +761,71 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q27_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN 'D'
+        |         WHEN l_linenumber = 1 THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_linenumber DESC,
+        |                                l_extendedprice DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_changes
+        |  FROM log)
+        |SELECT l_orderkey, op AS last_op,
+        |  round(l_extendedprice, 2) AS last_price, n_changes
+        |FROM ranked
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q28_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  CAST(1 + (CASE WHEN c.first_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS stage_reached
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q30_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |islands AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |             AS INTEGER) AS anchor
+        |  FROM d),
+        |streaks AS (
+        |  SELECT user_id, anchor, count(*) AS len
+        |  FROM islands GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |  count(*) AS n_streaks, max(len) AS longest_streak
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }
