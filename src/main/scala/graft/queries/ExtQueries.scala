@@ -1237,6 +1237,67 @@ object ExtQueries {
           round(max(col("lo")), 2).as("lo_fence"))
         .orderBy(col("event_type"))
     }),
+
+    // Chunk-granularity duplication audit — x01 dedups whole documents;
+    // training corpora also carry PARTIAL overlap (boilerplate,
+    // quoted passages), measured here at 20-token chunk grain (the
+    // CCNet/C4 paragraph-dedup analogue on a corpus with no paragraph
+    // marks). Corpus plants partial dups (x02's truncated copies), so
+    // originals and copies share all-but-the-last chunk. Shuffle keys:
+    // chunk md5 (occurrence count), then doc_id — chunks ride the
+    // shuffle as 32-byte hashes, never text.
+    "x49_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val chunks = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(floor((size(t)-1)/20) as int))," +
+            " i -> md5(array_join(slice(t, i*20+1, 20), ' ')))")).as("h"))
+      val occ = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      chunks.join(occ, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_ppm",
+          floor((col("n_dup_chunks") * 1000000L).cast("double")
+            / col("n_chunks").cast("double")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic binned-histogram quantiles — the SKETCH swap-in
+    // that q23's exact-rank percentiles point at for unbounded group
+    // cardinalities: fixed 0.5-wide bins (1000 over the value range)
+    // aggregate to a counts grid whose size is bins × groups no matter
+    // the row count, partial-aggregable map-side like any hash
+    // aggregate; the quantile is then the upper edge of the first bin
+    // whose cumulative count reaches ceil(p·n). All arithmetic is
+    // integer (counts) or exact multiples of 0.5 — no float wobble.
+    "x50_binned_quantiles" -> ((s, dir) => {
+      val hist = t(s, dir, "events")
+        .select(col("event_type"),
+          least(floor(col("value") / 0.5), lit(999L)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wall = Window.partitionBy(col("event_type"))
+      def pick(p: Double) =
+        (min(when(col("cum") >= ceil(col("n") * p), col("bin"))) + 1) * 0.5
+      hist
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(wall))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          pick(0.5).as("p50_ub"), pick(0.9).as("p90_ub"),
+          pick(0.99).as("p99_ub"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2527,5 +2588,57 @@ object ExtQueries {
         |FROM base b JOIN bounds USING (event_type)
         |GROUP BY b.event_type
         |ORDER BY b.event_type""".stripMargin,
+
+    "x49_chunk_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(0, CAST(floor((len(t) - 1) / 20) AS INT)),
+        |      i -> md5(array_to_string(t[i*20+1 : i*20+20], ' ')))) AS h
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM corpus)),
+        |occ AS (
+        |  SELECT h, count(DISTINCT doc_id) AS docs_with FROM chunks GROUP BY h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(floor(
+        |    CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) * 1000000
+        |         AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+        |FROM chunks JOIN occ USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x50_binned_quantiles" ->
+      """WITH hist AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 0.5), 999) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, bin),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |         AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT event_type, max(n) AS n_events,
+        |  (min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) + 1) * 0.5
+        |    AS p50_ub,
+        |  (min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) + 1) * 0.5
+        |    AS p90_ub,
+        |  (min(CASE WHEN cum >= ceil(n * 0.99) THEN bin END) + 1) * 0.5
+        |    AS p99_ub
+        |FROM cum
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -478,6 +478,26 @@ object RelationalQueries {
           max(col("len")).as("longest_streak"))
         .orderBy(col("user_id"))
     }),
+
+    // Event-time RANGE frame (q08 is its ROWS counterpart): per user,
+    // the count and sum of events in the trailing hour of EVENT TIME —
+    // frame membership follows the timestamp spacing, not row
+    // positions, which is the correct trailing-window semantic for
+    // irregular streams. Money rides as integer cents so the frame sum
+    // is order-independent cross-engine. One window shuffle on
+    // user_id; frame evaluation is a per-partition sliding pointer.
+    "q31_trailing_hour" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3599999999L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("es"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("trailing_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("trailing_n"),
+          col("trailing_cents"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -827,5 +847,17 @@ object RelationalQueries {
         |  count(*) AS n_streaks, max(len) AS longest_streak
         |FROM streaks GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q31_trailing_hour" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS trailing_n,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents
+        |FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS es,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Cms
+
+/** Streaming heavy-hitter sketching — the count-min grid (ext/Cms)
+  * maintained per event-time window. "What are the hot tokens/URLs/
+  * users this hour" over an unbounded stream is the frequency
+  * counterpart of StreamKmv's distinct-count: exact per-item counts
+  * grow state with the item cardinality of every open window, while
+  * the CMS state is ≤ depth·width counter cells per window REGARDLESS
+  * of how many distinct items flow through. Counters are plain
+  * streaming-aggregate state (integers add — merge across micro-
+  * batches is the aggregation itself), and the watermark expires
+  * closed windows, so total store size is depth·width · open-windows.
+  *
+  * Same determinism story as the batch grid: buckets are md5-derived,
+  * counters integer — a replayed stream produces the identical grid,
+  * and a batch recompute of a closed window (Cms.counterGrid over the
+  * same rows) matches it cell for cell (StreamCmsSpec).
+  */
+object StreamCms {
+
+  /** Per event-time window: the CMS counter grid of `itemCol`
+    * occurrences, one output row per non-empty (window, row, bucket)
+    * cell. Append mode: a window's cells emit once its watermark
+    * passes.
+    */
+  def windowedGrid(
+      df: DataFrame, tsCol: String, itemCol: String,
+      windowLength: String, watermark: String,
+      depth: Int, width: Int): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(itemCol).as("item"))
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(window(col(tsCol), windowLength), col("row"),
+        Cms.bucket(col("item"), col("row"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("row"), col("bucket"), col("cnt"))
+
+  /** Batch-side probe of emitted window grids: the CMS estimate of
+    * each candidate item in each window (0 for cells the window never
+    * touched). Candidates are a BOUNDED set — they are crossed with
+    * the window list and broadcast against the grid.
+    */
+  def probe(
+      grid: DataFrame, candidates: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    // the window list is derived FROM the grid — RENAME its column so
+    // the self-join carries no shared attribute (an alias alone keeps
+    // the ambiguous ids)
+    val cells = candidates
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", Cms.bucket(col(itemCol), col("row"), width))
+      .crossJoin(
+        grid.select(col("window_start").as("probe_window")).distinct())
+    cells
+      .join(grid,
+        cells("probe_window") === grid("window_start") &&
+          cells("row") === grid("row") &&
+          cells("bucket") === grid("bucket"),
+        "left")
+      .groupBy(col("probe_window").as("window_start") +:
+        candidates.columns.map(col): _*)
+      .agg(min(coalesce(grid("cnt"), lit(0L))).as("cms_est"))
+  }
+}
