@@ -95,6 +95,54 @@ class RoundSixSpec extends AnyFunSuite {
     assert(out.map(_._3).sum > 0, s"no anomalies flagged: ${out.toSeq}")
   }
 
+  test("CDC latest state agrees with the SCD2 current version") {
+    // two views of the same change log (events keyed by user): q26's
+    // is_current row and Cdc's survivor must name the same last change
+    val scd2 = SparkEntry.queries("q26_scd2_versions")(spark, dir)
+      .filter($"is_current")
+      .select($"user_id", $"event_type".as("scd_type"))
+    val ev = Tables(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", lit("U").as("op"))
+    val cdc = Cdc.applyLatest(ev, "user_id", Seq(col("ts"), col("event_id")), "op")
+      .select($"user_id", $"event_type".as("cdc_type"))
+    val disagree = scd2.join(cdc, "user_id")
+      .filter($"scd_type" =!= $"cdc_type").count()
+    assert(disagree == 0L)
+    assert(scd2.count() == cdc.count())
+  }
+
+  test("x50: the binned quantile brackets the exact rank percentile") {
+    // same rank definition (ceil(n*p) == floor((n-1)*p)+1 for p=0.5),
+    // so the exact p50 must fall inside the sketch's reported bin
+    val sketch = SparkEntry.queries("x50_binned_quantiles")(spark, dir)
+      .select($"event_type", $"p50_ub").as[(String, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    val exact = Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter($"rn" === floor(($"n" - 1) * 0.5) + 1)
+      .select($"event_type", $"value").as[(String, Double)].collect().toMap
+    exact.foreach { case (typ, v) =>
+      val ub = sketch(typ)
+      assert(v < ub && v >= ub - 0.5,
+        s"$typ: exact p50 $v outside sketch bin ($ub - 0.5, $ub]")
+    }
+  }
+
+  test("x43: per-language selections are min(quota, available)") {
+    val out = SparkEntry.queries("x43_mixture_sample")(spark, dir)
+    val got = out.filter($"selected").groupBy($"lang")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val avail = out.groupBy($"lang").agg(count(lit(1)).as("n"), max($"quota"))
+      .as[(String, Long, Long)].collect()
+    avail.foreach { case (lang, n, quota) =>
+      assert(got.getOrElse(lang, 0L) == math.min(n, quota),
+        s"$lang: selected ${got.get(lang)} != min($n, $quota)")
+    }
+  }
+
   test("q30: streak arithmetic on a known activity pattern") {
     val ev = Seq(
       (7L, Date.valueOf("2024-01-01")), (7L, Date.valueOf("2024-01-02")),
