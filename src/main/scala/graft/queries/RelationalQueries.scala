@@ -435,9 +435,15 @@ object RelationalQueries {
     // the first click AFTER that view, the first purchase AFTER that
     // click — the ordered-step conversion measurement every product
     // analytics stack runs. Three aggregates + two joins, ALL keyed on
-    // user_id: after the first shuffle every stage is co-partitioned,
-    // so no new shuffle shape appears and a hot user stays one
-    // partition's problem (bounded: a user's events, not the table).
+    // user_id. This shape deliberately trades 3 scans for TINY
+    // exchanges: each stage's partial aggregation collapses to ~users
+    // rows per partition before its shuffle, so the network cost is
+    // O(users), not O(events). The tempting single-shuffle alternative
+    // (three chained whole-partition window minima) moves EVERY event
+    // row through one full-table exchange and measured 2.5× slower at
+    // sf0.1 (1.18s vs 0.46s) — scans are cheap columnar reads; shuffles
+    // are the scarce resource. A hot user stays one partition's
+    // bounded problem either way.
     "q29_funnel_stages" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       def stage(typ: String) = ev

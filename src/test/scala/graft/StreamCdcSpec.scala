@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cdc
+import graft.streaming.StreamCdc
+import graft.streaming.StreamCdc.Change
+
+/** Streaming CDC state: the live view converges to the batch collapse
+  * of the same log regardless of how the changes were micro-batched,
+  * and deleted keys surface as tombstones.
+  */
+class StreamCdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val batch1 = Seq(
+    Change(1L, 1L, "I", 10.0), Change(2L, 1L, "I", 20.0),
+    Change(1L, 2L, "U", 11.0))
+  private val batch2 = Seq(
+    Change(2L, 2L, "D", 0.0),   // delete key 2
+    Change(3L, 1L, "I", 30.0),
+    Change(1L, 3L, "U", 12.0))
+
+  test("streamed state equals the batch applyLatest on the same log") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = StreamCdc.latestState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_state")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // the memory sink in update mode appends every re-emission; the
+      // key's CURRENT row is its latest emission = max n_changes
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"key").orderBy($"n_changes".desc)
+      val streamed = spark.table("cdc_state")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .filter($"op" =!= "D")
+        .select($"key", $"seq", $"op", $"payload", $"n_changes")
+        .as[(Long, Long, String, Double, Long)].collect().toSet
+
+      val batch = Cdc.applyLatest(
+        (batch1 ++ batch2).toDS().toDF(), "key", Seq(col("seq")), "op")
+        .select($"key", $"seq", $"op", $"payload", $"n_changes")
+        .as[(Long, Long, String, Double, Long)].collect().toSet
+
+      assert(streamed == batch,
+        s"stream state $streamed != batch collapse $batch")
+    } finally q.stop()
+  }
+
+  test("a deleted key emits a tombstone with its change count") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = StreamCdc.latestState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_tomb")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val tomb = spark.table("cdc_tomb")
+        .filter($"key" === 2L && $"op" === "D")
+        .select($"seq", $"n_changes").as[(Long, Long)].collect()
+      assert(tomb.toSeq == Seq((2L, 2L)))
+    } finally q.stop()
+  }
+}
