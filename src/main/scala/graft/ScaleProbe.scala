@@ -71,6 +71,34 @@ object ScaleProbe {
       edges.unpersist()
     }
 
+    // Chunk-granularity dedup (the x49 shape) at growing corpus sizes:
+    // chunk hashing is a narrow map, occurrence counting one hash
+    // aggregate on the chunk md5, the audit join keyed on it — time
+    // should track corpus size, never corpus².
+    ks.foreach { k =>
+      val corpus = (0 until k).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          when(lit(c) === 0, col("text")).otherwise(
+            array_join(concat(
+              slice(Text.tokens(col("text")), c + 1, 100000),
+              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val chunks = corpus.withColumn("t", Text.tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(floor((size(t)-1)/20) as int))," +
+            " i -> md5(array_join(slice(t, i*20+1, 20), ' ')))")).as("h"))
+      val t0 = System.nanoTime()
+      val occ = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val dupDocs = chunks.join(occ, "h")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("dups"))
+        .filter(col("dups") > 0).count()
+      println(f"SCALE-CHUNK k=$k docs=${k * n0}%7d dup_docs=$dupDocs%7d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+
     // Embedding path: sign-LSH near-dup (the x10 shape) at growing
     // corpus sizes. Each copy c scales the vectors by (1 + c/1000) —
     // same direction, so cross-copy pairs all collide in their sign

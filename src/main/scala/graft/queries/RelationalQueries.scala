@@ -504,6 +504,46 @@ object RelationalQueries {
           col("trailing_cents"))
         .orderBy(col("event_id"))
     }),
+
+    // §2d grouping sets, CUBE form (q11 is ROLLUP): every subset of the
+    // grouping keys in one pass — Catalyst's Expand feeds a single hash
+    // aggregate, so the cost is (#grouping sets)× the input rows through
+    // ONE shuffle, not one job per breakdown. grouping_id() separates
+    // "NULL because aggregated away" from a genuine NULL key.
+    "q32_cube_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumExact(col("l_quantity"), 2).as("qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Time-series gap fill + LOCF: the daily-per-group series is joined
+    // against the full (group × day) spine so missing days materialize,
+    // zero-filled for additive measures and last-observation-carried-
+    // forward for level measures. Gaps are planted deterministically
+    // ((day-of-month + type length) % 7 drops that day's rows). The
+    // spine is a broadcast cross of two BOUNDED distincts (groups ×
+    // days); the LOCF window shuffles once on the group.
+    "q33_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val daily = ev
+        .filter(pmod(dayofmonth(col("day")) + length(col("event_type")), lit(7)) =!= 0)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("day_cents"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(ev.select(col("day")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          col("day_cents").isNotNull.as("has_data"),
+          coalesce(col("day_cents"), lit(0L)).as("filled_cents"),
+          last(col("day_cents"), ignoreNulls = true).over(w).as("locf_cents"))
+        .orderBy(col("event_type"), col("day"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -865,5 +905,37 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q32_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |    AS qty,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q33_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS day_cents
+        |  FROM ev
+        |  WHERE (dayofmonth(day) + length(event_type)) % 7 <> 0
+        |  GROUP BY event_type, day),
+        |spine AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT DISTINCT day FROM ev) d)
+        |SELECT s.event_type, s.day,
+        |  (day_cents IS NOT NULL) AS has_data,
+        |  COALESCE(day_cents, 0) AS filled_cents,
+        |  last_value(day_cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+        |FROM spine s LEFT JOIN daily USING (event_type, day)
+        |ORDER BY s.event_type, s.day""".stripMargin,
   )
 }
