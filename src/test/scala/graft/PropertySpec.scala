@@ -180,4 +180,32 @@ class PropertySpec extends AnyFunSuite {
       agg.finish(merged) == expected
     }, cases = 30)
   }
+
+  test("property: CDC apply equals a reference fold for any change log") {
+    // random (key, seq, op) logs with unique (key, seq): the engine's
+    // window collapse must equal the obvious in-memory reference —
+    // latest change per key, dropped when it is a delete, n_changes =
+    // log rows for the key
+    import graft.ops.Cdc
+    val genLog = Gen.nonEmptyListOf(for {
+      key <- Gen.choose(1L, 6L)
+      seq <- Gen.choose(1L, 30L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (key, seq, op)).map(_.take(25))
+    check("cdc-reference", Prop.forAll(genLog) { log0 =>
+      import spark.implicits._
+      // dedupe (key, seq) so the ordering is total, as the contract requires
+      val log = log0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val expected = log.groupBy(_._1).flatMap { case (k, changes) =>
+        val latest = changes.maxBy(_._2)
+        if (latest._3 == "D") None
+        else Some((k, latest._2, latest._3, changes.size.toLong))
+      }.toSet
+      val got = Cdc.applyLatest(
+        log.toDF("k", "seq", "op"), "k", Seq(col("seq")), "op")
+        .select($"k", $"seq", $"op", $"n_changes")
+        .as[(Long, Long, String, Long)].collect().toSet
+      got == expected
+    }, cases = 20)
+  }
 }
