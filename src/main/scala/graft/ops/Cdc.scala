@@ -27,7 +27,10 @@ object Cdc {
     * @param ordering columns fixing the change order within a key,
     *                 later = newer; must be a total order (pass a
     *                 tiebreak, e.g. the change id) or the survivor is
-    *                 nondeterministic
+    *                 nondeterministic. Null ordering values sort LAST
+    *                 under the descending pick (Spark desc = nulls
+    *                 last), i.e. a null-sequenced change never wins
+    *                 over a sequenced one
     * @param opCol    operation column; rows whose LATEST op equals
     *                 `deleteOp` are dropped from the state
     * @return one row per live key: the latest change's columns plus

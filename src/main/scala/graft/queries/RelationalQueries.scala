@@ -544,6 +544,38 @@ object RelationalQueries {
           last(col("day_cents"), ignoreNulls = true).over(w).as("locf_cents"))
         .orderBy(col("event_type"), col("day"))
     }),
+
+    // Statistical profiling: Pearson correlation per group from EXACT
+    // integer moment sums. The built-in corr() aggregates doubles whose
+    // summation order differs across engines/partitionings; here every
+    // moment (Σx, Σy, Σxy, Σx², Σy²) accumulates exactly — longs where
+    // they fit, DECIMAL(38,0) for Σy² (≈7e19 at sf0.1 overflows a
+    // long; DuckDB's HUGEINT sums match it bit-exactly) — and only the
+    // final closed form runs in (identically-ordered) double
+    // arithmetic. One hash aggregate, map-side combined; the moments
+    // also merge across shards by addition, so this is the
+    // distributed-safe correlation shape at any scale.
+    "q34_exact_corr" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def d(c: Column) = c.cast("double")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+        .select(col("l_returnflag"), col("n").as("n_items"),
+          round(
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+                (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+            6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -937,5 +969,33 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
         |FROM spine s LEFT JOIN daily USING (event_type, day)
         |ORDER BY s.event_type, s.day""".stripMargin,
+
+    "q34_exact_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM m GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_items,
+        |  round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |    6) AS corr_qty_price
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -27,6 +27,10 @@ object StreamDq {
       windowLength: String, watermark: String,
       checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    // names are spliced into a stack() expression as quoted literals
+    // and backticked identifiers — restrict to identifier-safe names
+    require(checks.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "check names must match [A-Za-z0-9_]+")
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(name)
     }
