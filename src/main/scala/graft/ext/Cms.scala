@@ -66,7 +66,7 @@ object Cms {
       .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("bucket", bucket(col(itemCol), col("row"), width))
       .join(broadcast(grid), Seq("row", "bucket"), "left")
-      .groupBy(candidates.columns.map(col): _*)
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       // a missing cell means zero occurrences hashed there → estimate 0
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -65,7 +65,7 @@ object StreamCms {
           cells("bucket") === grid("bucket"),
         "left")
       .groupBy(col("probe_window").as("window_start") +:
-        candidates.columns.map(col): _*)
+        candidates.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(grid("cnt"), lit(0L))).as("cms_est"))
   }
 }
