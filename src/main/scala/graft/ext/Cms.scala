@@ -61,12 +61,18 @@ object Cms {
     */
   def estimate(
       candidates: DataFrame, itemCol: String, grid: DataFrame,
-      depth: Int, width: Int): DataFrame =
+      depth: Int, width: Int): DataFrame = {
+    // internal prefix: a candidate frame carrying its own row/bucket/
+    // cnt columns must not collide with the probe's join keys
+    val g = grid.select(col("row").as("__cms_row"),
+      col("bucket").as("__cms_bucket"), col("cnt").as("__cms_cnt"))
     candidates
-      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("bucket", bucket(col(itemCol), col("row"), width))
-      .join(broadcast(grid), Seq("row", "bucket"), "left")
+      .withColumn("__cms_row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_bucket",
+        bucket(col(itemCol), col("__cms_row"), width))
+      .join(broadcast(g), Seq("__cms_row", "__cms_bucket"), "left")
       .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       // a missing cell means zero occurrences hashed there → estimate 0
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
+  }
 }

@@ -158,9 +158,20 @@ object Dedup {
         jaccard(col("a.s"), col("b.s")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
-    cross.unionByName(
-        nearDupPairs(batch, idCol, shinglesCol, numHashes, bands, threshold))
+    // in-batch pairs come from self-joining the SAME band index the
+    // probe just built — re-running nearDupPairs(batch) would tokenize
+    // and hash the batch a second time for identical signatures (and
+    // the identical bk subtrees here dedup through ReuseExchange)
+    val inBatch = bk.as("a").hint("merge")
+      .join(bk.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.s"), col("b.s")).as("jaccard"))
       .distinct()
+      .filter(col("jaccard") >= threshold)
+    cross.unionByName(inBatch).distinct()
   }
 
   /** bandedPairs + exact-Jaccard confirmation in ONE pass: the shingle

@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions._
   * this is the difference between scanning ~1/k of the files for a
   * 1/k-selective filter on dimension 2 and scanning all of them.
   *
-  * Everything here is integer column arithmetic (shift/mask/add), fully
-  * codegen'd and reproducible cross-engine: normalization uses integer
-  * scaling against broadcast min/max bounds — no floats anywhere.
+  * The interleave itself is integer column arithmetic (shift/mask/add),
+  * fully codegen'd. Normalization scales against broadcast min/max
+  * bounds; note that Spark's `/` on longs is DOUBLE division followed
+  * by a truncating cast (see [[normalize255]]) — deterministic, but
+  * not the integer division it resembles, and the x41 oracle mirrors
+  * the same double-then-truncate sequence explicitly.
   */
 object ZOrder {
 
   /** Scale an integer column to [0, 255] given its (broadcastable)
-    * min/max bounds: `(v - min) * 255 div (max - min)`. Integer
-    * division — exact and engine-identical.
+    * min/max bounds: `(v - min) * 255 / (max - min)`, truncated. The
+    * `/` here is Spark's long division = IEEE DOUBLE division, and the
+    * trailing cast truncates toward zero — engine-identical only when
+    * the oracle repeats the same double-divide-then-truncate (x41's
+    * SQL does; a true integer division can differ by one at quotients
+    * that double-rounding carries across an integer boundary).
     */
   def normalize255(v: Column, min: Column, max: Column): Column =
     when(max === min, lit(0L))

@@ -16,8 +16,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * way precisely so the day's join workload never re-shuffles them.
   *
   * Bucket counts must match across join sides (8 here); sortBy keeps
-  * merge-join sides pre-sorted. `BucketedJoinSpec` asserts the plan:
-  * zero ShuffleExchange, zero Sort above the scans.
+  * merge-join sides pre-sorted. RoundSixSpec's "q28: bucketed layout"
+  * test and BucketingSpec assert the plan: no exchange under the join.
   */
 object Bucketed {
 
@@ -48,7 +48,12 @@ object Bucketed {
     spark.table(name)
   }
 
-  /** A catalog-safe table name for `table` under `sfDir`. */
+  /** A catalog-safe table name for `table` under `sfDir` — the bucket
+    * KEY is part of the name, so layouts of the same table bucketed on
+    * different keys never collide in the catalog (a collision would
+    * silently reuse the wrong layout).
+    */
   def nameFor(sfDir: String, table: String, key: String, buckets: Int): String =
-    (table + "_b" + buckets + "_" + sfDir).replaceAll("[^a-zA-Z0-9]", "_")
+    (table + "_" + key + "_b" + buckets + "_" + sfDir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
 }

@@ -32,7 +32,10 @@ object Cdc {
     *                 last), i.e. a null-sequenced change never wins
     *                 over a sequenced one
     * @param opCol    operation column; rows whose LATEST op equals
-    *                 `deleteOp` are dropped from the state
+    *                 `deleteOp` are dropped from the state. The
+    *                 comparison is null-safe: a malformed change with a
+    *                 NULL op is kept (surfaced to the consumer), never
+    *                 silently treated as a tombstone
     * @return one row per live key: the latest change's columns plus
     *         `n_changes` (how many log rows the key had)
     */
@@ -44,7 +47,7 @@ object Cdc {
     changes
       .withColumn("__rn", row_number().over(w))
       .withColumn("n_changes", count(lit(1)).over(byKey).cast("long"))
-      .filter(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
+      .filter(col("__rn") === 1 && !(col(opCol) <=> lit(deleteOp)))
       .drop("__rn")
   }
 }

@@ -38,8 +38,11 @@ object StreamCdc {
           var s = state.getOption.getOrElse(
             CdcState(Long.MinValue, "", 0.0, 0L))
           it.foreach { c =>
+            // n == 0 marks the empty state — no sentinel comparison, so
+            // a change carrying seq == Long.MinValue still applies
             s =
-              if (c.seq > s.seq) CdcState(c.seq, c.op, c.payload, s.n + 1)
+              if (s.n == 0L || c.seq > s.seq)
+                CdcState(c.seq, c.op, c.payload, s.n + 1)
               else s.copy(n = s.n + 1)
           }
           state.update(s)

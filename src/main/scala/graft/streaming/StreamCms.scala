@@ -50,22 +50,27 @@ object StreamCms {
   def probe(
       grid: DataFrame, candidates: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame = {
-    // the window list is derived FROM the grid — RENAME its column so
-    // the self-join carries no shared attribute (an alias alone keeps
-    // the ambiguous ids)
+    // the window list and the grid share lineage — RENAME every column
+    // on both derivations (an alias alone keeps ambiguous attribute
+    // ids), with an internal prefix so candidate frames carrying their
+    // own row/bucket/cnt columns can't collide either
+    val g = grid.select(col("window_start").as("__cms_gws"),
+      col("row").as("__cms_grow"), col("bucket").as("__cms_gbucket"),
+      col("cnt").as("__cms_cnt"))
     val cells = candidates
-      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("bucket", Cms.bucket(col(itemCol), col("row"), width))
+      .withColumn("__cms_row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_bucket",
+        Cms.bucket(col(itemCol), col("__cms_row"), width))
       .crossJoin(
         grid.select(col("window_start").as("probe_window")).distinct())
     cells
-      .join(grid,
-        cells("probe_window") === grid("window_start") &&
-          cells("row") === grid("row") &&
-          cells("bucket") === grid("bucket"),
+      .join(g,
+        col("probe_window") === col("__cms_gws") &&
+          col("__cms_row") === col("__cms_grow") &&
+          col("__cms_bucket") === col("__cms_gbucket"),
         "left")
       .groupBy(col("probe_window").as("window_start") +:
         candidates.columns.toIndexedSeq.map(col): _*)
-      .agg(min(coalesce(grid("cnt"), lit(0L))).as("cms_est"))
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
   }
 }

@@ -29,8 +29,13 @@ object StreamDq {
     require(checks.nonEmpty, "need at least one check")
     // names are spliced into a stack() expression as quoted literals
     // and backticked identifiers — restrict to identifier-safe names
+    // that don't collide with the columns this function itself emits
     require(checks.forall(_._1.matches("[A-Za-z0-9_]+")),
       "check names must match [A-Za-z0-9_]+")
+    val reserved = Set("n_rows", "window", "window_start",
+      "check_name", "n_violations")
+    require(checks.forall(c => !reserved.contains(c._1)),
+      s"check names must avoid ${reserved.mkString(", ")}")
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(name)
     }
