@@ -1298,6 +1298,27 @@ object ExtQueries {
           pick(0.99).as("p99_ub"))
         .orderBy(col("event_type"))
     }),
+
+    // Temperature-scaled mixture weights — x43 takes FIXED proportions;
+    // the standard LLM-data recipe derives them from corpus counts,
+    // w_s ∝ n_s^α (α = 0.7): big sources are damped, small sources
+    // up-weighted, without hand-tuning. The α-power is quantized to
+    // integer micro-units (the x32/x20 pattern — pow is not correctly
+    // rounded cross-libm), so the weight total is an exact long and
+    // every quota is one exact integer division — budget×w_e6 div
+    // total. One tiny aggregate (sources, not docs) + a broadcast
+    // scalar; the doc-level pick then reuses x43's md5-ranked window.
+    "x51_temperature_mix" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_e6",
+          round(round(pow(col("n_docs").cast("double"), 0.7), 6) * 1e6)
+            .cast("long"))
+      scored.crossJoin(broadcast(scored.agg(sum(col("w_e6")).as("total_e6"))))
+        .select(col("source"), col("n_docs"), col("w_e6"),
+          expr("(3000 * w_e6) div total_e6").as("quota"))
+        .orderBy(col("source"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2640,5 +2661,16 @@ object ExtQueries {
         |FROM cum
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "x51_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(round(round(pow(CAST(count(*) AS DOUBLE), 0.7), 6) * 1e6)
+        |         AS BIGINT) AS w_e6
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS total_e6 FROM s)
+        |SELECT source, n_docs, w_e6, (3000 * w_e6) // total_e6 AS quota
+        |FROM s, t
+        |ORDER BY source""".stripMargin,
   )
 }
