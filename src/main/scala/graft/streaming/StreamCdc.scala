@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming CDC state view — ops/Cdc's latest-change-per-key collapse
@@ -48,5 +50,65 @@ object StreamCdc {
           state.update(s)
           Latest(key, s.seq, s.op, s.payload, s.n)
       }
+  }
+
+  /** foreachBatch writer: merge each micro-batch of [[latestState]]
+    * emissions into a durable hash-partitioned parquet table — the
+    * MERGE INTO a bare-directory layout can express. Keys hash into
+    * `buckets` partitions; a batch rewrites ONLY the partitions its
+    * keys touch (read touched → drop updated keys → union survivors,
+    * dynamic partition overwrite), so the write cost is O(touched
+    * buckets), not O(table). Tombstones (op == deleteOp) remove the
+    * key; a touched partition whose survivors all vanish is deleted
+    * explicitly (dynamic overwrite cannot emit an empty partition).
+    * The merge is idempotent — replaying a batch reproduces the same
+    * table state — which is what makes foreachBatch's at-least-once
+    * delivery exactly-once at the table level.
+    *
+    * Usage: `latestState(cs).writeStream.foreachBatch(
+    *   StreamCdc.mergeInto(path) _)...`
+    */
+  def mergeInto(path: String, buckets: Int = 8, deleteOp: String = "D")(
+      batch: Dataset[Latest], batchId: Long): Unit = {
+    val spark: SparkSession = batch.sparkSession
+    val upd = batch.toDF()
+      .withColumn("part", pmod(hash(col("key")), lit(buckets)))
+      // a key may re-emit across this batch's state updates; keep the
+      // latest emission (highest n_changes) per key
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("n_changes").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .cache()
+    try {
+      val touched = upd.select(col("part")).distinct()
+        .collect().map(_.getInt(0)) // bounded: ≤ buckets rows
+      if (touched.nonEmpty) {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current =
+          if (fs.exists(dir))
+            spark.read.parquet(path).filter(col("part").isin(touched: _*))
+          else upd.limit(0)
+        val merged = current
+          .join(upd.select(col("key")).distinct(), Seq("key"), "left_anti")
+          .unionByName(upd.filter(!(col("op") <=> lit(deleteOp))))
+          .cache()
+        try {
+          merged.write
+            .partitionBy("part")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+          // dynamic overwrite skipped any touched partition left with
+          // zero survivors — its stale files must go explicitly
+          val stillThere =
+            merged.select(col("part")).distinct().collect().map(_.getInt(0)).toSet
+          touched.filterNot(stillThere).foreach { p =>
+            fs.delete(new Path(dir, s"part=$p"), true)
+          }
+        } finally merged.unpersist()
+      }
+    } finally upd.unpersist()
   }
 }

@@ -55,6 +55,54 @@ class StreamCdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeInto materializes the live table, drops tombstoned keys, replays idempotently") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_merge").toString + "/t"
+    val input = MemoryStream[Change]
+    val q = StreamCdc.latestState(input.toDS())
+      .writeStream.foreachBatch(StreamCdc.mergeInto(dir, buckets = 4) _)
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def tableState() = spark.read.parquet(dir)
+      .select($"key", $"seq", $"op", $"payload", $"n_changes")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    val expected = Set((1L, 3L, "U", 12.0, 3L), (3L, 1L, "I", 30.0, 1L))
+    assert(tableState() == expected)
+
+    // at-least-once replay: re-applying the last batch's emissions
+    // must leave the table unchanged
+    import graft.streaming.StreamCdc.Latest
+    val replay = Seq(
+      Latest(2L, 2L, "D", 0.0, 2L), Latest(3L, 1L, "I", 30.0, 1L),
+      Latest(1L, 3L, "U", 12.0, 3L)).toDS()
+    StreamCdc.mergeInto(dir, buckets = 4)(replay, 99L)
+    assert(tableState() == expected)
+  }
+
+  test("a partition emptied by tombstones is removed from disk") {
+    import graft.streaming.StreamCdc.Latest
+    val dir = java.nio.file.Files.createTempDirectory("cdc_empty").toString + "/t"
+    val init = (0L until 8L).map(k => Latest(k, 1L, "I", k.toDouble, 1L))
+    StreamCdc.mergeInto(dir, buckets = 2)(init.toDS(), 0L)
+    val byPart = spark.read.parquet(dir)
+      .select($"part".cast("int"), $"key").as[(Int, Long)].collect().groupBy(_._1)
+    assert(byPart.size == 2, s"8 hashed keys should span both buckets: $byPart")
+    val victim = byPart.keys.min
+    val tombs = byPart(victim).map(_._2).map(k => Latest(k, 2L, "D", 0.0, 2L))
+    StreamCdc.mergeInto(dir, buckets = 2)(tombs.toSeq.toDS(), 1L)
+    val left = spark.read.parquet(dir)
+      .select($"part".cast("int")).distinct().as[Int].collect().toSeq
+    assert(left == Seq(byPart.keys.max))
+    assert(!new java.io.File(dir + s"/part=$victim").exists,
+      "stale files of the emptied partition must be deleted")
+  }
+
   test("a deleted key emits a tombstone with its change count") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Change]
