@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *  - results are fully materialized via `queryExecution.toRdd` instead
   *    of `count()` — `count()` lets Catalyst prune every projection, so
   *    projection-heavy queries were under-measured;
-  *  - the JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
-  *    default `BENCH.json` in the working dir) because sbt prefixes
-  *    stdout with `[info]`, which broke the driver's parse in round 1.
+  *  - the full-name per-query JSON is written to a file
+  *    (`SPARK_GRAFT_BENCH_OUT`, default `target/bench.json`); stdout
+  *    gets a compact short-key line sized to fit the driver's 2000-char
+  *    tail window (see the emission comment in `main`).
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and
   * reports the MIN. Rounds 3/4 showed the same query swinging >10×
@@ -67,30 +68,62 @@ object Bench {
       }
       name -> times.min
     }
-    // Millisecond precision: rounds 1-5 all ended `"parsed": null` in
-    // the driver's BENCH_r*.json even after the raw-fd fix — the
-    // captured stdout TAIL starts mid-line (BENCH_r05 tail begins at
-    // q12), i.e. the full-double line (~3.5 KB for 70+ queries)
-    // overflows the driver's tail window and the opening `{` is cut.
-    // 3 decimals is all the signal a 0.1s-noise-floor bench has anyway.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Same-plan ratio guard (round-6 verdict): w06 is w01 expressed as
+    // SQL text — identical physical plan, so a w06/w01 ratio > 1.5 is
+    // bench-context interference (GC/heap from preceding queries), not
+    // a plan problem. Flag it loudly on stderr so a recurrence is
+    // visible in the round log instead of surfacing as a mystery
+    // regression two rounds later.
+    val byName = results.toMap
+    for (w01 <- byName.get("w01_daily_rollup_full");
+         w06 <- byName.get("w06_rollup_sql") if w06 > 1.5 * w01)
+      System.err.println(
+        f"[bench] RATIO GUARD: w06_rollup_sql ${w06}%.3fs > 1.5x " +
+        f"w01_daily_rollup_full ${w01}%.3fs (same plan; suspect GC/" +
+        "heap interference from preceding queries, see PLANS.md)")
+    // Full-name per-query JSON goes to a FILE the driver (or a human)
+    // can read whole — the stdout path is size-constrained, see below.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    val outPath = Paths.get(out)
+    if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
+    Files.writeString(outPath, fullLine + "\n")
+    // Stdout emission, sized for the driver's capture. Rounds 1-6 ALL
+    // ended `"parsed": null` because of two stacked constraints,
+    // measured from the BENCH_r06.json the driver wrote back:
+    //  1. sbt wraps System.out and prefixes every println with
+    //     "[info] ", so the line must go straight to file descriptor 1
+    //     (sbt intercepts the System.out reference, not the fd);
+    //  2. the driver keeps only the LAST 2000 chars of stdout, and
+    //     sbt's trailing "[success] Total time: ..." line (~75 chars)
+    //     sits inside that window — so the JSON line must fit in
+    //     ~1900 bytes or its opening `{` is truncated away. 91 full
+    //     query names at ~28 bytes/entry is ~2.6 KB: structurally too
+    //     big, no matter the precision.
+    // Therefore the stdout line keys each query by its unique id
+    // prefix (the token before the first '_': q01, w01, x01, ...) —
+    // ~12 bytes/entry, ~1.2 KB total — and the full-name map lives in
+    // the file written above. The prefixes are unique by construction
+    // (SparkEntry registration convention) and asserted here so a
+    // future collision fails loudly instead of silently merging keys.
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct)}")
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    Files.writeString(Paths.get(out), line + "\n")
-    println(line)
-    // Rounds 1 and 2 both ended with `"parsed": null` in the driver's
-    // BENCH_r*.json: sbt wraps System.out, prefixing every line with
-    // "[info] ", so no clean JSON line ever reaches the driver's stdout
-    // parse. Writing straight to file descriptor 1 bypasses sbt's
-    // logger (it only intercepts the System.out reference, not the fd),
-    // emitting one unprefixed machine-parseable line.
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$out"}"""
+    // Stop Spark BEFORE the raw write so any shutdown chatter cannot
+    // land after the JSON line and push it out of the tail window.
+    spark.stop()
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((line + "\n").getBytes("UTF-8"))
     raw.flush()
-    spark.stop()
   }
 }

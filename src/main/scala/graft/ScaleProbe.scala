@@ -71,6 +71,60 @@ object ScaleProbe {
       edges.unpersist()
     }
 
+    // Full-chain composition probe (round-6 verdict #7): x37/x39 don't
+    // just run LSH and components — they COMPOSE them with a
+    // per-cluster ranking window (x37) / cluster-hash split (x39).
+    // Time the composed chain end-to-end so a super-linear term
+    // introduced by the composition itself (say, a giant cluster whose
+    // ranking window degenerates to one partition as the corpus grows)
+    // would bend this curve even when each part's own curve stays flat.
+    ks.foreach { k =>
+      val corpus = (0 until k).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          when(lit(c) === 0, col("text")).otherwise(
+            array_join(concat(
+              slice(Text.tokens(col("text")), c + 1, 100000),
+              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+
+      def shingled = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+
+      // x37 shape: LSH pairs → components → survivor ranking window
+      val t0 = System.nanoTime()
+      val comp37 = Components.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id",
+        Dedup.nearDupPairs(shingled, "doc_id", "s",
+          numHashes = 12, bands = 4, threshold = 0.5), "id_a", "id_b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val survivors = comp37
+        .join(corpus.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).count()
+      val t37 = (System.nanoTime() - t0) / 1e9
+
+      // x39 shape: LSH pairs → components → group-aware hash split
+      val t1 = System.nanoTime()
+      val comp39 = Components.connectedComponents(
+        corpus.select(col("doc_id")), "doc_id",
+        Dedup.nearDupPairs(shingled, "doc_id", "s",
+          numHashes = 12, bands = 4, threshold = 0.5), "id_a", "id_b")
+      val held = comp39
+        .withColumn("split",
+          graft.ext.Sampling.holdoutSplit(col("cluster_id"), 230))
+        .groupBy(col("split")).agg(count(lit(1)))
+        .count()
+      val t39 = (System.nanoTime() - t1) / 1e9
+
+      println(f"SCALE-CHAIN k=$k docs=${k * n0}%7d survivors=$survivors%7d " +
+        f"splits=$held%2d x37_chain=$t37%7.2fs x39_chain=$t39%7.2fs")
+    }
+
     // Chunk-granularity dedup (the x49 shape) at growing corpus sizes:
     // chunk hashing is a narrow map, occurrence counting one hash
     // aggregate on the chunk md5, the audit join keyed on it — time

@@ -38,7 +38,19 @@ object Bucketed {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // Only reclaim a directory that looks like the derived parquet
+        // layout this op itself writes (part- files plus _/.-prefixed
+        // markers) — a name collision or a mispointed warehouse.dir
+        // must fail loudly, not silently delete someone else's data.
+        val foreign = fs.listStatus(loc).map(_.getPath.getName)
+          .filterNot(n =>
+            n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+        require(foreign.isEmpty,
+          s"refusing to overwrite $loc: not a derived bucketed layout " +
+          s"(unexpected entries: ${foreign.take(3).mkString(", ")})")
+        fs.delete(loc, true)
+      }
       df.write.mode(SaveMode.Overwrite)
         .format("parquet")
         .bucketBy(buckets, key)
@@ -51,9 +63,18 @@ object Bucketed {
   /** A catalog-safe table name for `table` under `sfDir` — the bucket
     * KEY is part of the name, so layouts of the same table bucketed on
     * different keys never collide in the catalog (a collision would
-    * silently reuse the wrong layout).
+    * silently reuse the wrong layout). The readable stem is a lossy
+    * `[^a-zA-Z0-9]→_` sanitization, so an md5 suffix of the RAW inputs
+    * makes the mapping injective: two distinct (sfDir, table, key,
+    * buckets) tuples can share a stem but never a name — which is what
+    * keeps `table`'s delete-and-rebuild from ever landing on another
+    * layout's directory.
     */
-  def nameFor(sfDir: String, table: String, key: String, buckets: Int): String =
+  def nameFor(sfDir: String, table: String, key: String, buckets: Int): String = {
+    val raw = s"$table|$key|$buckets|$sfDir"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     (table + "_" + key + "_b" + buckets + "_" + sfDir)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+      .replaceAll("[^a-zA-Z0-9]", "_") + "_h" + tag
+  }
 }

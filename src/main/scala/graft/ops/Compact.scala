@@ -47,28 +47,32 @@ object Compact {
         "compact each leaf partition directory instead")
 
     val before = parquetFiles(target)
-    val df = spark.read.parquet(dir)
-    val rows = df.count()
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    // Single-writer contract ([[SingleWriter]]): two concurrent
+    // compactions of one directory would race the rename swap.
+    SingleWriter.withLock(fs, target) {
+      val df = spark.read.parquet(dir)
+      val rows = df.count()
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
 
-    val staging = new Path(target.getParent, target.getName + "_compact_staging")
-    fs.delete(staging, true)
-    df.repartition(nFiles.toInt).write.parquet(staging.toString)
+      val staging = new Path(target.getParent, target.getName + "_compact_staging")
+      fs.delete(staging, true)
+      df.repartition(nFiles.toInt).write.parquet(staging.toString)
 
-    // validate the rewrite before touching the source
-    val rewritten = spark.read.parquet(staging.toString).count()
-    require(rewritten == rows,
-      s"compaction row mismatch: $rows read, $rewritten rewritten")
+      // validate the rewrite before touching the source
+      val rewritten = spark.read.parquet(staging.toString).count()
+      require(rewritten == rows,
+        s"compaction row mismatch: $rows read, $rewritten rewritten")
 
-    val retired = new Path(target.getParent, target.getName + "_compact_retired")
-    fs.delete(retired, true)
-    if (!fs.rename(target, retired))
-      throw new IllegalStateException(s"could not retire $target")
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target) // roll back
-      throw new IllegalStateException(s"could not promote $staging")
+      val retired = new Path(target.getParent, target.getName + "_compact_retired")
+      fs.delete(retired, true)
+      if (!fs.rename(target, retired))
+        throw new IllegalStateException(s"could not retire $target")
+      if (!fs.rename(staging, target)) {
+        fs.rename(retired, target) // roll back
+        throw new IllegalStateException(s"could not promote $staging")
+      }
+      fs.delete(retired, true)
+      (before, parquetFiles(target), rows)
     }
-    fs.delete(retired, true)
-    (before, parquetFiles(target), rows)
   }
 }

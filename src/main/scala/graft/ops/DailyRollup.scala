@@ -115,13 +115,25 @@ object DailyRollup {
     * `dt`/`current_time` fails `to_timestamp` parsing has no event
     * time, so THIS path drops it (explicitly, via the filter below),
     * while the batch [[rollup]] still aggregates it under its `dt`.
-    * Streams carrying unparseable stamps should count/route them
-    * upstream if the loss matters.
+    * The drop is OBSERVABLE, not silent: an `observe` block counts
+    * input and malformed rows as a conditional aggregate inside the
+    * same pass (no extra job), and every micro-batch surfaces
+    * `rollup_stream.malformed_rows` through its StreamingQueryProgress
+    * `observedMetrics` — alert on it, or route the raw stream through
+    * a quarantine split upstream if the rows themselves matter
+    * (StreamRollupSpec asserts the count on a bad-stamp fixture).
     */
   def rollupStream(hourly: DataFrame, lateness: String = "2 hours"): DataFrame =
     finish(hourly
-      .withColumn("event_ts", to_timestamp(
+      // try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+      // default) to_timestamp THROWS on an unparseable stamp, which
+      // would fail the whole stream on one bad row; try_ gives the
+      // documented null→drop semantics under either ANSI setting.
+      .withColumn("event_ts", try_to_timestamp(
         concat(col("dt").cast("string"), lit(" "), col("current_time"))))
+      .observe("rollup_stream",
+        count(lit(1)).as("input_rows"),
+        count(when(col("event_ts").isNull, 1)).as("malformed_rows"))
       .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", lateness)
       .groupBy(window(col("event_ts"), "1 day"))

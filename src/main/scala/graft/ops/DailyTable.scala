@@ -48,10 +48,18 @@ object DailyTable {
     daily.withColumn(MonthCol, trunc(col("dt"), "month"))
 
   private def write(daily: DataFrame, path: String, dynamic: Boolean): Unit = {
-    val w = withMonth(daily)
-      .write.partitionBy(MonthCol, "dt").mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .parquet(path)
+    // Single-writer contract ([[SingleWriter]]): overwrites of the same
+    // day from two jobs would interleave file-by-file; the lock turns
+    // that into an immediate, attributable failure instead.
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      daily.sparkSession.sparkContext.hadoopConfiguration)
+    SingleWriter.withLock(fs, p) {
+      val w = withMonth(daily)
+        .write.partitionBy(MonthCol, "dt").mode("overwrite")
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .parquet(path)
+    }
   }
 
   /** Full rebuild (sp_create analogue): static overwrite of the table. */

@@ -19,6 +19,13 @@ object WeatherQueries {
   private def hourly(s: SparkSession, dir: String): DataFrame =
     Weatherize.lineitemAsHourly(Tables(s, dir, "lineitem"))
 
+  /** Which sf-dir the `hourly_sql` temp view of each session currently
+    * reads (weak keys: a stopped session must not be pinned by this
+    * cache). Guards w06's once-per-session view registration.
+    */
+  private val hourlyViewDir =
+    new java.util.WeakHashMap[SparkSession, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_daily_rollup_full" -> ((s, dir) =>
       DailyRollup.rollup(hourly(s, dir))),
@@ -76,8 +83,22 @@ object WeatherQueries {
     // till_secs aggregation keeping the agg hash-based, same rounding,
     // same EOD CASE), and the oracle is w01's SQL verbatim.
     "w06_rollup_sql" -> ((s, dir) => {
-      Weatherize.lineitemAsHourly(Tables(s, dir, "lineitem"))
-        .createOrReplaceTempView("hourly_sql")
+      // Register the hourly view once per (session, sf-dir) — bench
+      // reps re-invoke this function, and re-running the view DDL per
+      // rep was the one structural difference between w06 and w01.
+      // (Round-7 isolation measurement: w06 1.73-1.80s vs w01
+      // 1.84-2.02s steady-state at sf0.1, so the r6 3.89s outlier was
+      // bench-context noise, not this path — see PLANS.md. The check
+      // still removes per-rep catalog churn for free.)
+      val fresh = hourlyViewDir.synchronized {
+        val stale = !s.catalog.tableExists("hourly_sql") ||
+          !Option(hourlyViewDir.get(s)).contains(dir)
+        if (stale) hourlyViewDir.put(s, dir)
+        stale
+      }
+      if (fresh)
+        Weatherize.lineitemAsHourly(Tables(s, dir, "lineitem"))
+          .createOrReplaceTempView("hourly_sql")
       s.sql("""
         WITH agg AS (
           SELECT dt,

@@ -29,6 +29,74 @@ object WeatherApi {
     def fetch(): String = { i = (i + 1) % bodies.size; bodies(i) }
   }
 
+  /** Live HTTP implementation of the reference's fetch step
+    * (Load-Data-From-API/main.py:72-77 — a GET with the station's
+    * coordinates and the API key as query parameters). Config-driven:
+    * endpoint and params come in as data, the key via [[Secrets]]-style
+    * lookup at the CALLER — this class never reads the environment.
+    *
+    * Driver-side by design: one fetch per pipeline invocation, exactly
+    * like the reference's Cloud Function (the API is the rate-limited
+    * scarce resource; parallelizing the single current-weather GET is
+    * meaningless). Bounded linear-backoff retries on 5xx/connect
+    * errors; a 4xx fails immediately — retrying a bad key or malformed
+    * query cannot succeed and masks the misconfiguration.
+    *
+    * Never constructed in CI/test paths that would need egress: specs
+    * exercise it against a loopback stub server (WeatherPipelineSpec),
+    * and the fixture [[ReplayFetcher]] remains the default elsewhere.
+    */
+  final class HttpFetcher(
+      endpoint: String,
+      params: Map[String, String],
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(10),
+      retries: Int = 2,
+      backoffMillis: Long = 500L) extends Fetcher {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+    private val uri = {
+      val q = params.toSeq.sortBy(_._1).map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+      java.net.URI.create(if (q.isEmpty) endpoint else s"$endpoint?$q")
+    }
+
+    @transient private lazy val client =
+      HttpClient.newBuilder().connectTimeout(timeout).build()
+
+    def fetch(): String = {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val outcome =
+          try {
+            val resp = client.send(
+              HttpRequest.newBuilder(uri).timeout(timeout).GET().build(),
+              HttpResponse.BodyHandlers.ofString())
+            resp.statusCode() match {
+              case ok if ok / 100 == 2 => Right(resp.body())
+              case bad if bad / 100 == 4 =>
+                throw new java.io.IOException(
+                  s"GET $endpoint returned $bad (not retryable): ${resp.body().take(200)}")
+              case other =>
+                Left(new java.io.IOException(s"GET $endpoint returned $other"))
+            }
+          } catch {
+            case e: java.io.IOException if e.getMessage != null &&
+                e.getMessage.contains("not retryable") => throw e
+            case e: java.io.IOException => Left(e)
+          }
+        outcome match {
+          case Right(body) => return body
+          case Left(e) if attempt > retries => throw e
+          case Left(_) => Thread.sleep(backoffMillis * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** Parse one fetched body against the DECLARED API schema — never
     * schema inference (SURVEY.md §1): absent branches become null
     * leaves exactly as BigQuery's schema'd load would produce.

@@ -96,7 +96,13 @@ object Ingest {
       // default partition and silently poison the rollup's null group —
       // quarantine them to a count instead of ingesting.
       val good = batch.filter(col("dt").isNotNull)
-      val malformed = batch.count() - good.count()
+      // One conditional aggregate (count(col) skips nulls) instead of
+      // batch.count() - good.count(): same number, one job launch per
+      // micro-batch rather than two over the cached batch.
+      val counts = batch
+        .agg(count(lit(1)).as("total"), count(col("dt")).as("with_dt"))
+        .head()
+      val malformed = counts.getLong(0) - counts.getLong(1)
       good.withColumn("ingest_batch", lit(batchId))
         .write.partitionBy("dt", "ingest_batch")
         .option("partitionOverwriteMode", "dynamic")

@@ -56,14 +56,28 @@ object StreamCdc {
     * emissions into a durable hash-partitioned parquet table — the
     * MERGE INTO a bare-directory layout can express. Keys hash into
     * `buckets` partitions; a batch rewrites ONLY the partitions its
-    * keys touch (read touched → drop updated keys → union survivors,
-    * dynamic partition overwrite), so the write cost is O(touched
-    * buckets), not O(table). Tombstones (op == deleteOp) remove the
-    * key; a touched partition whose survivors all vanish is deleted
-    * explicitly (dynamic overwrite cannot emit an empty partition).
-    * The merge is idempotent — replaying a batch reproduces the same
-    * table state — which is what makes foreachBatch's at-least-once
-    * delivery exactly-once at the table level.
+    * keys touch (read touched → drop updated keys → union survivors),
+    * so the write cost is O(touched buckets), not O(table). Tombstones
+    * (op == deleteOp) remove the key.
+    *
+    * Commit protocol (staged-manifest; closes the round-6 advice
+    * finding that overwrite-in-place could lose untouched keys if a
+    * crash landed mid-commit): the merged partitions are written to a
+    * hidden staging dir under the table root (dot-prefixed, so table
+    * reads never list it), the COMMIT POINT is an atomic rename of a
+    * per-partition manifest into the staging dir, and only then are
+    * touched `part=` dirs swapped live one directory-rename at a time.
+    * Every live partition is therefore always a complete old or
+    * complete new directory, never a partial write. A crash before the
+    * manifest rename discards the staging dir on replay and re-merges
+    * from the intact live table; a crash after it is completed by
+    * replay FROM THE MANIFEST (foreachBatch re-delivers the same
+    * batchId after restart, and the staged data for that batch is
+    * already the correct post-merge state). Cross-partition atomicity
+    * is per-swap — a reader between two swaps of the same batch can see
+    * partition A new and partition B old, which is the same visibility
+    * a multi-file dynamic overwrite has; single-writer is assumed (see
+    * [[graft.ops.SingleWriter]]).
     *
     * Usage: `latestState(cs).writeStream.foreachBatch(
     *   StreamCdc.mergeInto(path) _)...`
@@ -71,6 +85,28 @@ object StreamCdc {
   def mergeInto(path: String, buckets: Int = 8, deleteOp: String = "D")(
       batch: Dataset[Latest], batchId: Long): Unit = {
     val spark: SparkSession = batch.sparkSession
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.SingleWriter.withLock(fs, dir) {
+      mergeLocked(spark, batch, batchId, dir, fs, buckets, deleteOp)
+    }
+  }
+
+  private def mergeLocked(
+      spark: SparkSession, batch: Dataset[Latest], batchId: Long,
+      dir: Path, fs: org.apache.hadoop.fs.FileSystem,
+      buckets: Int, deleteOp: String): Unit = {
+    val path = dir.toString
+    val staging = new Path(dir, s".staging_b$batchId")
+    val manifest = new Path(staging, MANIFEST)
+    if (fs.exists(manifest)) {
+      // Prior attempt of THIS batch crashed after its commit point:
+      // the staged merge is complete and authoritative — finish the
+      // swap; re-merging against a half-swapped table would be wrong.
+      finishSwap(fs, dir, staging)
+      return
+    }
+    fs.delete(staging, true) // uncommitted leftover from a crashed run
     val upd = batch.toDF()
       .withColumn("part", pmod(hash(col("key")), lit(buckets)))
       // a key may re-emit across this batch's state updates; keep the
@@ -84,31 +120,62 @@ object StreamCdc {
       val touched = upd.select(col("part")).distinct()
         .collect().map(_.getInt(0)) // bounded: ≤ buckets rows
       if (touched.nonEmpty) {
-        val dir = new Path(path)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
           if (fs.exists(dir))
             spark.read.parquet(path).filter(col("part").isin(touched: _*))
           else upd.limit(0)
-        val merged = current
+        // Materialized by the staging write below — the live table is
+        // only read here and only renamed after the write completes,
+        // so the read-your-own-overwrite hazard is gone by layout.
+        current
           .join(upd.select(col("key")).distinct(), Seq("key"), "left_anti")
           .unionByName(upd.filter(!(col("op") <=> lit(deleteOp))))
-          .cache()
-        try {
-          merged.write
-            .partitionBy("part")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
-          // dynamic overwrite skipped any touched partition left with
-          // zero survivors — its stale files must go explicitly
-          val stillThere =
-            merged.select(col("part")).distinct().collect().map(_.getInt(0)).toSet
-          touched.filterNot(stillThere).foreach { p =>
-            fs.delete(new Path(dir, s"part=$p"), true)
-          }
-        } finally merged.unpersist()
+          .write.partitionBy("part").mode("overwrite")
+          .parquet(staging.toString)
+        // Partitions with zero survivors produce no staged dir but
+        // their live dir must still drop — record keep/drop per touched
+        // partition, then commit via atomic manifest rename.
+        val staged = fs.listStatus(staging)
+          .map(_.getPath.getName).filter(_.startsWith("part="))
+          .map(_.stripPrefix("part=").toInt).toSet
+        val lines = touched.sorted.map { p =>
+          s"$p ${if (staged(p)) "keep" else "drop"}"
+        }.mkString("", "\n", "\n")
+        val tmp = new Path(staging, MANIFEST + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(lines.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, manifest))
+          throw new java.io.IOException(s"manifest commit failed: $manifest")
+        finishSwap(fs, dir, staging)
       }
     } finally upd.unpersist()
+  }
+
+  private val MANIFEST = "_touched"
+
+  /** Complete a committed merge: swap each manifest-listed partition
+    * live (delete-then-rename, each step idempotent under replay — a
+    * staged dir already renamed by a crashed attempt reads as `keep`
+    * with no staged source, i.e. a no-op), then drop the staging dir.
+    */
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, staging: Path): Unit = {
+    val manifest = new Path(staging, MANIFEST)
+    val in = fs.open(manifest)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).foreach { line =>
+      val Array(p, action) = line.split(" ", 2)
+      val live = new Path(dir, s"part=$p")
+      val staged = new Path(staging, s"part=$p")
+      if (action == "drop") fs.delete(live, true)
+      else if (fs.exists(staged)) {
+        fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"swap failed: $staged -> $live")
+      } // keep with no staged dir = already swapped by a prior attempt
+    }
+    fs.delete(staging, true)
   }
 }

@@ -53,7 +53,16 @@ object StreamCms {
     // the window list and the grid share lineage — RENAME every column
     // on both derivations (an alias alone keeps ambiguous attribute
     // ids), with an internal prefix so candidate frames carrying their
-    // own row/bucket/cnt columns can't collide either
+    // own row/bucket/cnt columns can't collide either. The same prefix
+    // covers the window spine; the one name we cannot internalize is
+    // the OUTPUT column `window_start`, so a candidate frame already
+    // carrying it is rejected up front instead of producing a
+    // duplicate-named (or silently mis-grouped) result.
+    require(!candidates.columns.contains("window_start"),
+      "probe candidates must not carry a window_start column — " +
+      "rename it before probing (it is the probe's output window key)")
+    require(!candidates.columns.exists(_.startsWith("__cms_")),
+      "probe candidates must not carry __cms_-prefixed columns")
     val g = grid.select(col("window_start").as("__cms_gws"),
       col("row").as("__cms_grow"), col("bucket").as("__cms_gbucket"),
       col("cnt").as("__cms_cnt"))
@@ -62,14 +71,14 @@ object StreamCms {
       .withColumn("__cms_bucket",
         Cms.bucket(col(itemCol), col("__cms_row"), width))
       .crossJoin(
-        grid.select(col("window_start").as("probe_window")).distinct())
+        grid.select(col("window_start").as("__cms_probe_window")).distinct())
     cells
       .join(g,
-        col("probe_window") === col("__cms_gws") &&
+        col("__cms_probe_window") === col("__cms_gws") &&
           col("__cms_row") === col("__cms_grow") &&
           col("__cms_bucket") === col("__cms_gbucket"),
         "left")
-      .groupBy(col("probe_window").as("window_start") +:
+      .groupBy(col("__cms_probe_window").as("window_start") +:
         candidates.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
   }

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Compact, SingleWriter, Versioned}
+
+/** The single-writer contract and the snapshot-pointer layout
+  * (round-6 verdict #6): writers exclude each other mechanically, and
+  * a reader racing a publish sees a complete old or complete new
+  * snapshot — never a partial directory.
+  */
+class SingleWriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("withLock: second writer fails fast; lock released after body") {
+    val dir = new Path(tmp("swlock"), "table")
+    val f = fs(dir.toString)
+    SingleWriter.withLock(f, dir) {
+      assert(f.exists(SingleWriter.lockFor(dir)))
+      val e = intercept[SingleWriter.ConcurrentWriteException] {
+        SingleWriter.withLock(f, dir)(fail("second writer must not run"))
+      }
+      assert(e.getMessage.contains("locked"))
+    }
+    assert(!f.exists(SingleWriter.lockFor(dir)))
+    // and a crashed body still releases
+    intercept[RuntimeException] {
+      SingleWriter.withLock(f, dir)(throw new RuntimeException("boom"))
+    }
+    assert(!f.exists(SingleWriter.lockFor(dir)))
+  }
+
+  test("withLock survives a static-overwrite of the table dir (sibling lock)") {
+    val dir = new Path(tmp("swsib"), "table")
+    val f = fs(dir.toString)
+    SingleWriter.withLock(f, dir) {
+      // a bootstrap-style static overwrite wipes the table dir contents;
+      // the sibling lock must still be held afterwards
+      Seq(1, 2, 3).toDF("n").write.mode("overwrite").parquet(dir.toString)
+      assert(f.exists(SingleWriter.lockFor(dir)))
+      intercept[SingleWriter.ConcurrentWriteException] {
+        SingleWriter.withLock(f, dir)(())
+      }
+    }
+  }
+
+  test("versioned publish/read roundtrip and retention of one prior snapshot") {
+    val root = tmp("vers") + "/t"
+    assert(Versioned.publish(Seq(1, 2).toDF("n"), root) === 1L)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted.toSeq === Seq(1, 2))
+    assert(Versioned.publish(Seq(3).toDF("n"), root) === 2L)
+    assert(Versioned.publish(Seq(4, 5, 6).toDF("n"), root) === 3L)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted.toSeq === Seq(4, 5, 6))
+    val vDirs = fs(root).listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(vDirs === Seq("v=00000002", "v=00000003")) // v1 reclaimed
+  }
+
+  test("reader racing publishes sees old-or-new, never partial") {
+    val root = tmp("race") + "/t"
+    // snapshots chosen so any mixed/partial read is detectable: version
+    // k holds exactly k copies of the value k
+    Versioned.publish(Seq.fill(1)(1).toDF("n"), root)
+    @volatile var done = false
+    @volatile var failure: Option[String] = None
+    val reader = new Thread(() => {
+      while (!done && failure.isEmpty) {
+        try {
+          val got = Versioned.read(spark, root).as[Int].collect().toSeq
+          val distinct = got.distinct
+          if (distinct.size != 1 || got.size != distinct.head)
+            failure = Some(s"partial/mixed snapshot read: $got")
+        } catch {
+          // a reader >1 publish behind can hit a reclaimed snapshot —
+          // the DOCUMENTED retention hazard, loud not wrong; what must
+          // never happen is a silently partial/mixed result above
+          case e: Throwable
+            if e.toString.contains("FileNotFound") ||
+               e.toString.contains("does not exist") => ()
+        }
+      }
+    })
+    reader.start()
+    try (2 to 6).foreach { k =>
+      Versioned.publish(Seq.fill(k)(k).toDF("n"), root)
+    } finally {
+      done = true
+      reader.join(30000)
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+  }
+
+  test("compact under an external writer lock fails instead of racing") {
+    val dir = tmp("cmplock") + "/leaf"
+    Seq(1, 2, 3, 4).toDF("n").repartition(4).write.parquet(dir)
+    val f = fs(dir)
+    SingleWriter.withLock(f, new Path(dir)) {
+      intercept[SingleWriter.ConcurrentWriteException] {
+        Compact.compact(spark, dir, targetRowsPerFile = 100L)
+      }
+    }
+    // lock released → compaction proceeds
+    val (before, after, rows) = Compact.compact(spark, dir, 100L)
+    assert(before >= 2 && after === 1 && rows === 4)
+  }
+}

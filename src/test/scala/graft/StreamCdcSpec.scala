@@ -103,6 +103,39 @@ class StreamCdcSpec extends AnyFunSuite {
       "stale files of the emptied partition must be deleted")
   }
 
+  test("a committed staging dir is swapped on replay, not re-merged") {
+    import graft.streaming.StreamCdc.Latest
+    val dir = java.nio.file.Files.createTempDirectory("cdc_crash").toString + "/t"
+    val init = (0L until 8L).map(k => Latest(k, 1L, "I", k.toDouble, 1L))
+    StreamCdc.mergeInto(dir, buckets = 2)(init.toDS(), 0L)
+    val parts = spark.read.parquet(dir)
+      .select($"part".cast("int")).distinct().as[Int].collect().sorted
+    assert(parts.length == 2)
+    val Array(keep, drop) = parts
+
+    // Simulate a batch-1 writer that crashed AFTER its commit point:
+    // staged data + manifest exist, live table untouched.
+    val staging = dir + "/.staging_b1"
+    Seq(Latest(42L, 9L, "U", 99.0, 5L)).toDF()
+      .withColumn("part", lit(keep))
+      .write.partitionBy("part").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_touched"),
+      s"$keep keep\n$drop drop\n".getBytes("UTF-8"))
+
+    // Replay of batch 1 delivers SOME batch content, but the manifest
+    // means the staged merge is already authoritative — the replay must
+    // finish the swap and ignore the re-delivered rows.
+    val decoy = Seq(Latest(7777L, 1L, "I", 0.0, 1L)).toDS()
+    StreamCdc.mergeInto(dir, buckets = 2)(decoy, 1L)
+
+    val after = spark.read.parquet(dir)
+      .select($"part".cast("int"), $"key").as[(Int, Long)].collect().toSet
+    assert(after == Set((keep, 42L)),
+      s"expected only the staged row to survive, got $after")
+    assert(!new java.io.File(staging).exists, "staging must be cleaned up")
+  }
+
   test("a deleted key emits a tombstone with its change count") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Change]

@@ -66,4 +66,45 @@ class StreamRollupSpec extends AnyFunSuite {
       assert(till === Map("2022-08-29" -> "EOD", "2022-08-30" -> "09:00:00"))
     } finally q.stop()
   }
+
+  test("malformed event-time rows are dropped AND counted per batch") {
+    implicit val ctx = spark.sqlContext
+
+    def parse(df: org.apache.spark.sql.DataFrame) = df
+      .select(from_json(col("value"), WeatherSchema.raw).as("r"))
+      .select("r.*")
+
+    val input = MemoryStream[String]
+    val q = DailyRollup.rollupStream(parse(input.toDF()), lateness = "1 hour")
+      .writeStream.format("memory").queryName("roll_malformed")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ndjson("2022-08-29", "10:00:00", 300.15, 1000L),
+        ndjson("2022-08-29", "not-a-time", 500.0, 9999L), // unparseable
+        ndjson("2022-08-29", "11:00:00", 302.15, 1001L)))
+      q.processAllAvailable()
+      input.addData(ndjson("2022-09-05", "00:00:00", 290.15, 1000L))
+      q.processAllAvailable()
+
+      // the drop is observable: every micro-batch reports the
+      // conditional-aggregate counts through observedMetrics
+      import scala.jdk.CollectionConverters._
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => p.observedMetrics.asScala.get("rollup_stream"))
+      val malformed = observed.map(_.getAs[Long]("malformed_rows")).sum
+      val inputRows = observed.map(_.getAs[Long]("input_rows")).sum
+      assert(malformed === 1)
+      assert(inputRows === 4)
+
+      // and the malformed row truly did not poison the aggregate: the
+      // day's rollup reflects only the two parseable rows
+      val row = spark.table("roll_malformed")
+        .filter(col("dt") === "2022-08-29")
+        .select("max_temp", "max_pressure").collect()
+      assert(row.length === 1)
+      assert(row(0).getDouble(0) === 31.0) // max(temp_max)=304.15 K → C
+      assert(row(0).getDouble(1) === 1001.0)
+    } finally q.stop()
+  }
 }
