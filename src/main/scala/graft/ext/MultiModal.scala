@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension surface).
   *
-  * The decode step is STUBBED — no image/audio codec libraries exist in
-  * this environment — with a deterministic byte-math fake, clearly
-  * marked below. Everything around it is the real Spark shape:
+  * The decode step is REAL for PPM/P6 images ([[Ppm]] — an
+  * uncompressed format whose complete decoder is pure JVM, so header
+  * parse → pixel luma → nearest-neighbor thumbnail run genuinely on
+  * executors), and STUBBED for codec-requiring formats (JPEG/audio/
+  * video — no codec libraries exist in this environment) with a
+  * deterministic byte-math fake, clearly marked below. Everything
+  * around either path is the real Spark shape:
   *  - a fixed media schema (content bytes + mime + dimensions);
   *  - per-partition batch processing via `Dataset.mapPartitions` (the
   *    Scala analogue of a batched pandas UDF: one task consumes a whole
@@ -94,17 +98,71 @@ object MultiModal {
   /** Batched feature extraction: one task drains one partition's
     * iterator (the `mapInPandas` batch shape). Codec init would go at
     * the top of the lambda, once per partition.
+    *
+    * P6 payloads take the REAL path: decoded pixels, Rec.709 mean luma
+    * as `brightness`, and a half-size nearest-neighbor thumbnail
+    * re-encoded as valid P6 in `thumb`. Anything [[Ppm.decode]]
+    * rejects (other formats, malformed images) falls back to the
+    * documented stub — a bad payload must degrade, never fail the
+    * task.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // real impl: val codec = Codec.open() — once per batch, here
       batch.map { r =>
-        val (checksum, brightness) = decodeStub(r.content)
-        val frames = 1 + (r.content.length % 4) // stub "frame sample" count
-        MediaFeatures(r.doc_id, r.content.length.toLong, checksum, brightness,
-          frames, resizeStub(r.content, 4))
+        Ppm.decode(r.content) match {
+          case Some(img) =>
+            val thumb = Ppm.resize(img,
+              math.max(1, img.width / 2), math.max(1, img.height / 2))
+            MediaFeatures(r.doc_id, r.content.length.toLong,
+              checksum(r.content), Ppm.meanLuma(img), 1, Ppm.encode(thumb))
+          case None =>
+            val (ck, brightness) = decodeStub(r.content)
+            val frames = 1 + (r.content.length % 4) // stub "frame sample" count
+            MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
+              frames, resizeStub(r.content, 4))
+        }
       }
+    }
+  }
+
+  /** Payload checksum shared by both decode paths (polynomial byte
+    * hash mod a prime — cheap, deterministic, order-sensitive).
+    */
+  private def checksum(bytes: Array[Byte]): Long = {
+    var ck = 0L
+    var i = 0
+    while (i < bytes.length) {
+      ck = (ck * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    ck
+  }
+
+  /** Deterministic synthetic P6 fixtures from the documents table: a
+    * `w×h` image whose pixel (x,y) channels are byte functions of
+    * (doc_id, x, y) — real decodable rasters without binary fixtures
+    * on disk, same trick as [[packFromText]]'s fake payloads.
+    */
+  def packPpm(docs: DataFrame, w: Int = 16, h: Int = 12): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          px(i) = ((id + x * 7 + y * 13) % 256).toByte
+          px(i + 1) = ((id * 3 + x * 11 + y) % 256).toByte
+          px(i + 2) = ((id * 5 + x + y * 17) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaRecord(id, "image/x-portable-pixmap", w, h,
+        Ppm.encode(Ppm.Image(w, h, px)))
     }
   }
 }
