@@ -1319,6 +1319,86 @@ object ExtQueries {
           expr("(3000 * w_e6) div total_e6").as("quota"))
         .orderBy(col("source"))
     }),
+
+    // Segment-level dedup WITH document reconstruction — the removal
+    // operator x49's duplication audit points at (CCNet drops
+    // duplicated paragraphs and keeps the rest of the page; C4 does
+    // the same at line grain). Segments = sequential 15-token spans
+    // (this corpus has no paragraph marks; same grain convention as
+    // x49's 20-token chunks). A segment whose hash appears in MORE
+    // THAN ONE document is dropped everywhere; survivors reassemble in
+    // original order and the rebuilt text ships as its md5 (hashes,
+    // never texts, ride the compare — and in the real pipeline the
+    // rebuilt text would be written back, not hashed).
+    //
+    // Scale shape: segments ride every shuffle as (doc_id, idx, 32-
+    // byte hash + text-of-15-tokens); occurrence counting is one hash
+    // aggregate on the segment hash; reassembly is a per-doc
+    // collect_list bounded by the doc's own segment count (the same
+    // per-group bound as any string_agg) — nothing is quadratic and
+    // nothing leaves its hash partition.
+    "x52_segment_dedup_rebuild" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val segs = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(floor((size(t)-1)/15) as int))," +
+            " i -> array_join(slice(t, i*15+1, 15), ' '))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
+        .withColumn("h", md5(col("seg")))
+      val occ = segs.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      segs.join(occ, "h")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("docs_with") === 1, 1L).otherwise(0L)).as("n_kept"),
+          // kept segments only (collect_list skips the nulls the when
+          // produces), re-ordered by idx — struct sort keys on the
+          // leading field, and idx is unique within the doc
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("docs_with") === 1, struct(col("idx"), col("seg"))))),
+              x => x.getField("seg")),
+            " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage / OOV rate — the tokenizer-coverage analysis
+    // a fixed-vocabulary training run needs: build the corpus top-K
+    // vocabulary (by frequency, lexicographic tie-break) and measure
+    // what fraction of each document falls outside it. K = 25 because
+    // this synthetic corpus's whole vocabulary is deliberately tiny
+    // (TESTDATA note) — at a real corpus K is the tokenizer's vocab
+    // size and the shape is unchanged.
+    //
+    // Scale shape: token counting is one partial-aggregated shuffle on
+    // the token; the ranking window orders DISTINCT tokens (vocabulary
+    // ≪ corpus, and the kept side is K rows — broadcast); the per-doc
+    // membership probe is a broadcast hash join, so the fact side
+    // never reshuffles. Integer ppm keeps the compare exact.
+    "x53_vocab_coverage" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("token"))))
+        .filter(col("rnk") <= 25)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2672,5 +2752,59 @@ object ExtQueries {
         |SELECT source, n_docs, w_e6, (3000 * w_e6) // total_e6 AS quota
         |FROM s, t
         |ORDER BY source""".stripMargin,
+
+    "x52_segment_dedup_rebuild" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(floor((len(t) - 1) / 15) AS BIGINT) + 1))
+        |      AS idx
+        |  FROM tok),
+        |segs AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(t[idx*15+1 : idx*15+15], ' ') AS seg,
+        |    md5(array_to_string(t[idx*15+1 : idx*15+15], ' ')) AS h
+        |  FROM ix),
+        |occ AS (
+        |  SELECT h, count(DISTINCT doc_id) AS docs_with FROM segs GROUP BY h)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN docs_with = 1 THEN seg END, ' '
+        |               ORDER BY idx), '')) AS clean_md5
+        |FROM segs JOIN occ USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x53_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token,
+        |      row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+        |    FROM tok GROUP BY token)
+        |  WHERE rnk <= 25)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS oov_ppm
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }
