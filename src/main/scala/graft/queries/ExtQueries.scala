@@ -1399,6 +1399,48 @@ object ExtQueries {
         .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
         .orderBy(col("doc_id"))
     }),
+
+    // Per-source distribution drift — KL(source ‖ corpus) over unigram
+    // distributions: the mix monitor that catches one source skewing
+    // the blend (a scraper gone wrong, a filter eating one domain)
+    // BEFORE training sees it. Source support ⊆ corpus support by
+    // construction, so no smoothing is needed; each token's ln p is
+    // quantized to integer micro-units exactly as x32 does (ln is not
+    // correctly-rounded cross-libm; round-to-6-decimals first makes
+    // both engines agree), the per-token terms c_s·(lnp_s − lnp_c) are
+    // then INTEGERS — summation order cannot perturb them — and the
+    // final per-token normalization is one integer division. The
+    // greatest(…, 0) guard pins the ±quantization wobble of a
+    // near-zero KL to exactly 0 in both engines (trunc-vs-floor
+    // division semantics diverge on negatives).
+    //
+    // Scale shape: two hash aggregates (corpus vocab, per-source
+    // counts) + a vocab equi-join; the corpus total is a broadcast
+    // scalar. Output is one row per source at ANY corpus size.
+    "x54_source_drift" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val corpusTotal = toks.agg(count(lit(1)).as("n"))
+      val bySrc = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c_s"))
+      val srcTotal = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      def lp(c: Column, n: Column): Column =
+        round(round(log(c.cast("double") / n.cast("double")), 6) * 1e6)
+          .cast("long")
+      bySrc.join(srcTotal, "source")
+        .join(corpus, "token")
+        .crossJoin(broadcast(corpusTotal))
+        .withColumn("term",
+          col("c_s") * (lp(col("c_s"), col("n_s")) - lp(col("c"), col("n"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          sum(col("term")).as("kl_sum"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          expr("greatest(kl_sum, 0) div n_tokens").as("kl_micro"))
+        .orderBy(col("source"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2806,5 +2848,36 @@ object ExtQueries {
         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "x54_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |corpus AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |bysrc AS (
+        |  SELECT source, token, count(*) AS c_s
+        |  FROM tok GROUP BY source, token),
+        |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+        |terms AS (
+        |  SELECT b.source, b.token, ns.n_s,
+        |    b.c_s * (
+        |      CAST(round(round(ln(CAST(b.c_s AS DOUBLE)
+        |                          / CAST(ns.n_s AS DOUBLE)), 6) * 1e6)
+        |           AS BIGINT)
+        |      - CAST(round(round(ln(CAST(corpus.c AS DOUBLE)
+        |                            / CAST(n.n AS DOUBLE)), 6) * 1e6)
+        |             AS BIGINT)) AS term
+        |  FROM bysrc b
+        |  JOIN ns USING (source)
+        |  JOIN corpus USING (token), n)
+        |SELECT source,
+        |  CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+        |  greatest(CAST(sum(term) AS BIGINT), 0)
+        |    // CAST(max(n_s) AS BIGINT) AS kl_micro
+        |FROM terms
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }
