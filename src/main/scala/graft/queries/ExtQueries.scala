@@ -1420,25 +1420,13 @@ object ExtQueries {
     "x54_source_drift" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
-      val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      val corpusTotal = toks.agg(count(lit(1)).as("n"))
+      val reference = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       val bySrc = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c_s"))
-      val srcTotal = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      def lp(c: Column, n: Column): Column =
-        round(round(log(c.cast("double") / n.cast("double")), 6) * 1e6)
-          .cast("long")
-      bySrc.join(srcTotal, "source")
-        .join(corpus, "token")
-        .crossJoin(broadcast(corpusTotal))
-        .withColumn("term",
-          col("c_s") * (lp(col("c_s"), col("n_s")) - lp(col("c"), col("n"))))
-        .groupBy(col("source"))
-        .agg(max(col("n_s")).as("n_tokens"),
-          countDistinct(col("token")).as("n_distinct"),
-          sum(col("term")).as("kl_sum"))
-        .select(col("source"), col("n_tokens"), col("n_distinct"),
-          expr("greatest(kl_sum, 0) div n_tokens").as("kl_micro"))
+      // KL arithmetic lives in ext/Drift, SHARED with the streaming
+      // windowed monitor (StreamDrift) so the two paths cannot drift
+      // from each other — same sharing discipline as the daily rollup.
+      graft.ext.Drift.klMicro(bySrc, Seq("source"), reference)
         .orderBy(col("source"))
     }),
   )
