@@ -87,8 +87,13 @@ object Bench {
     // can read whole — the stdout path is size-constrained, see below.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Paths are interpolated into JSON — escape them, or a quote or
+    // backslash in an env-provided path breaks the line's parse (the
+    // exact failure this emission path exists to prevent)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":${jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val outPath = Paths.get(out)
     if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
@@ -118,7 +123,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$out"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"sf":${jstr(sfDir)},"detail":${jstr(out)}}"""
     // Stop Spark BEFORE the raw write so any shutdown chatter cannot
     // land after the JSON line and push it out of the tail window.
     spark.stop()

@@ -73,16 +73,14 @@ object MultiModal {
     * image decoder; the partition-batched dataflow around it is final.
     */
   private def decodeStub(bytes: Array[Byte]): (Long, Double) = {
-    var checksum = 0L
     var sum = 0L
     var i = 0
     while (i < bytes.length) {
-      checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L
       sum += (bytes(i) & 0xff)
       i += 1
     }
     val brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
-    (checksum, brightness)
+    (checksum(bytes), brightness)
   }
 
   /** Column-level "frame sampling": n evenly-spaced fixed-width byte

@@ -50,10 +50,16 @@ object Ppm {
       w <- token() if w > 0
       h <- token() if h > 0
       max <- token() if max > 0 && max <= 255
-      // exactly ONE whitespace byte separates maxval from pixel data
+      // exactly ONE whitespace byte separates maxval from pixel data.
+      // Pixel length math in Long: a hostile header like
+      // "1073741824 2" overflows w*h*3 as Int into a negative (or
+      // zero) that would slip past this guard and crash copyOfRange —
+      // and the contract is malformed-degrades, never throws.
       data = pos + 1
-      if data + w * h * 3 <= bytes.length
-    } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, data, data + w * h * 3))
+      len = w.toLong * h.toLong * 3L
+      if len <= bytes.length.toLong - data
+    } yield Image(w, h,
+      java.util.Arrays.copyOfRange(bytes, data, data + len.toInt))
   }
 
   def encode(img: Image): Array[Byte] = {

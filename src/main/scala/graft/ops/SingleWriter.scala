@@ -62,11 +62,15 @@ object SingleWriter {
             "concurrent mutation, or a crashed writer whose lock must " +
             s"be removed by an operator): ${e.getMessage}")
       }
-    try out.write(
-      s"${ProcessHandle.current.pid}@${java.net.InetAddress.getLocalHost.getHostName} ${java.time.Instant.now}"
-        .getBytes("UTF-8"))
-    finally out.close()
-    try body
-    finally fs.delete(lock, false)
+    // From here the lock file EXISTS — every exit path must delete it,
+    // including a failed metadata write (a leaked lock blocks all
+    // future writers until an operator intervenes).
+    try {
+      try out.write(
+        s"${ProcessHandle.current.pid}@${java.net.InetAddress.getLocalHost.getHostName} ${java.time.Instant.now}"
+          .getBytes("UTF-8"))
+      finally out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 }

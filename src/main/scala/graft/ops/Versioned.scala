@@ -12,18 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   v=00000001/...parquet     // immutable snapshot directories
   *   v=00000002/...parquet
-  *   _current                  // one line: the committed version number
+  *   _commit_00000001          // marker: v=1 is committed
+  *   _commit_00000002          // marker: v=2 is committed
   * }}}
   *
   * [[publish]] writes the new snapshot to a fresh `v=N` directory
-  * (never touching any committed one), then COMMITS by renaming a
-  * `_current.tmp` over `_current` — one atomic pointer flip. A reader
-  * resolving the pointer before the flip reads the complete old
-  * snapshot; after, the complete new one; there is no moment where a
-  * partially-written directory is reachable, because unreferenced
-  * `v=` dirs are invisible to [[read]]. This is the directory-layout
-  * miniature of what Iceberg/Delta do with manifest files — same
-  * guarantee, one table, no format dependency.
+  * (never touching any committed one), then COMMITS by CREATING the
+  * `_commit_N` marker file — one atomic file creation; the committed
+  * version is the HIGHEST marker present. There is never a moment
+  * with no committed pointer: old markers are removed only after the
+  * new one exists, and a crash between those steps leaves two markers
+  * of which the newer simply wins (delete-then-rename pointer schemes
+  * have the inverse window — no pointer at all — after which a naive
+  * next publish would restart numbering and delete committed data).
+  * A reader resolving before the marker lands reads the complete old
+  * snapshot; after, the complete new one; a partially-written
+  * directory is never reachable because unmarked `v=` dirs are
+  * invisible to [[read]]. This is the directory-layout miniature of
+  * what Iceberg/Delta do with manifest files — same guarantee, one
+  * table, no format dependency.
   *
   * Retention: the previous snapshot is kept (an in-flight reader that
   * resolved the old pointer may still be scanning it); older ones are
@@ -36,20 +43,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Versioned {
 
-  private val Pointer = "_current"
+  private val Marker = "_commit_"
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(fs: FileSystem, root: Path): Option[Long] = {
-    val p = new Path(root, Pointer)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  /** Highest commit marker = the committed version. */
+  private def currentVersion(fs: FileSystem, root: Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(Marker))
+      .flatMap(n => scala.util.Try(n.stripPrefix(Marker).toLong).toOption)
+      .maxOption
 
   private def versionDir(root: Path, v: Long): Path =
     new Path(root, f"v=$v%08d")
@@ -67,38 +72,30 @@ object Versioned {
       val dir = versionDir(rootP, next)
       fs.delete(dir, true) // debris from a crashed pre-commit attempt
       df.write.parquet(dir.toString)
-      // Atomic commit: pointer tmp + rename. rename-over-existing is
-      // not portable, so remove the old pointer after staging the new
-      // one — the gap is reader-safe because read() falls back to the
-      // newest complete snapshot only via the pointer files, and the
-      // tmp is staged before the old pointer disappears.
-      val tmp = new Path(rootP, Pointer + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      val ptr = new Path(rootP, Pointer)
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr))
-        throw new java.io.IOException(s"pointer commit failed: $ptr")
-      // keep prev for in-flight readers; drop everything older
+      // COMMIT POINT: one atomic marker creation — from here readers
+      // resolve v=next
+      fs.create(new Path(rootP, f"$Marker$next%08d"), true).close()
+      // keep prev (+ its marker) for in-flight readers; drop older
       fs.listStatus(rootP).map(_.getPath)
-        .filter(_.getName.startsWith("v="))
-        .map(p => p.getName.stripPrefix("v=").toLong -> p)
+        .flatMap { p =>
+          val n = p.getName
+          val v =
+            if (n.startsWith("v=")) scala.util.Try(n.stripPrefix("v=").toLong).toOption
+            else if (n.startsWith(Marker)) scala.util.Try(n.stripPrefix(Marker).toLong).toOption
+            else None
+          v.map(_ -> p)
+        }
         .filter { case (v, _) => v < next && !prev.contains(v) }
         .foreach { case (_, p) => fs.delete(p, true) }
       next
     }
   }
 
-  /** Read the committed snapshot. Retries the pointer resolve once to
-    * cover the delete→rename commit gap (sub-millisecond; the rename
-    * itself is atomic).
-    */
+  /** Read the committed snapshot (the highest marker's directory). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
-    val v = currentVersion(fs, rootP).orElse {
-      Thread.sleep(10); currentVersion(fs, rootP)
-    }.getOrElse(
+    val v = currentVersion(fs, rootP).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed snapshot at $root"))
     spark.read.parquet(versionDir(rootP, v).toString)
   }

@@ -1342,7 +1342,11 @@ object ExtQueries {
       val toks = Text.tokens(col("text"))
       val mutated = docs.select(
         (col("doc_id") + 10000).as("doc_id"),
-        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+        // greatest(…, 0): Spark's slice THROWS on a negative length
+        // (and DuckDB's t[1:negative] silently means index-from-end),
+        // so a future sub-3-token doc must clamp to empty, not fail
+        array_join(slice(toks, lit(1), greatest(size(toks) - 3, lit(0))), " ")
+          .as("text"))
       val corpus = spread(
         docs.select(col("doc_id"), col("text")).unionByName(mutated))
       val segs = corpus
@@ -2789,7 +2793,7 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT doc_id + 10000,
         |    array_to_string(
-        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      (string_split_regex(text, '\s+'))[1:greatest(len(string_split_regex(text, '\s+')) - 3, 0)],
         |      ' ')
         |  FROM documents),
         |tok AS (

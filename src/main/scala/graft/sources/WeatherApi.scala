@@ -76,15 +76,18 @@ object WeatherApi {
               HttpResponse.BodyHandlers.ofString())
             resp.statusCode() match {
               case ok if ok / 100 == 2 => Right(resp.body())
-              case bad if bad / 100 == 4 =>
-                throw new java.io.IOException(
-                  s"GET $endpoint returned $bad (not retryable): ${resp.body().take(200)}")
+              // 4xx (bad key / bad query) AND 3xx (this client never
+              // follows redirects) cannot succeed on retry — fail now,
+              // as a TYPE the catch below can discriminate on (string-
+              // matching the message would be a silent contract)
+              case terminal if terminal / 100 == 4 || terminal / 100 == 3 =>
+                throw new WeatherApi.NonRetryableResponse(
+                  s"GET $endpoint returned $terminal: ${resp.body().take(200)}")
               case other =>
                 Left(new java.io.IOException(s"GET $endpoint returned $other"))
             }
           } catch {
-            case e: java.io.IOException if e.getMessage != null &&
-                e.getMessage.contains("not retryable") => throw e
+            case e: WeatherApi.NonRetryableResponse => throw e
             case e: java.io.IOException => Left(e)
           }
         outcome match {
@@ -96,6 +99,11 @@ object WeatherApi {
       throw new IllegalStateException("unreachable")
     }
   }
+
+  /** A response no retry can change (4xx, or 3xx under the
+    * never-follow-redirects client).
+    */
+  final class NonRetryableResponse(msg: String) extends java.io.IOException(msg)
 
   /** Parse one fetched body against the DECLARED API schema — never
     * schema inference (SURVEY.md §1): absent branches become null

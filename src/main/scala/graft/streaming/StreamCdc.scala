@@ -120,8 +120,14 @@ object StreamCdc {
       val touched = upd.select(col("part")).distinct()
         .collect().map(_.getInt(0)) // bounded: ≤ buckets rows
       if (touched.nonEmpty) {
+        // "Table exists" must mean HAS DATA, not "dir exists": a crash
+        // during a first batch's staging write leaves the root dir
+        // created but empty, and reading it as parquet throws on every
+        // replay — wedging the stream permanently.
+        val hasData = fs.exists(dir) && fs.listStatus(dir)
+          .exists(_.getPath.getName.startsWith("part="))
         val current =
-          if (fs.exists(dir))
+          if (hasData)
             spark.read.parquet(path).filter(col("part").isin(touched: _*))
           else upd.limit(0)
         // Materialized by the staging write below — the live table is

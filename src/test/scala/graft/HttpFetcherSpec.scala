@@ -86,6 +86,21 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("3xx fails immediately — this client never follows redirects") {
+    val calls = new AtomicInteger(0)
+    withServer { ex =>
+      calls.incrementAndGet()
+      ex.getResponseHeaders.add("Location", "http://127.0.0.1/elsewhere")
+      respond(ex, 302, "moved")
+    } { url =>
+      val fetcher = new WeatherApi.HttpFetcher(
+        url, Map.empty, retries = 3, backoffMillis = 1L)
+      val e = intercept[WeatherApi.NonRetryableResponse](fetcher.fetch())
+      assert(e.getMessage.contains("302"))
+      assert(calls.get() === 1)
+    }
+  }
+
   test("4xx fails immediately — a bad key is not retryable") {
     val calls = new AtomicInteger(0)
     withServer { ex =>

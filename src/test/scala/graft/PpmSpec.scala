@@ -45,6 +45,11 @@ class PpmSpec extends AnyFunSuite {
     assert(Ppm.decode("P6\n2 2\n70000\n".getBytes).isEmpty)  // 2-byte maxval
     assert(Ppm.decode("P6\n4 4\n255\nxy".getBytes).isEmpty)  // truncated pixels
     assert(Ppm.decode("P6\nab cd\n255\n".getBytes).isEmpty)  // non-numeric dims
+    // hostile dims whose w*h*3 overflows Int (negative, or exactly 0
+    // for 65536x65536) must degrade like any malformed payload —
+    // never pass the length guard and crash the task
+    assert(Ppm.decode("P6\n1073741824 2\n255\n".getBytes).isEmpty)
+    assert(Ppm.decode("P6\n65536 65536\n255\n".getBytes).isEmpty)
   }
 
   test("meanLuma is the Rec.709 luma, exact on solid colors") {

@@ -64,6 +64,15 @@ class SingleWriterSpec extends AnyFunSuite {
     val vDirs = fs(root).listStatus(new Path(root))
       .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
     assert(vDirs === Seq("v=00000002", "v=00000003")) // v1 reclaimed
+    // commit markers track the retained versions, and the HIGHEST
+    // marker wins even if a crashed cleanup left a stale older one
+    val markers = fs(root).listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_commit_")).sorted.toSeq
+    assert(markers === Seq("_commit_00000002", "_commit_00000003"))
+    fs(root).create(new Path(root, "_commit_00000001"), true).close()
+    assert(Versioned.read(spark, root).as[Int].collect().sorted.toSeq
+      === Seq(4, 5, 6)) // still v3 — max marker, not the stale one
+    assert(Versioned.publish(Seq(7).toDF("n"), root) === 4L) // numbering intact
   }
 
   test("reader racing publishes sees old-or-new, never partial") {

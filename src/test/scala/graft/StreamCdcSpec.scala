@@ -136,6 +136,21 @@ class StreamCdcSpec extends AnyFunSuite {
     assert(!new java.io.File(staging).exists, "staging must be cleaned up")
   }
 
+  test("first batch over a pre-created empty table dir bootstraps, not wedges") {
+    import graft.streaming.StreamCdc.Latest
+    // a crash during a first batch's staging write leaves the root dir
+    // existing but empty — replay must take the bootstrap branch, not
+    // read the empty dir as parquet and fail forever
+    val dir = java.nio.file.Files.createTempDirectory("cdc_empty_root")
+      .toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val init = Seq(Latest(1L, 1L, "I", 1.0, 1L), Latest(2L, 1L, "I", 2.0, 1L))
+    StreamCdc.mergeInto(dir, buckets = 2)(init.toDS(), 0L)
+    val keys = spark.read.parquet(dir)
+      .select($"key").as[Long].collect().sorted.toSeq
+    assert(keys === Seq(1L, 2L))
+  }
+
   test("a deleted key emits a tombstone with its change count") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Change]
