@@ -208,4 +208,58 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, cases = 20)
   }
+
+  test("property: PPM encode/decode roundtrip and resize dims for any raster") {
+    import graft.ext.Ppm
+    val genImage = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield Ppm.Image(w, h, px.map(_.toByte).toArray)
+    check("ppm-roundtrip", Prop.forAll(genImage) { img =>
+      val back = Ppm.decode(Ppm.encode(img))
+      back.exists(d => d.width == img.width && d.height == img.height &&
+        java.util.Arrays.equals(d.pixels, img.pixels))
+    }, cases = 40)
+    check("ppm-resize-dims", Prop.forAll(
+      genImage, Gen.choose(1, 16), Gen.choose(1, 16)) { (img, w2, h2) =>
+      val r = Ppm.resize(img, w2, h2)
+      r.width == w2 && r.height == h2 && r.pixels.length == w2 * h2 * 3 &&
+        Ppm.meanLuma(r) >= 0.0 && Ppm.meanLuma(r) <= 1.0
+    }, cases = 40)
+  }
+
+  test("property: KL drift is zero for the reference mix, non-negative always") {
+    // any group whose counts are an exact scalar multiple of the
+    // reference distribution must score kl_micro == 0; any counts over
+    // the reference support must score >= 0 (the greatest-0 guard +
+    // Gibbs' inequality at quantization precision)
+    import graft.ext.Drift
+    import spark.implicits._
+    val genCounts = Gen.nonEmptyListOf(for {
+      tok <- Gen.oneOf("a", "b", "c", "d")
+      c <- Gen.choose(1L, 9L)
+    } yield (tok, c)).map(_.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.map(_._2).sum) }.toList)
+    check("kl-nonneg", Prop.forAll(genCounts, genCounts) { (gc, rc0) =>
+      // reference support must cover the group: union the tokens in
+      val rc = (rc0 ++ gc.filterNot(g => rc0.exists(_._1 == g._1))).distinct
+      val counts = gc.map { case (t, c) => ("g", t, c) }
+        .toDF("grp", "token", "c_s")
+      val ref = rc.toDF("token", "c")
+      val kl = Drift.klMicro(counts, Seq("grp"), ref)
+        .select($"kl_micro").as[Long].head()
+      kl >= 0L
+    }, cases = 15)
+    check("kl-zero-on-reference-mix", Prop.forAll(
+      Gen.choose(1L, 5L), Gen.choose(1L, 7L)) { (scale, base) =>
+      // group counts = scale × reference counts exactly
+      val ref = List(("a", base), ("b", base * 2), ("c", base * 3))
+      val counts = ref.map { case (t, c) => ("g", t, c * scale) }
+        .toDF("grp", "token", "c_s")
+      val kl = Drift.klMicro(counts, Seq("grp"), ref.toDF("token", "c"))
+        .select($"kl_micro").as[Long].head()
+      kl == 0L
+    }, cases = 10)
+  }
 }
