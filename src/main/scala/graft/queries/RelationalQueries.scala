@@ -576,6 +576,39 @@ object RelationalQueries {
             6).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // TPC-H Q21's double-correlated-subquery shape (suppliers who were
+    // the SOLE problem supplier on a multi-supplier order; "problem" =
+    // returned lineitem, this schema's analogue of receipt>commit).
+    // The literal formulation — EXISTS(other supplier) AND NOT
+    // EXISTS(other problem supplier) — re-joins lineitem twice, i.e.
+    // three scans + two extra shuffles of the fact table, and the
+    // classic engine-killer is the NOT EXISTS anti join over a hot
+    // order. Spark-first reformulation: ONE per-order aggregate
+    // (distinct suppliers, distinct problem suppliers) broadcastable
+    // back onto the flagged rows — a flagged lineitem qualifies iff
+    // its order has >1 supplier and exactly 1 problem supplier (which
+    // must then be this one). One pass over lineitem, one small join;
+    // the DuckDB ORACLE runs the literal EXISTS/NOT-EXISTS text, so
+    // the two formulations cross-check each other row for row.
+    "q35_sole_problem_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_problem_supps"))
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      l.filter(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, "l_orderkey")
+        .filter(col("n_supps") > 1 && col("n_problem_supps") === 1)
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -997,5 +1030,28 @@ object RelationalQueries {
         |    6) AS corr_qty_price
         |FROM a
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Deliberately the LITERAL correlated form — a different
+    // formulation than the Spark aggregate rewrite, so agreement is a
+    // real semantic cross-check, not the same plan twice.
+    "q35_sole_problem_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
   )
 }
