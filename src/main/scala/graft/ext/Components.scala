@@ -124,6 +124,12 @@ object Components {
       iter += 1
     }
     symRdd.unpersist(blocking = false)
+    // one INFO line per invocation: rounds ≈ graph diameter — the
+    // number to watch if cluster chains ever lengthen (pointer-jumping
+    // halves rounds but doubles per-round joins; it only pays past
+    // ~6-8 rounds, see PLANS.md round-7 note)
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"connectedComponents converged in $iter rounds")
     if (!converged) {
       labelsRdd.unpersist(blocking = false)
       throw new IllegalStateException(
