@@ -1433,6 +1433,58 @@ object ExtQueries {
       graft.ext.Drift.klMicro(bySrc, Seq("source"), reference)
         .orderBy(col("source"))
     }),
+
+    // Exact repeated-substring spans — the stride-1 window form of the
+    // suffix-array exact-substring dedup (find ANY ≥w-token run that
+    // repeats across documents, not just runs aligned to a fixed
+    // chunk grid like x49/x52): a window at EVERY token offset means
+    // a repeated run of length L ≥ w is marked at L−w+1 consecutive
+    // offsets, and the per-doc longest boilerplate span falls out of
+    // a gaps-and-islands pass (q30's pattern) over the marked offsets:
+    // max consecutive marked streak + w − 1.
+    //
+    // Scale shape: windows ride the shuffle as 32-byte md5s (n·w
+    // bytes of hashing per doc, n rows out — the explode is linear,
+    // never quadratic); occurrence counting is one hash aggregate on
+    // the window hash; the islands pass is one window function keyed
+    // on doc_id. At extreme scale a suffix-array-per-partition cuts
+    // the n·w hashing constant; the relational shape stays the same.
+    "x55_repeated_spans" -> ((s, dir) => {
+      val w = 10
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 3, lit(0))), " ")
+          .as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val wins = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $w)," +
+            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
+      val occ = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val dup = wins.join(occ, "h").filter(col("docs_with") > 1)
+      // islands: consecutive dup offsets share (idx - row_number)
+      val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spans = dup
+        .withColumn("island", col("idx") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("run")) + (w - 1)).as("max_span_tokens"),
+          sum(col("run")).as("n_dup_windows"))
+      corpus.select(col("doc_id"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2871,5 +2923,47 @@ object ExtQueries {
         |FROM terms
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "x55_repeated_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:greatest(len(string_split_regex(text, '\s+')) - 3, 0)],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(CAST(len(t) - 10 AS BIGINT) + 1, 0)))
+        |      AS idx
+        |  FROM tok),
+        |wins AS (
+        |  SELECT doc_id, idx,
+        |    md5(array_to_string(t[idx+1 : idx+10], ' ')) AS h
+        |  FROM ix),
+        |occ AS (
+        |  SELECT h, count(DISTINCT doc_id) AS docs_with FROM wins GROUP BY h),
+        |dup AS (
+        |  SELECT doc_id, idx,
+        |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+        |      AS island
+        |  FROM wins JOIN occ USING (h)
+        |  WHERE docs_with > 1),
+        |runs AS (
+        |  SELECT doc_id, island, count(*) AS run
+        |  FROM dup GROUP BY doc_id, island),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST(max(run) + 9 AS BIGINT) AS max_span_tokens,
+        |    CAST(sum(run) AS BIGINT) AS n_dup_windows
+        |  FROM runs GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(max_span_tokens, 0) AS max_span_tokens
+        |FROM corpus c LEFT JOIN spans s ON c.doc_id = s.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
   )
 }
