@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Cms, Components, Dedup, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
+import graft.ext.{Cms, Components, Dedup, Drift, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -1484,6 +1484,141 @@ object ExtQueries {
           coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
           coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by how target-domain-like its hashed unigram
+    // distribution is — weight(doc) = Σ_tokens [ln p̂_target(b) −
+    // ln p̂_raw(b)] where b is the token's feature-hash bucket (the
+    // 256-bucket md5 idiom shared with x21's split) and both bucket
+    // distributions are Laplace-smoothed (+1/bucket, so unseen buckets
+    // are defined). The target here is the English slice; the raw
+    // distribution is the whole corpus. High weight = looks like the
+    // target; downstream selection samples ∝ weight.
+    //
+    // Determinism: ln is quantized to integer micro-units BEFORE any
+    // summation (the x32/x54 idiom — libm vs DuckDB ln can differ in
+    // the last ulp, rounding to 6 decimals makes both engines agree),
+    // so each per-bucket log-ratio is an integer and the per-doc sum
+    // is order-independent.
+    //
+    // Scale shape: one token explode feeding two bounded aggregates
+    // (256-row bucket histograms) plus a 1-row total; the per-token
+    // stream is pre-aggregated to (doc_id, bucket) counts — ≤256 rows
+    // per doc regardless of length — before joining the broadcast
+    // 256-row weight table, so the only data-sized shuffle is the
+    // (doc_id, bucket) partial-aggregated one. Nothing in the plan
+    // grows with corpus size except that single keyed aggregate.
+    "x56_dsir_weights" -> ((s, dir) => {
+      val B = 256
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("token"))
+        .withColumn("b", Sampling.hashBucket256(col("token")))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+      val totals = toks.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+      // dense 0..255 spine: every bucket gets a weight even if no
+      // token hashed into it (smoothing makes the log defined)
+      val weights = s.range(B).select(col("id").as("b"))
+        .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+        .na.fill(0L, Seq("c_t", "c_r"))
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (Drift.lpMicro(col("c_t") + 1, col("n_t") + B)
+            - Drift.lpMicro(col("c_r") + 1, col("n_r") + B)).as("lw"))
+      toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(weights), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("lw")).as("dsir_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source adaptive quality gate: a single global quality cutoff
+    // systematically over-prunes sources whose baseline style differs
+    // (forum text scores lower than encyclopedia text on the same
+    // axis) — so calibrate the threshold PER SOURCE: score every doc,
+    // rank it within its source, and drop the bottom quartile of each
+    // source independently. Score = distinct-token fraction in integer
+    // micro-units (the repetition axis of x22, exact integer ratio so
+    // both engines agree bit-for-bit); the gate is rank*4 > n_src —
+    // pure integer arithmetic, no percentile interpolation to diverge.
+    //
+    // Scale shape: one narrow map for the score, then a single window
+    // keyed on source (one shuffle); per-source rank and count ride
+    // the same sort. Sources are the natural partition key and no
+    // source's slice needs to fit anywhere special — the window spills
+    // per-partition if a source is huge.
+    "x57_source_quality_gate" -> ((s, dir) => {
+      val scored = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("score",
+          expr("CAST(size(array_distinct(t)) AS BIGINT) * 1000000" +
+            " div n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("keep", col("rnk") * 4 > col("n_src"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("score"), col("rnk"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication in EMBEDDING space — cluster the corpus with
+    // k-means, compare vectors only WITHIN their cluster, and keep one
+    // representative per group of semantically near-identical vectors
+    // (cosine ≥ τ). This is the embedding-space sibling of the MinHash
+    // stack: LSH finds lexical near-dups, SemDeDup finds paraphrases
+    // and re-encodings that share no surface text.
+    //
+    // Test corpus plants a near-identical variant of every vector
+    // (coordinates quantized to the 2^-10 grid — cosine vs the
+    // original ≈ 0.9999) under vec_id+100000; the pipeline must pair
+    // each variant with its source and elect the lower id.
+    //
+    // Scale shape: the k-means fit is KMeansLite's bit-deterministic
+    // quantized fit (driver state = k·d doubles, bounded); candidate
+    // pairs are generated per CELL — k grows with the corpus so cell
+    // population stays bounded and the pairwise stage is O(n·cell),
+    // never O(n²); cluster election is the same hash-partitioned
+    // label propagation as x23. Cosine is rounded to 6 decimals
+    // before the τ compare so both engines gate identical pairs.
+    "x58_semdedup" -> ((s, dir) => {
+      val k = 16
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => round(x * 1024) / 1024).as("v"))
+      val corpus = spread(base.unionByName(planted))
+      val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
+      val assigned = corpus.select(col("vec_id"), col("v"),
+        KMeansLite.assign(col("v"), cents).as("cell"))
+      val edges = assigned
+        .select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+        .join(assigned.select(col("cell"), col("vec_id").as("id_b"),
+          col("v").as("vb")), "cell")
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+          >= lit(0.99))
+        .select(col("id_a"), col("id_b"))
+      val comp = Components.connectedComponents(
+        corpus.select(col("vec_id")), "vec_id", edges, "id_a", "id_b")
+      val sizes = comp.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          (col("vec_id") === col("cluster_id")).as("keep"))
+        .orderBy(col("vec_id"))
     }),
   )
 
@@ -2965,5 +3100,131 @@ object ExtQueries {
         |  coalesce(max_span_tokens, 0) AS max_span_tokens
         |FROM corpus c LEFT JOIN spans s ON c.doc_id = s.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    "x56_dsir_weights" ->
+      """WITH tb AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(text, '\s+')) AS token
+        |        FROM documents)),
+        |tgt AS (SELECT b, count(*) AS c_t FROM tb WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, count(*) AS c_r FROM tb GROUP BY b),
+        |tot AS (SELECT count(*) FILTER (WHERE lang = 'en') AS n_t,
+        |               count(*) AS n_r
+        |        FROM tb),
+        |spine AS (SELECT unnest(range(0, 256)) AS b),
+        |w AS (
+        |  SELECT spine.b,
+        |    CAST(round(round(ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE)
+        |                        / CAST(n_t + 256 AS DOUBLE)), 6) * 1e6)
+        |         AS BIGINT)
+        |    - CAST(round(round(ln(CAST(coalesce(c_r, 0) + 1 AS DOUBLE)
+        |                          / CAST(n_r + 256 AS DOUBLE)), 6) * 1e6)
+        |           AS BIGINT) AS lw
+        |  FROM spine LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tot),
+        |db AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cnt * lw) AS BIGINT) AS dsir_micro
+        |FROM db JOIN w USING (b)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "x57_source_quality_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+        |         // CAST(len(t) AS BIGINT) AS BIGINT) AS score
+        |  FROM tok),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY score, doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens, score, rnk,
+        |  rnk * 4 > n_src AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x58_semdedup" -> semDedupSql(k = 16, dims = 64),
   )
+
+  /** SemDeDup oracle: planted 2^-10-grid variants, one quantized
+    * k-means iteration (the kmeansIvfSql arithmetic — exact 2^24
+    * quantization, integer sums, floor division, ties to the lowest
+    * cell), within-cell cosine pairs at τ=0.99 on 6-decimal-rounded
+    * cosine, then x23's recursive min-label reachability.
+    */
+  private def semDedupSql(k: Int, dims: Int): String = {
+    def d2(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, [round(x * 1024) / 1024 for x in v]
+       |  FROM base),
+       |pts AS (
+       |  SELECT vec_id, v,
+       |    [CAST(round(x * 16777216.0) AS BIGINT) for x in v] AS q
+       |  FROM corpus),
+       |c_0 AS (
+       |  SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |    FROM pts)
+       |  WHERE cell < $k),
+       |a_1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT p.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+       |    FROM pts p, c_0 c)
+       |  WHERE rn = 1),
+       |m_1 AS (
+       |  SELECT a.cell, r.i AS dim,
+       |    floor(CAST(sum(p.q[r.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ms
+       |  FROM a_1 a JOIN pts p USING (vec_id), range(1, ${dims + 1}) r(i)
+       |  GROUP BY a.cell, r.i),
+       |cm_1 AS (
+       |  SELECT cell, list(ms / 16777216.0 ORDER BY dim) AS cv
+       |  FROM m_1 GROUP BY cell),
+       |c_1 AS (
+       |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+       |  FROM c_0 p LEFT JOIN cm_1 n USING (cell)),
+       |a_2 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT p.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+       |    FROM pts p, c_1 c)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT a.vec_id, a.cell, p.v FROM a_2 a JOIN pts p USING (vec_id)),
+       |edges AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosineSql("a.v", "b.v")}, 6) >= 0.99),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, m) AS (
+       |  SELECT vec_id, vec_id FROM corpus
+       |  UNION
+       |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+       |comp AS (SELECT id AS vec_id, min(m) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.vec_id, c.cluster_id, s.cluster_size,
+       |  (c.vec_id = c.cluster_id) AS keep
+       |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY c.vec_id""".stripMargin
+  }
 }
