@@ -1620,6 +1620,61 @@ object ExtQueries {
           (col("vec_id") === col("cluster_id")).as("keep"))
         .orderBy(col("vec_id"))
     }),
+
+    // Product-quantization ADC search (Jégou et al. 2011, "Product
+    // Quantization for Nearest Neighbor Search"): split each 64-dim
+    // vector into m=4 16-dim subspaces, k-means each subspace to 16
+    // codewords, and store every database vector as 4 small codes —
+    // 4 bytes instead of 256. A query never touches the raw vectors:
+    // it builds one 16-entry lookup table of partial squared distances
+    // per subspace (m·k d2 evaluations), and each candidate's
+    // approximate distance is 4 table lookups + 3 adds (Asymmetric
+    // Distance Computation). This is the memory-bound regime ANN needs
+    // at 100 TB: the code table is ~64× smaller than the vectors, so
+    // the scan that decides the top-k streams codes, not floats.
+    //
+    // Determinism: each subspace quantizer is KMeansLite's
+    // bit-deterministic fit (driver state m·k·16 doubles); LUT entries
+    // are the same d2 doubles the x16 oracle already matches
+    // bit-for-bit, summed in fixed subspace order, rounded to 6
+    // decimals before ranking; ties break to the lowest neighbor id.
+    //
+    // Scale shape: the probe side (20 queries × 4 LUTs of 16 doubles)
+    // is a bounded broadcast spine — the flagged BNLJ is the x44
+    // scalar-broadcast shape, never data × data; the code scan is one
+    // narrow pass over n rows; top-k is a per-query window.
+    "x59_pq_adc" -> ((s, dir) => {
+      val m = 4; val sub = 16; val k = 16; val topK = 5; val nQ = 20
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        KMeansLite.fitQuantized(
+          base.select(col("vec_id"),
+            slice(col("v"), j * sub + 1, sub).as("v")),
+          "vec_id", "v", k, iters = 1)
+      }
+      val codes = base.select(
+        col("vec_id").as("neighbor_id") +:
+          (0 until m).map(j => KMeansLite.assign(
+            slice(col("v"), j * sub + 1, sub), cents(j)).as(s"code_$j")): _*)
+      val probes = base.filter(col("vec_id") < nQ).select(
+        col("vec_id").as("query_id") +:
+          (0 until m).map(j => KMeansLite.cellDistances(
+            slice(col("v"), j * sub + 1, sub), cents(j)).as(s"lut_$j")): _*)
+      val adc6 = round((0 until m)
+        .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
+        .reduce(_ + _), 6)
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc6"), col("neighbor_id"))
+      codes.crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc6", adc6)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("adc6").as("adc_d2"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3153,7 +3208,91 @@ object ExtQueries {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "x58_semdedup" -> semDedupSql(k = 16, dims = 64),
+
+    "x59_pq_adc" ->
+      pqAdcSql(m = 4, sub = 16, k = 16, topK = 5, nQueries = 20),
   )
+
+  /** PQ-ADC oracle: per-subspace unrolled quantized k-means (the
+    * kmeansIvfSql arithmetic on vector slices), database vectors
+    * encoded to per-subspace argmin codes, queries ranked by the
+    * 6-decimal-rounded sum of per-subspace LUT distances.
+    */
+  private def pqAdcSql(
+      m: Int, sub: Int, k: Int, topK: Int, nQueries: Int): String = {
+    def d2(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${sub + 1})])"
+    def sl(j: Int) = s"[${j * sub + 1}:${(j + 1) * sub}]"
+    val subCtes = (0 until m).map { j =>
+      s"""p_$j AS (
+         |  SELECT vec_id, v${sl(j)} AS v,
+         |    [CAST(round(x * 16777216.0) AS BIGINT) for x in v${sl(j)}] AS q
+         |  FROM base),
+         |c0_$j AS (
+         |  SELECT cell, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+         |    FROM p_$j)
+         |  WHERE cell < $k),
+         |a1_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+         |    FROM p_$j p, c0_$j c)
+         |  WHERE rn = 1),
+         |m1_$j AS (
+         |  SELECT a.cell, r.i AS dim,
+         |    floor(CAST(sum(p.q[r.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ms
+         |  FROM a1_$j a JOIN p_$j p USING (vec_id), range(1, ${sub + 1}) r(i)
+         |  GROUP BY a.cell, r.i),
+         |cm1_$j AS (
+         |  SELECT cell, list(ms / 16777216.0 ORDER BY dim) AS cv
+         |  FROM m1_$j GROUP BY cell),
+         |c1_$j AS (
+         |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c0_$j p LEFT JOIN cm1_$j n USING (cell)),
+         |code_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+         |    FROM p_$j p, c1_$j c)
+         |  WHERE rn = 1),
+         |lut_$j AS (
+         |  SELECT b.vec_id AS query_id, c.cell,
+         |    ${d2(s"b.v${sl(j)}", "c.cv")} AS d
+         |  FROM base b, c1_$j c WHERE b.vec_id < $nQueries)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m)
+      .map(j => s"JOIN code_$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m)
+      .map(j => s"code_$j.cell AS code_$j").mkString(", ")
+    val lutJoins = (0 until m).map(j =>
+      s"JOIN lut_$j l$j ON l$j.query_id = q.query_id AND l$j.cell = cd.code_$j")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$subCtes,
+       |codes AS (
+       |  SELECT vec_id, $codeCols
+       |  FROM base $codeJoins),
+       |qids AS (SELECT DISTINCT query_id FROM lut_0),
+       |adc AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+       |    round($adcSum, 6) AS adc_d2
+       |  FROM qids q CROSS JOIN codes cd
+       |  $lutJoins
+       |  WHERE cd.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc_d2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT query_id, rnk, neighbor_id, adc_d2
+       |FROM r WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** SemDeDup oracle: planted 2^-10-grid variants, one quantized
     * k-means iteration (the kmeansIvfSql arithmetic — exact 2^24
