@@ -179,6 +179,107 @@ object ScaleProbe {
       println(f"SCALE-EMB k=$k vecs=${k * e0}%7d pairs=$n%8d " +
         f"lsh=${(System.nanoTime() - t0) / 1e9}%7.2fs")
     }
+
+    // Repeated-span shape (x55): windows at EVERY token offset →
+    // occurrence count on the window hash → per-doc islands. Work is
+    // n·w hashing + one keyed aggregate + one per-doc window — the
+    // curve must track corpus (and dup-mass) size, never corpus².
+    // Copies reuse the rotation corpus, so cross-copy window hashes
+    // genuinely repeat and the dup mass grows with k (worst case).
+    ks.foreach { k =>
+      val w = 10
+      val corpus = (0 until k).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          when(lit(c) === 0, col("text")).otherwise(
+            array_join(concat(
+              slice(Text.tokens(col("text")), c + 1, 100000),
+              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t0 = System.nanoTime()
+      val wins = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $w)," +
+            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
+      val occ = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val grp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spanned = wins.join(occ, "h").filter(col("docs_with") > 1)
+        .withColumn("island", col("idx") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)))
+        .groupBy(col("doc_id")).agg(count(lit(1)))
+        .count()
+      println(f"SCALE-SPAN k=$k docs=${k * n0}%7d spanned_docs=$spanned%7d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+
+    // SemDeDup + PQ shapes (x58/x59) on the scaled embedding corpus.
+    // SemDeDup: cells from the quantized fit, pairs only within a
+    // cell — k (cells) is scaled WITH the corpus, as a deployment
+    // would, so cell population and the per-cell pair count stay flat.
+    // PQ: codebook fit + code scan + 20-query ADC rank — the scan is
+    // one narrow pass, so its curve must be linear in vecs.
+    ks.foreach { k =>
+      val corpus = (0 until k).map { c =>
+        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          transform(col("v"), x => x * (1.0 + c / 1000.0)).as("v"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+      corpus.count()
+
+      val t0 = System.nanoTime()
+      val cells = 16 * k // cells scale with the corpus: bounded cell pop
+      val cents = graft.ext.KMeansLite.fitQuantized(
+        corpus, "vec_id", "v", cells, iters = 1)
+      val assigned = corpus.select(col("vec_id"), col("v"),
+        graft.ext.KMeansLite.assign(col("v"), cents).as("cell"))
+      val pairs = assigned
+        .select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+        .hint("merge")
+        .join(assigned.select(col("cell"), col("vec_id").as("id_b"),
+          col("v").as("vb")), "cell")
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.ext.Similarity.cosine(col("va"), col("vb")), 6)
+          >= lit(0.99)).count()
+      val tSem = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val m = 4; val sub = 16
+      val pqCents = (0 until m).map { j =>
+        graft.ext.KMeansLite.fitQuantized(
+          corpus.select(col("vec_id"),
+            slice(col("v"), j * sub + 1, sub).as("v")),
+          "vec_id", "v", 16, iters = 1)
+      }
+      val codes = corpus.select(
+        col("vec_id").as("neighbor_id") +:
+          (0 until m).map(j => graft.ext.KMeansLite.assign(
+            slice(col("v"), j * sub + 1, sub), pqCents(j)).as(s"code_$j")): _*)
+      val probes = corpus.filter(col("vec_id") < 20).select(
+        col("vec_id").as("query_id") +:
+          (0 until m).map(j => graft.ext.KMeansLite.cellDistances(
+            slice(col("v"), j * sub + 1, sub), pqCents(j)).as(s"lut_$j")): _*)
+      val adc = round((0 until m)
+        .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
+        .reduce(_ + _), 6)
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("adc6"), col("neighbor_id"))
+      val topk = codes.crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc6", adc)
+        .withColumn("rnk", row_number().over(wR))
+        .filter(col("rnk") <= 5).count()
+      val tPq = (System.nanoTime() - t1) / 1e9
+
+      println(f"SCALE-SEMPQ k=$k vecs=${k * e0}%7d semdedup_pairs=$pairs%8d " +
+        f"topk=$topk%4d semdedup=$tSem%7.2fs pq=$tPq%7.2fs")
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1516,16 +1516,19 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"),
           explode(Text.tokens(col("text"))).as("token"))
         .withColumn("b", Sampling.hashBucket256(col("token")))
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
-      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
-      val totals = toks.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
-        count(lit(1)).as("n_r"))
+      // one pass builds BOTH histograms: raw count + conditional
+      // target count per bucket (256 rows out); the totals then reduce
+      // the histogram, not the token stream — the explode is scanned
+      // once here and once for the per-doc counts, never a third time
+      val hist = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val totals = hist.agg(sum(col("c_t")).as("n_t"),
+        sum(col("c_r")).as("n_r"))
       // dense 0..255 spine: every bucket gets a weight even if no
       // token hashed into it (smoothing makes the log defined)
       val weights = s.range(B).select(col("id").as("b"))
-        .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+        .join(hist, Seq("b"), "left")
         .na.fill(0L, Seq("c_t", "c_r"))
         .crossJoin(broadcast(totals))
         .select(col("b"),
