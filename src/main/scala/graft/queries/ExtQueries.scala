@@ -1678,6 +1678,111 @@ object ExtQueries {
           col("adc6").as("adc_d2"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // Per-document n-gram novelty: how much does each doc ADD to the
+    // corpus, in distinct 5-gram windows whose first occurrence
+    // (lowest doc_id — arrival order proxy) is this doc? The
+    // selection-priority metric dedup-aware curation ranks by: a doc
+    // whose windows all appeared earlier contributes nothing even if
+    // no single document duplicates it whole. Planted full copies
+    // (doc_id+10000) must score exactly zero novel windows — the
+    // original claims every window first.
+    //
+    // Scale shape: per-doc DISTINCT windows ride the explode as
+    // 32-byte md5s; first-claim is one min-aggregate on the window
+    // hash; the claim join is keyed on the same hash (same-key
+    // exchange reuse). Nothing quadratic, nothing driver-side.
+    "x60_ngram_novelty" -> ((s, dir) => {
+      val w = 5
+      val docs = t(s, dir, "documents")
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000L).as("doc_id"),
+          col("text"))))
+      val wins = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(t) - $w)," +
+            s" i -> md5(array_join(slice(t, i + 1, $w), ' '))))")).as("h"))
+      val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val scored = wins.join(first, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_ngrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      corpus.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(expr("n_novel * 1000000 div n_distinct_ngrams"), lit(0L))
+            .as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-space outlier detection: vectors far from their
+    // k-means centroid are encoder glitches, garbled inputs, or
+    // genuinely rare content — either way the rows a curation pass
+    // inspects first. Flag the top 5% by centroid distance WITHIN each
+    // cell (a global cutoff would just flag whole sparse cells).
+    // Rank-based, not threshold-based: d2 rounds to 6 decimals and
+    // ties break by vec_id, so the flagged set is bit-deterministic.
+    //
+    // Scale shape: one narrow assign pass (k d2 evaluations per row),
+    // one cell-keyed window for rank + population. Cells are the
+    // partition key; driver state is the k·d centroid grid.
+    "x61_embed_outliers" -> ((s, dir) => {
+      val k = 16
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", k, iters = 1)
+      val wCell = Window.partitionBy(col("cell"))
+        .orderBy(col("d2_6").desc, col("vec_id"))
+      base.select(col("vec_id"),
+          KMeansLite.assign(col("v"), cents).cast("long").as("cell"),
+          round(array_min(KMeansLite.cellDistances(col("v"), cents)), 6)
+            .as("d2_6"))
+        .withColumn("rnk", row_number().over(wCell).cast("long"))
+        .withColumn("pop",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .withColumn("outlier", col("rnk") * 20 <= col("pop"))
+        .select(col("vec_id"), col("cell"), col("d2_6"), col("rnk"),
+          col("pop"), col("outlier"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Cluster-balanced resampling (the D4 recipe, Tirumala et al.
+    // 2023: cluster the corpus in embedding space, then flatten the
+    // cluster-size distribution so a few mega-clusters of
+    // boilerplate don't dominate training). Each cluster keeps at
+    // most its fair share (total/k): a keep-rate in 256ths is derived
+    // per cluster and membership is the deterministic md5 bucket of
+    // the vec_id — pure integer arithmetic end to end, no rand().
+    //
+    // Scale shape: assign is a narrow map; cluster sizes are a k-row
+    // aggregate broadcast back; the keep decision is per-row local.
+    // The sample is reproducible from ids alone — rerunning on a
+    // grown corpus keeps decisions stable for unchanged clusters.
+    "x62_cluster_balance" -> ((s, dir) => {
+      val k = 8
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", k, iters = 1)
+      val assigned = base.select(col("vec_id"),
+        KMeansLite.assign(col("v"), cents).cast("long").as("cell"))
+      val sizes = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("pop"))
+      val total = sizes.agg(sum(col("pop")).as("total"))
+      assigned.join(broadcast(sizes), "cell")
+        .crossJoin(broadcast(total))
+        // fair share per cluster in 256ths of the cluster: capped at
+        // 256 (keep all of an under-represented cluster)
+        .withColumn("cap256",
+          least(expr(s"(total div $k) * 256 div pop"), lit(256L)))
+        .withColumn("keep",
+          Sampling.hashBucket256(col("vec_id")) < col("cap256"))
+        .select(col("vec_id"), col("cell"), col("pop"), col("cap256"),
+          col("keep"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3214,7 +3319,112 @@ object ExtQueries {
 
     "x59_pq_adc" ->
       pqAdcSql(m = 4, sub = 16, k = 16, topK = 5, nQueries = 20),
+
+    "x60_ngram_novelty" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [md5(array_to_string(t[i+1 : i+5], ' '))
+        |     for i in range(0, greatest(CAST(len(t) AS BIGINT) - 4, 0))]))
+        |    AS h
+        |  FROM tok WHERE len(t) >= 5),
+        |fo AS (SELECT h, min(doc_id) AS first_doc FROM wins GROUP BY h),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+        |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel
+        |  FROM wins JOIN fo USING (h) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(n_distinct_ngrams, 0) AS n_distinct_ngrams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  coalesce(CAST(n_novel * 1000000 // n_distinct_ngrams AS BIGINT), 0)
+        |    AS novelty_ppm
+        |FROM corpus c LEFT JOIN scored s ON c.doc_id = s.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "x61_embed_outliers" ->
+      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+         |r AS (
+         |  SELECT vec_id, cell, round(d, 6) AS d2_6,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |                            ORDER BY round(d, 6) DESC, vec_id)
+         |         AS BIGINT) AS rnk,
+         |    count(*) OVER (PARTITION BY cell) AS pop
+         |  FROM asg)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2_6, rnk,
+         |  CAST(pop AS BIGINT) AS pop, rnk * 20 <= pop AS outlier
+         |FROM r ORDER BY vec_id""".stripMargin,
+
+    "x62_cluster_balance" ->
+      s"""WITH ${kmeans1Sql(k = 8, dims = 64)},
+         |sizes AS (SELECT cell, count(*) AS pop FROM asg GROUP BY cell),
+         |tot AS (SELECT CAST(sum(pop) AS BIGINT) AS total FROM sizes),
+         |r AS (
+         |  SELECT a.vec_id, a.cell, s.pop,
+         |    least((total // 8) * 256 // s.pop, 256) AS cap256,
+         |    (strpos('0123456789abcdef',
+         |            substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |    (strpos('0123456789abcdef',
+         |            substr(md5(CAST(a.vec_id AS VARCHAR)), 2, 1)) - 1)
+         |      AS bucket
+         |  FROM asg a JOIN sizes s USING (cell), tot)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(pop AS BIGINT) AS pop, CAST(cap256 AS BIGINT) AS cap256,
+         |  bucket < cap256 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin,
   )
+
+  /** Shared 1-iteration quantized-k-means CTE block over the raw
+    * embeddings table (the kmeansIvfSql arithmetic, factored for the
+    * ops that need only the final assignment): defines `base`, `pts`,
+    * `c_0`…`c_1` and `asg(vec_id, cell, d)` where d is the squared
+    * distance to the assigned (argmin, ties-to-lowest) centroid.
+    */
+  private def kmeans1Sql(k: Int, dims: Int): String = {
+    def d2(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    s"""base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pts AS (
+       |  SELECT vec_id, v,
+       |    [CAST(round(x * 16777216.0) AS BIGINT) for x in v] AS q
+       |  FROM base),
+       |c_0 AS (
+       |  SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |    FROM pts)
+       |  WHERE cell < $k),
+       |a_1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT p.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+       |    FROM pts p, c_0 c)
+       |  WHERE rn = 1),
+       |m_1 AS (
+       |  SELECT a.cell, r.i AS dim,
+       |    floor(CAST(sum(p.q[r.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ms
+       |  FROM a_1 a JOIN pts p USING (vec_id), range(1, ${dims + 1}) r(i)
+       |  GROUP BY a.cell, r.i),
+       |cm_1 AS (
+       |  SELECT cell, list(ms / 16777216.0 ORDER BY dim) AS cv
+       |  FROM m_1 GROUP BY cell),
+       |c_1 AS (
+       |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+       |  FROM c_0 p LEFT JOIN cm_1 n USING (cell)),
+       |asg AS (
+       |  SELECT vec_id, cell, d FROM (
+       |    SELECT p.vec_id, c.cell, ${d2("p.v", "c.cv")} AS d,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
+       |    FROM pts p, c_1 c)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** PQ-ADC oracle: per-subspace unrolled quantized k-means (the
     * kmeansIvfSql arithmetic on vector slices), database vectors

@@ -120,4 +120,70 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._2)).toSeq ==
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("x60: planted full copies contribute zero novel n-grams") {
+    val rows = run("x60_ngram_novelty")
+      .select($"doc_id", $"n_distinct_ngrams", $"n_novel", $"novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val (planted, originals) = rows.partition(_._1 >= 10000L)
+    assert(planted.nonEmpty && originals.nonEmpty)
+    // every planted copy's windows were claimed by its lower-id
+    // original — zero novelty is the defining invariant
+    planted.foreach { case (id, _, novel, ppm) =>
+      assert(novel == 0 && ppm == 0, s"copy $id claims $novel novel n-grams")
+    }
+    originals.foreach { case (id, dist, novel, _) =>
+      assert(novel <= dist, s"doc $id: novel $novel > distinct $dist")
+    }
+    // corpus-wide: every distinct window is claimed exactly once —
+    // compare against an independent distinct count (originals only;
+    // full copies add no new windows)
+    val claimed = rows.map(_._3).sum
+    val distinctWindows = Tables(spark, dir, "documents")
+      .withColumn("t", split($"text", "\\s+"))
+      .filter(size($"t") >= 5)
+      .select(explode(expr("transform(sequence(0, size(t) - 5)," +
+        " i -> md5(array_join(slice(t, i + 1, 5), ' ')))")).as("h"))
+      .agg(countDistinct($"h")).as[Long].head()
+    assert(claimed == distinctWindows,
+      s"claimed $claimed != distinct $distinctWindows")
+  }
+
+  test("x61: each cell flags exactly its top 5% as outliers") {
+    val rows = run("x61_embed_outliers")
+      .select($"cell", $"rnk", $"pop", $"outlier")
+      .as[(Long, Long, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (cell, members) =>
+      val pop = members.head._3
+      val flagged = members.count(_._4)
+      assert(flagged == pop / 20, s"cell $cell flagged $flagged of $pop")
+      // flagged rows are exactly the lowest ranks (farthest first)
+      members.filter(_._4).foreach { case (_, rnk, _, _) =>
+        assert(rnk * 20 <= pop)
+      }
+    }
+  }
+
+  test("x62: over-represented clusters are cut, small ones kept whole") {
+    val rows = run("x62_cluster_balance")
+      .select($"cell", $"pop", $"cap256", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val total = rows.length
+    val fair = total / 8
+    rows.groupBy(_._1).foreach { case (cell, members) =>
+      val pop = members.head._2
+      val cap = members.head._3
+      if (pop <= fair) {
+        // under-represented: fair·256/pop ≥ 256 → everything kept
+        assert(cap == 256L, s"cell $cell pop $pop cap $cap")
+        assert(members.forall(_._4))
+      } else {
+        assert(cap < 256L, s"cell $cell pop $pop should be capped")
+        // the deterministic sample hits close to its target rate; at
+        // these populations the md5 buckets land within a loose band
+        val kept = members.count(_._4)
+        assert(kept < pop, s"cell $cell kept everything despite cap")
+      }
+    }
+  }
 }
