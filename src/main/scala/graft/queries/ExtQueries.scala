@@ -1783,6 +1783,34 @@ object ExtQueries {
           col("keep"))
         .orderBy(col("vec_id"))
     }),
+
+    // Exact-quota stratified eval split: hold out exactly ⌈pop/20⌉
+    // docs (5%) from EVERY (source, lang) stratum, chosen by md5
+    // order. x21's hash split holds its ratio only in expectation —
+    // on a small stratum it can starve the holdout to zero — while an
+    // evaluation set needs every stratum represented with an exact,
+    // reproducible quota (the difference between "5% of the corpus"
+    // and "5% of each slice you report metrics on").
+    //
+    // Scale shape: one window keyed on the stratum (rank and
+    // population ride the same sort); membership depends only on
+    // (stratum, md5(doc_id)), so re-running on a grown corpus moves
+    // as few docs as the quota arithmetic forces.
+    "x63_stratified_eval" -> ((s, dir) => {
+      val strat = Window.partitionBy(col("source"), col("lang"))
+      val docs = spread(t(s, dir, "documents"))
+      docs
+        .withColumn("rnk", row_number().over(
+          strat.orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+        .withColumn("pop", count(lit(1)).over(strat))
+        .withColumn("quota", expr("(pop + 19) div 20"))
+        .withColumn("split",
+          when(col("rnk") <= col("quota"), "eval").otherwise("train"))
+        .select(col("doc_id"), col("source"), col("lang"), col("rnk"),
+          col("pop"), col("quota"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3377,6 +3405,20 @@ object ExtQueries {
          |  CAST(pop AS BIGINT) AS pop, CAST(cap256 AS BIGINT) AS cap256,
          |  bucket < cap256 AS keep
          |FROM r ORDER BY vec_id""".stripMargin,
+
+    "x63_stratified_eval" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source, lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY source, lang) AS pop
+        |  FROM documents)
+        |SELECT doc_id, source, lang, rnk, CAST(pop AS BIGINT) AS pop,
+        |  CAST((pop + 19) // 20 AS BIGINT) AS quota,
+        |  CASE WHEN rnk <= (pop + 19) // 20 THEN 'eval' ELSE 'train' END
+        |    AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw

@@ -609,6 +609,38 @@ object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),
+
+    // TPC-H Q22's shape (high-balance customers in target nations with
+    // no RECENT orders — the "global sales opportunity" report): a
+    // scalar subquery threshold + an anti join. Spark-first: the
+    // positive-balance average is a 1-row broadcast (computed in exact
+    // DECIMAL then rounded, so the threshold compare is bit-stable
+    // cross-engine), the inactivity test a broadcast-able LEFT ANTI on
+    // o_custkey over the date-filtered orders (the filter pushes into
+    // the scan, shrinking the anti side before any shuffle), never a
+    // correlated per-row probe. The oracle runs the literal
+    // scalar-subquery + NOT EXISTS text as the cross-check.
+    "q36_high_balance_inactive" -> ((s, dir) => {
+      val nations = Seq("NATION_1", "NATION_3", "NATION_7", "NATION_13",
+        "NATION_17", "NATION_19", "NATION_23")
+      val target = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(nations: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+      val thr = target.filter(col("c_acctbal") > 0)
+        .agg(round(sum(col("c_acctbal").cast("decimal(38,8)"))
+          .cast("double") / count(lit(1)), 6).as("ab"))
+      target.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "2000-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(38,8)")).cast("double"),
+            2).as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1053,5 +1085,26 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+
+    "q36_high_balance_inactive" ->
+      """SELECT n_name, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |    AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_7', 'NATION_13',
+        |                 'NATION_17', 'NATION_19', 'NATION_23')
+        |  AND c_acctbal > (
+        |    SELECT round(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,8)))
+        |                      AS DOUBLE) / count(*), 6)
+        |    FROM customer c2 JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+        |    WHERE n2.n_name IN ('NATION_1', 'NATION_3', 'NATION_7',
+        |                        'NATION_13', 'NATION_17', 'NATION_19',
+        |                        'NATION_23')
+        |      AND c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
   )
 }

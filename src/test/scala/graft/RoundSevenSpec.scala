@@ -164,6 +164,21 @@ class RoundSevenSpec extends AnyFunSuite {
     }
   }
 
+  test("x63: every stratum holds out exactly its ceil(5%) quota") {
+    val rows = run("x63_stratified_eval")
+      .select($"source", $"lang", $"pop", $"quota", $"split")
+      .as[(String, String, Long, Long, String)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (stratum, members) =>
+      val pop = members.head._3
+      val quota = members.head._4
+      assert(quota == (pop + 19) / 20, s"$stratum quota")
+      assert(quota >= 1, s"$stratum starved") // ceil never hits zero
+      val eval = members.count(_._5 == "eval")
+      assert(eval == quota, s"$stratum held out $eval, quota $quota")
+      assert(members.length == pop)
+    }
+  }
+
   test("x62: over-represented clusters are cut, small ones kept whole") {
     val rows = run("x62_cluster_balance")
       .select($"cell", $"pop", $"cap256", $"keep")
