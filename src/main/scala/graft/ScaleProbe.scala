@@ -36,19 +36,22 @@ object ScaleProbe {
       .select(col("doc_id"), col("text")).cache()
     val n0 = docs.count()
 
+    // k× document corpus: copy c shifts ids by c*1e6 and rotates each
+    // doc's tokens by c, so cross-copy pairs are near-dups (same
+    // shingle multiset minus boundary trigrams) without being
+    // byte-identical — every dedup stage does full work. One builder
+    // for every probe section, so all curves measure the same corpus.
+    def scaledDocs(k: Int) = (0 until k).map { c =>
+      docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+        when(lit(c) === 0, col("text")).otherwise(
+          array_join(concat(
+            slice(Text.tokens(col("text")), c + 1, 100000),
+            slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+
     ks.foreach { k =>
-      // copy c shifts ids by c*1e6 and rotates each doc's tokens by c,
-      // so cross-copy pairs are near-dups (same shingle multiset minus
-      // boundary trigrams) without being byte-identical — the LSH and
-      // jaccard stages do full work
-      val corpus = (0 until k).map { c =>
-        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
-          when(lit(c) === 0, col("text")).otherwise(
-            array_join(concat(
-              slice(Text.tokens(col("text")), c + 1, 100000),
-              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledDocs(k)
 
       val sh = corpus.withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= 3)
@@ -79,14 +82,7 @@ object ScaleProbe {
     // ranking window degenerates to one partition as the corpus grows)
     // would bend this curve even when each part's own curve stays flat.
     ks.foreach { k =>
-      val corpus = (0 until k).map { c =>
-        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
-          when(lit(c) === 0, col("text")).otherwise(
-            array_join(concat(
-              slice(Text.tokens(col("text")), c + 1, 100000),
-              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledDocs(k)
 
       def shingled = corpus.withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= 3)
@@ -130,14 +126,7 @@ object ScaleProbe {
     // aggregate on the chunk md5, the audit join keyed on it — time
     // should track corpus size, never corpus².
     ks.foreach { k =>
-      val corpus = (0 until k).map { c =>
-        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
-          when(lit(c) === 0, col("text")).otherwise(
-            array_join(concat(
-              slice(Text.tokens(col("text")), c + 1, 100000),
-              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledDocs(k)
       val chunks = corpus.withColumn("t", Text.tokens(col("text")))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, cast(floor((size(t)-1)/20) as int))," +
@@ -162,12 +151,18 @@ object ScaleProbe {
         graft.ext.Similarity.toDoubleArray(col("embedding")).as("v"))
       .cache()
     val e0 = emb.count()
+    // k× embedding corpus: copy c scales the vectors by (1 + c/1000) —
+    // same direction, so cross-copy pairs collide in any
+    // direction-based bucket and pass a cosine gate: max planted-pair
+    // load per size. Shared by every embedding probe section.
+    def scaledEmb(k: Int) = (0 until k).map { c =>
+      emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
+        transform(col("v"), x => x * (1.0 + c / 1000.0)).as("v"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+
     ks.foreach { k =>
-      val corpus = (0 until k).map { c =>
-        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
-          transform(col("v"), x => x * (1.0 + c / 1000.0)).as("v"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledEmb(k)
         .withColumn("bucket", graft.ext.Similarity.signBucket(col("v"), 8, 64))
       val t0 = System.nanoTime()
       val n = corpus.as("a").hint("merge")
@@ -181,21 +176,15 @@ object ScaleProbe {
     }
 
     // Repeated-span shape (x55): windows at EVERY token offset →
-    // occurrence count on the window hash → per-doc islands. Work is
-    // n·w hashing + one keyed aggregate + one per-doc window — the
-    // curve must track corpus (and dup-mass) size, never corpus².
+    // min/max window pair on the window hash (the cross-doc repeat
+    // test, one keyed shuffle, no join) → per-doc islands. Work is
+    // n·w hashing + two window passes — the curve must track corpus
+    // (and dup-mass) size, never corpus².
     // Copies reuse the rotation corpus, so cross-copy window hashes
     // genuinely repeat and the dup mass grows with k (worst case).
     ks.foreach { k =>
       val w = 10
-      val corpus = (0 until k).map { c =>
-        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
-          when(lit(c) === 0, col("text")).otherwise(
-            array_join(concat(
-              slice(Text.tokens(col("text")), c + 1, 100000),
-              slice(Text.tokens(col("text")), 1, c)), " ")).as("text"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledDocs(k)
       val t0 = System.nanoTime()
       val wins = corpus.withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= w)
@@ -203,11 +192,14 @@ object ScaleProbe {
           s"transform(sequence(0, size(t) - $w)," +
             s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
-      val occ = wins.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
       val grp = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("idx"))
-      val spanned = wins.join(occ, "h").filter(col("docs_with") > 1)
+      val spanned = wins
+        .withColumn("mn", min(col("doc_id")).over(wH))
+        .withColumn("mx", max(col("doc_id")).over(wH))
+        .filter(col("mn") =!= col("mx"))
         .withColumn("island", col("idx") - row_number().over(grp))
         .groupBy(col("doc_id"), col("island"))
         .agg(count(lit(1)))
@@ -224,11 +216,7 @@ object ScaleProbe {
     // PQ: codebook fit + code scan + 20-query ADC rank — the scan is
     // one narrow pass, so its curve must be linear in vecs.
     ks.foreach { k =>
-      val corpus = (0 until k).map { c =>
-        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
-          transform(col("v"), x => x * (1.0 + c / 1000.0)).as("v"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpus = scaledEmb(k)
         .cache()
       corpus.count()
 

@@ -1445,10 +1445,12 @@ object ExtQueries {
     //
     // Scale shape: windows ride the shuffle as 32-byte md5s (n·w
     // bytes of hashing per doc, n rows out — the explode is linear,
-    // never quadratic); occurrence counting is one hash aggregate on
-    // the window hash; the islands pass is one window function keyed
-    // on doc_id. At extreme scale a suffix-array-per-partition cuts
-    // the n·w hashing constant; the relational shape stays the same.
+    // never quadratic); the cross-doc repeat test is a min/max window
+    // pair on the window hash (constant per-group state, one keyed
+    // shuffle, no join); the islands pass is one window function
+    // keyed on doc_id. At extreme scale a suffix-array-per-partition
+    // cuts the n·w hashing constant; the relational shape stays the
+    // same.
     "x55_repeated_spans" -> ((s, dir) => {
       val w = 10
       val docs = t(s, dir, "documents")
@@ -1466,9 +1468,18 @@ object ExtQueries {
           s"transform(sequence(0, size(t) - $w)," +
             s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
-      val occ = wins.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("docs_with"))
-      val dup = wins.join(occ, "h").filter(col("docs_with") > 1)
+      // "repeats across documents" only needs ≥2 DISTINCT docs per
+      // window hash, and min(doc_id) ≠ max(doc_id) decides that with
+      // constant per-group state — as two window aggregates it rides
+      // ONE shuffle on h, where the aggregate+join formulation paid
+      // the n·w explode twice (Spark would not reuse the exchange
+      // across the aggregate and join consumers) plus a second
+      // data-sized shuffle
+      val wH = Window.partitionBy(col("h"))
+      val dup = wins
+        .withColumn("mn", min(col("doc_id")).over(wH))
+        .withColumn("mx", max(col("doc_id")).over(wH))
+        .filter(col("mn") =!= col("mx"))
       // islands: consecutive dup offsets share (idx - row_number)
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       val spans = dup
@@ -1689,9 +1700,9 @@ object ExtQueries {
     // original claims every window first.
     //
     // Scale shape: per-doc DISTINCT windows ride the explode as
-    // 32-byte md5s; first-claim is one min-aggregate on the window
-    // hash; the claim join is keyed on the same hash (same-key
-    // exchange reuse). Nothing quadratic, nothing driver-side.
+    // 32-byte md5s; first-claim is a min window aggregate on the
+    // window hash (constant per-group state, one keyed shuffle, no
+    // join). Nothing quadratic, nothing driver-side.
     "x60_ngram_novelty" -> ((s, dir) => {
       val w = 5
       val docs = t(s, dir, "documents")
@@ -1703,8 +1714,14 @@ object ExtQueries {
         .select(col("doc_id"), explode(expr(
           s"array_distinct(transform(sequence(0, size(t) - $w)," +
             s" i -> md5(array_join(slice(t, i + 1, $w), ' '))))")).as("h"))
-      val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-      val scored = wins.join(first, "h")
+      // first-claim = min(doc_id) per window hash — as a window
+      // aggregate (constant per-group state) it rides one shuffle on
+      // h; the aggregate+join formulation paid the explode twice
+      // (no exchange reuse across aggregate and join consumers) plus
+      // a second data-sized shuffle (the x55 lesson, same fix)
+      val scored = wins
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_distinct_ngrams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1721,29 +1738,20 @@ object ExtQueries {
     // Embedding-space outlier detection: vectors far from their
     // k-means centroid are encoder glitches, garbled inputs, or
     // genuinely rare content — either way the rows a curation pass
-    // inspects first. Flag the top 5% by centroid distance WITHIN each
-    // cell (a global cutoff would just flag whole sparse cells).
-    // Rank-based, not threshold-based: d2 rounds to 6 decimals and
-    // ties break by vec_id, so the flagged set is bit-deterministic.
+    // inspects first. Flag the top ~5% by centroid distance WITHIN
+    // each cell (a global cutoff would just flag whole sparse cells).
+    // The flag is ext/Outliers' shared rank rule (ties at the 6-dp
+    // boundary flag all-or-none) — one definition with the streaming
+    // monitor's exported calibration, so the two cannot drift.
     //
     // Scale shape: one narrow assign pass (k d2 evaluations per row),
     // one cell-keyed window for rank + population. Cells are the
     // partition key; driver state is the k·d centroid grid.
     "x61_embed_outliers" -> ((s, dir) => {
-      val k = 16
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", k, iters = 1)
-      val wCell = Window.partitionBy(col("cell"))
-        .orderBy(col("d2_6").desc, col("vec_id"))
-      base.select(col("vec_id"),
-          KMeansLite.assign(col("v"), cents).cast("long").as("cell"),
-          round(array_min(KMeansLite.cellDistances(col("v"), cents)), 6)
-            .as("d2_6"))
-        .withColumn("rnk", row_number().over(wCell).cast("long"))
-        .withColumn("pop",
-          count(lit(1)).over(Window.partitionBy(col("cell"))))
-        .withColumn("outlier", col("rnk") * 20 <= col("pop"))
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
+      graft.ext.Outliers.scored(base, "vec_id", "v", cents)
         .select(col("vec_id"), col("cell"), col("d2_6"), col("rnk"),
           col("pop"), col("outlier"))
         .orderBy(col("vec_id"))
@@ -3382,10 +3390,12 @@ object ExtQueries {
          |    CAST(row_number() OVER (PARTITION BY cell
          |                            ORDER BY round(d, 6) DESC, vec_id)
          |         AS BIGINT) AS rnk,
+         |    rank() OVER (PARTITION BY cell
+         |                 ORDER BY round(d, 6) DESC) AS trnk,
          |    count(*) OVER (PARTITION BY cell) AS pop
          |  FROM asg)
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2_6, rnk,
-         |  CAST(pop AS BIGINT) AS pop, rnk * 20 <= pop AS outlier
+         |  CAST(pop AS BIGINT) AS pop, trnk * 20 <= pop AS outlier
          |FROM r ORDER BY vec_id""".stripMargin,
 
     "x62_cluster_balance" ->

@@ -30,7 +30,7 @@ class StreamOutliersSpec extends AnyFunSuite {
     KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
 
   test("batch-derived thresholds reproduce the x61 rank flags exactly") {
-    val thr = StreamOutliers.thresholds(base, "v", cents)
+    val thr = StreamOutliers.thresholds(base, "vec_id", "v", cents)
     val viaThreshold = StreamOutliers.score(base, "v", cents, thr)
       .select($"vec_id", $"outlier").as[(Long, Boolean)].collect().toMap
     val viaRank = ExtQueries.queries("x61_embed_outliers")(spark, dir)
@@ -40,17 +40,21 @@ class StreamOutliersSpec extends AnyFunSuite {
       assert(viaThreshold(id) == flagged,
         s"vec $id: threshold says ${viaThreshold(id)}, rank says $flagged")
     }
-    // ties on the 6-dp boundary would over-flag via >= — the agreement
-    // above proves none exist in this corpus; the count identity pins
-    // the 5% contract independently
+    // independent count identity: absent boundary ties the rank rule
+    // flags exactly ⌊pop/20⌋ per cell — recompute pops from the batch
+    // output and pin the total
     val flagged = viaThreshold.count(_._2)
+    val expected = ExtQueries.queries("x61_embed_outliers")(spark, dir)
+      .groupBy($"cell").agg(max($"pop").as("pop"))
+      .as[(Long, Long)].collect().map(_._2 / 20).sum
+    assert(flagged == expected, s"flagged $flagged, expected $expected")
     assert(flagged > 0)
   }
 
   test("windowed rates equal the batch aggregation of the same rows") {
     implicit val ctx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
-    val thr = StreamOutliers.thresholds(base, "v", cents)
+    val thr = StreamOutliers.thresholds(base, "vec_id", "v", cents)
 
     // 6 corpus vectors across two windows + a watermark closer
     val vecs = base.limit(6)
