@@ -1819,6 +1819,56 @@ object ExtQueries {
           col("pop"), col("quota"), col("split"))
         .orderBy(col("doc_id"))
     }),
+
+    // Token-budget-constrained selection: keep the highest-quality
+    // documents whose tokens fit a fixed training budget. The naive
+    // formulation — order the whole corpus by score and take a global
+    // running token sum — is a single-partition sort, the classic
+    // scale-killer. The scalable shape used here exploits the score's
+    // integer micro-unit domain (≤ 1e6+1 distinct values REGARDLESS of
+    // corpus size): aggregate token mass per score value, run the
+    // cumulative over that bounded table (a legal single-partition
+    // window — its size is fixed by the quantization, not the data),
+    // and broadcast back three verdicts: scores wholly inside the
+    // budget, wholly outside, and the ONE straddling score, whose docs
+    // are then ranked by md5 and absorbed until the budget is exact.
+    // (If the boundary tie-set itself were huge, the same trick
+    // recurses on md5 buckets; at this grain a single score group is
+    // the per-key load every keyed window already bears.)
+    "x64_token_budget_select" -> ((s, dir) => {
+      val budget = 10000L
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("score",
+          expr("CAST(size(array_distinct(t)) AS BIGINT) * 1000000" +
+            " div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+      val byScore = docs.groupBy(col("score"))
+        .agg(sum(col("n_tokens")).as("mass"))
+      val wS = Window.orderBy(col("score").desc)
+      val marked = byScore
+        .withColumn("cum_before", sum(col("mass")).over(wS) - col("mass"))
+        .withColumn("grp",
+          when(col("cum_before") + col("mass") <= budget, "full")
+            .when(col("cum_before") < budget, "boundary")
+            .otherwise("out"))
+        .select(col("score"), col("cum_before"), col("grp"))
+      val joined = docs.join(broadcast(marked), "score")
+      // the running sum exists ONLY for the one straddling score's
+      // docs — full/out rows never enter a window, so no corpus-sized
+      // single-partition frame is ever built
+      val wB = Window
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val boundary = joined.filter(col("grp") === "boundary")
+        .withColumn("keep",
+          col("cum_before") + sum(col("n_tokens")).over(wB) <= budget)
+      joined.filter(col("grp") =!= "boundary")
+        .withColumn("keep", col("grp") === "full")
+        .unionByName(boundary)
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3415,6 +3465,39 @@ object ExtQueries {
          |  CAST(pop AS BIGINT) AS pop, CAST(cap256 AS BIGINT) AS cap256,
          |  bucket < cap256 AS keep
          |FROM r ORDER BY vec_id""".stripMargin,
+
+    "x64_token_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |              AS BIGINT) * 1000000
+        |         // CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |         AS BIGINT) AS score
+        |  FROM documents),
+        |bysc AS (SELECT score, sum(n_tokens) AS mass FROM d GROUP BY score),
+        |marked AS (
+        |  SELECT score,
+        |    sum(mass) OVER (ORDER BY score DESC) - mass AS cum_before,
+        |    CASE WHEN sum(mass) OVER (ORDER BY score DESC) <= 10000
+        |           THEN 'full'
+        |         WHEN sum(mass) OVER (ORDER BY score DESC) - mass < 10000
+        |           THEN 'boundary'
+        |         ELSE 'out' END AS grp
+        |  FROM bysc),
+        |j AS (SELECT d.*, m.cum_before, m.grp FROM d JOIN marked m USING (score)),
+        |bnd AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    cum_before + sum(n_tokens) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10000 AS keep
+        |  FROM j WHERE grp = 'boundary'),
+        |rest AS (
+        |  SELECT doc_id, n_tokens, score, grp = 'full' AS keep
+        |  FROM j WHERE grp <> 'boundary')
+        |SELECT doc_id, n_tokens, score, keep FROM bnd
+        |UNION ALL
+        |SELECT doc_id, n_tokens, score, keep FROM rest
+        |ORDER BY doc_id""".stripMargin,
 
     "x63_stratified_eval" ->
       """WITH r AS (

@@ -179,6 +179,27 @@ class RoundSevenSpec extends AnyFunSuite {
     }
   }
 
+  test("x64: budget respected, selection is a score threshold + boundary") {
+    val rows = run("x64_token_budget_select")
+      .select($"doc_id", $"n_tokens", $"score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val kept = rows.filter(_._4)
+    val dropped = rows.filterNot(_._4)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    // hard budget: kept tokens never exceed it
+    assert(kept.map(_._2).sum <= 10000L,
+      s"kept ${kept.map(_._2).sum} tokens > budget")
+    // threshold structure: everything strictly above the lowest kept
+    // score is kept; everything dropped sits at or below it
+    val sB = kept.map(_._3).min
+    rows.filter(_._3 > sB).foreach { r =>
+      assert(r._4, s"doc ${r._1} (score ${r._3} > $sB) was dropped")
+    }
+    dropped.foreach { r =>
+      assert(r._3 <= sB, s"dropped doc ${r._1} outranks kept boundary")
+    }
+  }
+
   test("x62: over-represented clusters are cut, small ones kept whole") {
     val rows = run("x62_cluster_balance")
       .select($"cell", $"pop", $"cap256", $"keep")
