@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension surface).
   *
-  * The decode step is REAL for PPM/P6 images ([[Ppm]] — an
-  * uncompressed format whose complete decoder is pure JVM, so header
-  * parse → pixel luma → nearest-neighbor thumbnail run genuinely on
-  * executors), and STUBBED for codec-requiring formats (JPEG/audio/
-  * video — no codec libraries exist in this environment) with a
-  * deterministic byte-math fake, clearly marked below. Everything
-  * around either path is the real Spark shape:
+  * The decode step is REAL for PPM/P6 images ([[Ppm]]) and RIFF/WAVE
+  * PCM-16 audio ([[Wav]]) — uncompressed formats whose complete
+  * codecs are pure JVM, so header parse → luma/RMS features →
+  * thumbnail/downsample run genuinely on executors — and STUBBED only
+  * for codec-REQUIRING formats (JPEG/MP3/H.264 — no codec libraries
+  * exist in this environment) with a deterministic byte-math fake,
+  * clearly marked below. Everything around either path is the real
+  * Spark shape:
   *  - a fixed media schema (content bytes + mime + dimensions);
   *  - per-partition batch processing via `Dataset.mapPartitions` (the
   *    Scala analogue of a batched pandas UDF: one task consumes a whole
@@ -97,25 +98,32 @@ object MultiModal {
     * iterator (the `mapInPandas` batch shape). Codec init would go at
     * the top of the lambda, once per partition.
     *
-    * P6 payloads take the REAL path: decoded pixels, Rec.709 mean luma
-    * as `brightness`, and a half-size nearest-neighbor thumbnail
-    * re-encoded as valid P6 in `thumb`. Anything [[Ppm.decode]]
-    * rejects (other formats, malformed images) falls back to the
-    * documented stub — a bad payload must degrade, never fail the
-    * task.
+    * P6 payloads take the REAL image path: decoded pixels, Rec.709
+    * mean luma as `brightness`, and a half-size nearest-neighbor
+    * thumbnail re-encoded as valid P6 in `thumb`. RIFF/WAVE PCM-16
+    * payloads take the REAL audio path: decoded samples, RMS level
+    * (fraction of full scale) as `brightness`, channel count as
+    * `n_frames`, and a 2× downsample re-encoded as valid WAV in
+    * `thumb`. Anything both decoders reject (codec-requiring formats,
+    * malformed payloads) falls back to the documented stub — a bad
+    * payload must degrade, never fail the task.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // real impl: val codec = Codec.open() — once per batch, here
       batch.map { r =>
-        Ppm.decode(r.content) match {
-          case Some(img) =>
+        (Ppm.decode(r.content), Wav.decode(r.content)) match {
+          case (Some(img), _) =>
             val thumb = Ppm.resize(img,
               math.max(1, img.width / 2), math.max(1, img.height / 2))
             MediaFeatures(r.doc_id, r.content.length.toLong,
               checksum(r.content), Ppm.meanLuma(img), 1, Ppm.encode(thumb))
-          case None =>
+          case (None, Some(clip)) =>
+            MediaFeatures(r.doc_id, r.content.length.toLong,
+              checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
+              clip.channels, Wav.encode(Wav.downsample(clip, 2)))
+          case (None, None) =>
             val (ck, brightness) = decodeStub(r.content)
             val frames = 1 + (r.content.length % 4) // stub "frame sample" count
             MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
@@ -161,6 +169,27 @@ object MultiModal {
       }
       MediaRecord(id, "image/x-portable-pixmap", w, h,
         Ppm.encode(Ppm.Image(w, h, px)))
+    }
+  }
+
+  /** Deterministic synthetic WAV fixtures from the documents table:
+    * `n` mono PCM-16 frames whose sample i is an integer function of
+    * (doc_id, i) — real decodable clips without binary fixtures on
+    * disk, the audio analogue of [[packPpm]]. width carries the frame
+    * count, height the channel count.
+    */
+  def packWav(
+      docs: DataFrame, sampleRate: Int = 8000, n: Int = 256): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toShort
+        i += 1
+      }
+      MediaRecord(id, "audio/wav", n, 1,
+        Wav.encode(Wav.Audio(sampleRate, 1, samples)))
     }
   }
 }
