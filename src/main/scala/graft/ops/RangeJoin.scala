@@ -67,4 +67,35 @@ object RangeJoin {
           col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join: rows pair where
+    * `[lLo, lHi] ∩ [rLo, rHi] ≠ ∅` (inclusive bounds). The range×range
+    * case [[byBucket]] doesn't cover: BOTH sides replicate to the
+    * buckets they span, and a pair that shares several buckets would
+    * surface once per shared bucket — so instead of a post-join
+    * DISTINCT over data-sized output, the join emits each pair only in
+    * the FIRST bucket both occupy (`max(bucketOf(lLo), bucketOf(rLo))`
+    * — for overlapping intervals necessarily a bucket both cover):
+    * exactly-once by construction, no dedup shuffle.
+    *
+    * Same scale posture as [[byBucket]]: shuffle is the bucket-id
+    * equi-join, fan-out bounded by span/width, skew is ordinary AQE
+    * shuffle skew. Column names must not collide across sides.
+    */
+  def overlapByBucket(
+      left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val l = left.filter(col(lLo) <= col(lHi)).withColumn("__bucket",
+      explode(sequence(bucketOf(col(lLo)), bucketOf(col(lHi)))))
+    val r = right.filter(col(rLo) <= col(rHi)).withColumn("__bucket",
+      explode(sequence(bucketOf(col(rLo)), bucketOf(col(rHi)))))
+    l.join(r,
+        l("__bucket") === r("__bucket") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          l("__bucket") === greatest(bucketOf(col(lLo)), bucketOf(col(rLo))))
+      .drop("__bucket")
+  }
 }

@@ -1608,7 +1608,7 @@ object ExtQueries {
     // label propagation as x23. Cosine is rounded to 6 decimals
     // before the τ compare so both engines gate identical pairs.
     "x58_semdedup" -> ((s, dir) => {
-      val k = 16
+      val k = 32 // cells scale with the corpus; pair work ∝ n²/k
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
@@ -1661,11 +1661,19 @@ object ExtQueries {
       val m = 4; val sub = 16; val k = 16; val topK = 5; val nQ = 20
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      val cents: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-        KMeansLite.fitQuantized(
-          base.select(col("vec_id"),
-            slice(col("v"), j * sub + 1, sub).as("v")),
-          "vec_id", "v", k, iters = 1)
+      // the m subspace fits are independent — submit them as
+      // concurrent Spark jobs instead of serializing m× the fit's
+      // job-launch latency
+      val cents: Seq[Seq[Seq[Double]]] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence((0 until m).toList.map { j =>
+          Future(KMeansLite.fitQuantized(
+            base.select(col("vec_id"),
+              slice(col("v"), j * sub + 1, sub).as("v")),
+            "vec_id", "v", k, iters = 1))
+        }), Duration.Inf)
       }
       val codes = base.select(
         col("vec_id").as("neighbor_id") +:
@@ -3401,7 +3409,7 @@ object ExtQueries {
         |  rnk * 4 > n_src AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "x58_semdedup" -> semDedupSql(k = 16, dims = 64),
+    "x58_semdedup" -> semDedupSql(k = 32, dims = 64),
 
     "x59_pq_adc" ->
       pqAdcSql(m = 4, sub = 16, k = 16, topK = 5, nQueries = 20),

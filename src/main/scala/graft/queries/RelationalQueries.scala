@@ -610,6 +610,32 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Interval × interval OVERLAP join — the range×range case q25's
+    // point-in-interval join doesn't cover (which sessions ran while
+    // which campaign was live). A theta join with no equality
+    // predicate is a nested loop; RangeJoin.overlapByBucket turns it
+    // into a bucket-id equi-join with both sides replicated to the
+    // buckets they span, each overlapping pair emitted exactly once
+    // in the first shared bucket (no post-join dedup shuffle). The
+    // oracle runs the literal theta-join text as the cross-check.
+    "q37_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = ev.filter(col("event_id") % 53 === 0)
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          unix_millis(col("ts")).as("s_lo"),
+          (unix_millis(col("ts")) + 1800000L).as("s_hi"))
+      val campaigns = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("c_id"),
+          unix_millis(col("ts")).as("c_lo"),
+          (unix_millis(col("ts")) + 7200000L).as("c_hi"))
+      graft.ops.RangeJoin.overlapByBucket(sessions, "s_lo", "s_hi",
+          campaigns, "c_lo", "c_hi", bucketWidth = 3600000L)
+        .groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("s_user")).as("n_users"))
+        .orderBy(col("c_id"))
+    }),
+
     // TPC-H Q22's shape (high-balance customers in target nations with
     // no RECENT orders — the "global sales opportunity" report): a
     // scalar subquery threshold + an anti join. Spark-first: the
@@ -1085,6 +1111,20 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+
+    "q37_interval_overlap" ->
+      """WITH s AS (
+        |  SELECT event_id AS s_id, user_id AS s_user,
+        |    epoch_ms(ts) AS s_lo, epoch_ms(ts) + 1800000 AS s_hi
+        |  FROM events WHERE event_id % 53 = 0),
+        |c AS (
+        |  SELECT event_id AS c_id,
+        |    epoch_ms(ts) AS c_lo, epoch_ms(ts) + 7200000 AS c_hi
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT c_id, count(*) AS n_sessions,
+        |  count(DISTINCT s_user) AS n_users
+        |FROM s JOIN c ON s_lo <= c_hi AND c_lo <= s_hi
+        |GROUP BY c_id ORDER BY c_id""".stripMargin,
 
     "q36_high_balance_inactive" ->
       """SELECT n_name, count(*) AS numcust,

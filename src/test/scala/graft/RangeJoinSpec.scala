@@ -103,4 +103,43 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(got === expectedPairs, s"trial $trial width $width")
     }
   }
+
+  test("overlap join: equals the reference theta join, each pair exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val left = (1 to 40).map { i =>
+        val lo = rnd.between(-500L, 500L); (i.toLong, lo, lo + rnd.between(0L, 200L))
+      }
+      val right = (1 to 40).map { i =>
+        val lo = rnd.between(-500L, 500L); (i.toLong, lo, lo + rnd.between(0L, 200L))
+      }
+      val expected = (for {
+        (lid, llo, lhi) <- left
+        (rid, rlo, rhi) <- right
+        if llo <= rhi && rlo <= lhi
+      } yield (lid, rid)).toSet
+      val width = Seq(1L, 13L, 100L, 1000L)(trial % 4)
+      // collect as a LIST first: any pair emitted in more than one
+      // shared bucket would surface as a duplicate here, which the
+      // exactly-once first-shared-bucket condition must prevent
+      val got = RangeJoin.overlapByBucket(
+          left.toDF("l_id", "l_lo", "l_hi"), "l_lo", "l_hi",
+          right.toDF("r_id", "r_lo", "r_hi"), "r_lo", "r_hi", width)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"trial $trial width $width dups")
+      assert(got.toSet === expected, s"trial $trial width $width")
+    }
+  }
+
+  test("overlap join plans as an equi-join on the bucket, not a nested loop") {
+    val df = RangeJoin.overlapByBucket(
+      intervals.select($"interval_id".as("l_id"), $"lo".as("l_lo"), $"hi".as("l_hi")),
+      "l_lo", "l_hi",
+      intervals.select($"interval_id".as("r_id"), $"lo".as("r_lo"), $"hi".as("r_hi")),
+      "r_lo", "r_hi", 100L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
 }
