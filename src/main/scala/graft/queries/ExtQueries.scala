@@ -1497,6 +1497,61 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact repeated-substring REMOVAL — x55's detection carried to
+    // the removal semantics large-scale dedup actually ships (the
+    // "cut every ≥w-token run that repeats across documents, keep the
+    // rest" grain): marked window offsets → merged cover intervals
+    // (gaps-and-islands, an interval spans [island_min,
+    // island_max+w−1]) → tokens inside any interval drop → the doc is
+    // REBUILT from surviving tokens and fingerprinted. Planted
+    // prefix-twins guarantee both the twin and its source lose their
+    // shared prefix while unique tails survive.
+    //
+    // Scale shape: everything x55 does (linear hashing, one keyed
+    // shuffle, islands window), plus per-doc interval lists (bounded
+    // by the doc's own island count) collected into a HOF token
+    // filter — a narrow map. The rebuild never shuffles anything
+    // data-sized beyond the offsets it already had.
+    "x65_span_removal" -> ((s, dir) => {
+      val w = 10
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000L).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 3, lit(0))), " ")
+          .as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val wins = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $w)," +
+            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
+      val wH = Window.partitionBy(col("h"))
+      val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spans = wins
+        .withColumn("mn", min(col("doc_id")).over(wH))
+        .withColumn("mx", max(col("doc_id")).over(wH))
+        .filter(col("mn") =!= col("mx"))
+        .withColumn("island", col("idx") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("idx")).as("s"), (max(col("idx")) + (w - 1)).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      corpus.join(spans, Seq("doc_id"), "left")
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("kept", expr(
+          "filter(t, (tok, i) -> spans IS NULL OR" +
+            " NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style hashed importance weights (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score
     // every document by how target-domain-like its hashed unigram
@@ -3356,6 +3411,64 @@ object ExtQueries {
         |  coalesce(n_dup_windows, 0) AS n_dup_windows,
         |  coalesce(max_span_tokens, 0) AS max_span_tokens
         |FROM corpus c LEFT JOIN spans s ON c.doc_id = s.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "x65_span_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:greatest(len(string_split_regex(text, '\s+')) - 3, 0)],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(CAST(len(t) - 10 AS BIGINT) + 1, 0)))
+        |      AS idx
+        |  FROM tok),
+        |wins AS (
+        |  SELECT doc_id, idx,
+        |    md5(array_to_string(t[idx+1 : idx+10], ' ')) AS h
+        |  FROM ix),
+        |occ AS (
+        |  SELECT h, count(DISTINCT doc_id) AS docs_with FROM wins GROUP BY h),
+        |iv AS (
+        |  SELECT doc_id, island,
+        |    min(idx) AS s, max(idx) + 9 AS e
+        |  FROM (
+        |    SELECT doc_id, idx,
+        |      idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+        |        AS island
+        |    FROM wins JOIN occ USING (h)
+        |    WHERE docs_with > 1)
+        |  GROUP BY doc_id, island),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, CAST(len(t) AS BIGINT))) AS i
+        |  FROM tok),
+        |rem AS (
+        |  SELECT DISTINCT p.doc_id, p.i
+        |  FROM pos p JOIN iv ON iv.doc_id = p.doc_id
+        |    AND p.i BETWEEN iv.s AND iv.e),
+        |kept AS (
+        |  SELECT p.doc_id, p.i
+        |  FROM pos p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.i = p.i
+        |  WHERE r.i IS NULL),
+        |rebuilt AS (
+        |  SELECT k.doc_id,
+        |    count(*) AS n_kept,
+        |    string_agg(tok.t[k.i + 1], ' ' ORDER BY k.i) AS clean
+        |  FROM kept k JOIN tok ON tok.doc_id = k.doc_id
+        |  GROUP BY k.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(clean, '')) AS clean_md5
+        |FROM corpus c
+        |JOIN tok t ON t.doc_id = c.doc_id
+        |LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
 
     "x56_dsir_weights" ->

@@ -44,6 +44,41 @@ class RoundSevenSpec extends AnyFunSuite {
     }
   }
 
+  test("x65: repeated spans are cut, unique tails survive, rebuild is exact") {
+    val rows = run("x65_span_removal")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var full = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+")
+      if (toks.length >= 13) {
+        // the twin (id+10000) is the doc minus its last 3 tokens: its
+        // WHOLE text repeats in the original, so every twin token is
+        // covered and the twin rebuilds to the empty string
+        val twin = byId(id + 10000L)
+        assert(twin._3 == twin._2, s"twin of $id kept ${twin._2 - twin._3}")
+        assert(twin._4 == emptyMd5)
+        // the original loses at least that shared prefix but keeps a
+        // tail iff its last 3 tokens end a unique run
+        val orig = byId(id)
+        assert(orig._3 >= toks.length - 3, s"doc $id removed only ${orig._3}")
+        if (orig._3 == orig._2) full += 1
+      }
+    }
+    // docs whose tail windows happen to repeat elsewhere may be fully
+    // cut; most originals must keep something
+    val originals = rows.filter(r => r._1 < 10000L && r._2 >= 13)
+    assert(full < originals.length,
+      "every original was fully cut — tails should survive")
+    // no doc removes more than it has
+    rows.foreach(r => assert(r._3 <= r._2))
+  }
+
   test("x56: target-domain docs score higher than off-domain docs") {
     val w = run("x56_dsir_weights")
       .join(Tables(spark, dir, "documents").select($"doc_id", $"lang"),
