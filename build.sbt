@@ -35,5 +35,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the single-JVM bench runs 110+ queries × 3 reps in
+  // one session; at 8g the old gen fills with broadcast/codegen debris
+  // and the embedding-heavy queries (per-row double[] allocation)
+  // degrade into full-GC crawl — x10 measured 27.8s in-bench vs 3.2s
+  // isolated at 8g, and uniformly recovers with headroom. The machine
+  // has 128 GiB; executors are threads in this same JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1932,6 +1932,272 @@ object ExtQueries {
         .select(col("doc_id"), col("n_tokens"), col("score"), col("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // CCNet-style per-language quality bucketing: score every document
+    // with the corpus-unigram mean logprob (x32's integer micro-unit
+    // arithmetic, so the ranking key is bit-stable cross-engine), then
+    // split EACH LANGUAGE into head/middle/tail thirds by rank — the
+    // "keep head+middle, drop tail" perplexity filter of the CCNet /
+    // RedPajama pipelines, where bucketing within language (not
+    // globally) is what stops the filter from simply deleting the
+    // low-resource languages.
+    //
+    // Determinism: sum_e6 is an exact integer; avg = sum/(n·1e6) is ONE
+    // IEEE division (correctly rounded, unlike ln) so both engines rank
+    // identical doubles, with doc_id as total tie-break. Bucket edges
+    // use integer arithmetic (rn·3 ≤ n), not ntile, so edge semantics
+    // can't diverge.
+    //
+    // Scale shape: vocab join as in x32 (AQE broadcasts while it
+    // fits); the ranking window is keyed on lang — per-language sort,
+    // the same skew posture as any keyed window (a giant language at
+    // 100 TB would switch to the x64 trick: rank against broadcast
+    // percentile thresholds from a score histogram, since the score
+    // domain is bounded by quantization).
+    "x66_ccnet_buckets" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val perDoc = toks
+        .join(vocab, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("lp6_e6",
+          round(round(log(col("c").cast("double")
+            / col("total").cast("double")), 6) * 1e6).cast("long"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp6_e6")).as("sum_e6"))
+        .withColumn("avg_logp",
+          round(col("sum_e6").cast("double")
+            / (col("n_tokens") * 1000000L).cast("double"), 6))
+      val wL = Window.partitionBy(col("lang"))
+      perDoc
+        .withColumn("rn", row_number().over(
+          wL.orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
+        .withColumn("n_docs", count(lit(1)).over(wL))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_docs"), "head")
+            .when(col("rn") * 3 <= col("n_docs") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("avg_logp"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PPJoin-style set-similarity self-join with PREFIX FILTERING — the
+    // exact-Jaccard join that scales without MinHash's approximation:
+    // order every document's distinct trigram shingles (x02's set
+    // grain — unigram sets are useless under a small vocabulary, where
+    // every doc's token SET converges to the whole alphabet) by global
+    // rarity (df asc, shingle asc — one total order shared by all
+    // docs), keep only the first |d| − ceil(t·|d|) + 1 shingles as the
+    // doc's "prefix", and generate candidates from the prefix equi-
+    // join. The prefix theorem guarantees completeness: two sets with
+    // Jaccard ≥ t MUST share a prefix element under a common order, so
+    // unlike LSH (x02) there are no false negatives — this is the
+    // exact counterpart the x36 fidelity audit measures LSH against.
+    // Rarity order keeps candidates sparse: prefixes hold each doc's
+    // least common shingles, the LIGHT tail of the df distribution.
+    //
+    // Scale shape: shingle+distinct is narrow; the df join is x32's
+    // vocab shape; the per-doc ordering window is keyed on doc_id
+    // (per-group size = doc shingle count, bounded); candidates come
+    // ONLY from the prefix equi-join plus the t·|larger| ≤ |smaller|
+    // length prune; exact intersection counts ride a shingle equi-join
+    // on the candidate pairs. Every stage is an equi-join or keyed
+    // window — no n² anywhere. The ≥-threshold test is pure integer
+    // arithmetic (inter·5 ≥ union·3), immune to float boundaries.
+    "x67_prefix_filter_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks0 = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks0, lit(1), greatest(size(toks0) - 3, lit(0))), " ")
+          .as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      // each doc CARRIES its shingle array (x02's shape): the exact
+      // intersection later is two doc-keyed joins + one codegen'd
+      // array_intersect per candidate pair — never the pair×token
+      // explode, whose shuffle is |cand|·|doc| rows and measured 20×
+      // slower here
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+        .withColumn("n", size(col("s")).cast("long"))
+      val ex = sh.select(col("doc_id"), col("n"),
+        explode(col("s")).as("token"))
+      val freq = ex.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val wD = Window.partitionBy(col("doc_id"))
+      val ordered = ex.join(freq, "token")
+        .withColumn("ord", row_number().over(
+          wD.orderBy(col("df"), col("token"))).cast("long"))
+      // prefix length |d| − ceil(0.6·|d|) + 1, with ceil(3n/5) done in
+      // exact integer form — positive n, so div is floor = the ceil
+      // identity (3n+4) div 5
+      val prefix = ordered
+        .filter(col("ord") <= col("n") - expr("(3*n + 4) div 5") + 1L)
+        .select(col("doc_id"), col("token"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.token") === col("b.token")
+            && col("a.doc_id") < col("b.doc_id"))
+        .filter(least(col("a.n"), col("b.n")) * 5
+          >= greatest(col("a.n"), col("b.n")) * 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Leakage-free temporal train/test split over events: each user's
+    // LAST ceil(20%) of events (by event time) become the held-out
+    // set — the split an evaluation of a recommender / next-event model
+    // needs, where a random split (x21) would leak the future into
+    // training. The assignment is a pure function of the per-user event
+    // order, so re-running on a grown table moves the boundary forward
+    // deterministically.
+    //
+    // Scale shape: ONE window keyed on user_id (rank + count share the
+    // same shuffle); no join, no global sort except the oracle-ordered
+    // output. Per-user event counts bound the window state.
+    "x68_temporal_split" -> ((s, dir) =>
+      spread(t(s, dir, "events"))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("split",
+          when(col("rn_desc") <= expr("(n + 4) div 5"), "test")
+            .otherwise("train"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("split"))
+        .orderBy(col("event_id"))),
+
+    // Corpus Zipf-slope fit — the one-number corpus health check (a
+    // natural-language corpus fits ln f ≈ a + s·ln r with s ≈ −1;
+    // boilerplate floods or truncation damage bend the curve): least
+    // squares of ln(freq) on ln(rank) over the full vocabulary.
+    //
+    // Determinism: ln is quantized to integer micro-units per point
+    // (x32's rule); the five regression sums then accumulate those
+    // integers EXACTLY in DECIMAL(38,0) (long would overflow at
+    // realistic vocabulary sizes: Σx² ≈ 2e14·|V|), and the closed-form
+    // slope does a single correctly-rounded double division at the end.
+    //
+    // Scale shape: one vocab aggregate; the rank window orders DISTINCT
+    // tokens (vocabulary ≪ corpus — x53's adjudication of the bounded
+    // single-partition window); the regression is one 5-sum aggregate.
+    // Output is ONE row at any corpus size.
+    "x69_zipf_slope" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val pts = vocab
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("token"))).cast("long"))
+        .select(
+          expr("CAST(round(round(ln(CAST(rn AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+            .as("x6"),
+          expr("CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+            .as("y6"))
+      pts
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("x6").cast("decimal(38,0)")).as("sx"),
+          sum(col("y6").cast("decimal(38,0)")).as("sy"),
+          sum((col("x6") * col("y6")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("sxx"))
+        .select(col("n_points"),
+          round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_points") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 4).as("zipf_slope"))
+    }),
+
+    // Fixed-iteration PageRank over the part–supplier order-flow graph
+    // — the canonical iterative-join workload (centrality over a
+    // bipartite supply network, here; over a hyperlink/citation graph
+    // in a web-corpus pipeline, where rank feeds crawl prioritization
+    // and quality weighting). Spark-first: the iteration is UNROLLED
+    // into the logical plan — 5 rounds, each ONE rank⋈edges equi-join
+    // hash-partitioned on the node id plus one partial-aggregated sum
+    // — the exact shape GraphX/Pregel lowers to, with no driver-side
+    // state at all (contrast KMeansLite's documented k·d exception).
+    //
+    // Determinism: ranks live in integer micro-units. Each round
+    // divides by degree with integer `div` (floor — all values
+    // positive, so Spark's truncation and DuckDB's floor agree), sums
+    // INTEGERS (order-independent), and applies 0.15 + 0.85·x as
+    // 150000 + (850·m) div 1000 — bit-exact cross-engine with no
+    // float anywhere. Node encoding 2·part / 2·supp+1 keeps one id
+    // space; both directions of each edge are materialized so the
+    // bipartite walk is symmetric.
+    "x70_graph_pagerank" -> ((s, dir) => {
+      val e0 = spread(t(s, dir, "lineitem"))
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      var rank = deg.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 5) {
+        val contrib = rank.join(deg, "node")
+          .select(col("node"), expr("rank div deg").as("c"))
+        rank = edges.join(contrib, edges("src") === contrib("node"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(850 * m) div 1000")).as("rank"))
+      }
+      rank.join(deg, "node")
+        .select(
+          when(col("node") % 2 === 0, "part").otherwise("supplier")
+            .as("node_type"),
+          expr("node div 2").as("key"), col("deg"), col("rank"))
+        .orderBy(col("node_type"), col("key"))
+    }),
+
+    // Gopher/MassiveText-style rule-based quality gate — the cheap
+    // heuristic bundle every pretraining pipeline runs BEFORE any
+    // model-based scoring: word count bounds, mean word length, a
+    // minimum stopword presence (prose-ness), and a symbol-character
+    // ceiling. Every signal is integer arithmetic (×100 / ppm
+    // quantization), so the pass verdict is bit-stable cross-engine
+    // and immune to float boundaries. One narrow projection — no
+    // shuffle at all until the oracle-ordered output.
+    "x71_gopher_rules" -> ((s, dir) =>
+      spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("n_words", size(col("t")).cast("long"))
+        // mean word length ×100: total non-space chars over words
+        .withColumn("mwl100",
+          expr("(CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)" +
+            " * 100) div n_words"))
+        .withColumn("stop_count", Text.stopwordCount(col("t")))
+        .withColumn("sym_ppm",
+          expr("(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', ''))" +
+            " AS BIGINT) * 1000000) div CAST(length(text) AS BIGINT)"))
+        .withColumn("pass",
+          col("n_words").between(50, 100000)
+            && col("mwl100").between(300, 1000)
+            && col("stop_count") >= 2
+            && col("sym_ppm") <= 100000)
+        .select(col("doc_id"), col("n_words"), col("mwl100"),
+          col("stop_count"), col("sym_ppm"), col("pass"))
+        .orderBy(col("doc_id"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3633,6 +3899,175 @@ object ExtQueries {
         |  CASE WHEN rnk <= (pop + 19) // 20 THEN 'eval' ELSE 'train' END
         |    AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x66_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |doc AS (
+        |  SELECT doc_id, lang, count(*) AS n_tokens,
+        |    CAST(sum(CAST(round(round(ln(CAST(c AS DOUBLE)
+        |                                 / CAST(total AS DOUBLE)), 6) * 1e6)
+        |                  AS BIGINT)) AS BIGINT) AS sum_e6
+        |  FROM tok JOIN vocab USING (token), tot
+        |  GROUP BY doc_id, lang),
+        |scored AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    round(CAST(sum_e6 AS DOUBLE)
+        |          / CAST(n_tokens * 1000000 AS DOUBLE), 6) AS avg_logp
+        |  FROM doc),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY avg_logp DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_docs
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tokens, avg_logp,
+        |  CASE WHEN rn * 3 <= n_docs THEN 'head'
+        |       WHEN rn * 3 <= n_docs * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x67_prefix_filter_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:greatest(len(string_split_regex(text, '\s+')) - 3, 0)],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          for i in range(1, len(t) - 1)])) AS token
+        |  FROM tok WHERE len(t) >= 3),
+        |freq AS (SELECT token, count(*) AS df FROM sh GROUP BY token),
+        |ordered AS (
+        |  SELECT s.doc_id, s.token,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY f.df, s.token) AS ord,
+        |    count(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM sh s JOIN freq f USING (token)),
+        |pre AS (
+        |  SELECT doc_id, token, n FROM ordered
+        |  WHERE ord <= n - (3 * n + 4) // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM pre a JOIN pre b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  WHERE least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 3),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh ta ON ta.doc_id = c.doc_a
+        |  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4)
+        |    AS jaccard
+        |FROM ix
+        |WHERE inter * 5 >= (na + nb - inter) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x68_temporal_split" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn_desc,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN rn_desc <= (n + 4) // 5 THEN 'test' ELSE 'train' END
+        |    AS split
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "x69_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn
+        |  FROM vocab),
+        |pts AS (
+        |  SELECT
+        |    CAST(round(round(ln(CAST(rn AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |      AS x6,
+        |    CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |      AS y6
+        |  FROM ranked),
+        |s AS (
+        |  SELECT count(*) AS n_points,
+        |    sum(CAST(x6 AS HUGEINT)) AS sx,
+        |    sum(CAST(y6 AS HUGEINT)) AS sy,
+        |    sum(CAST(x6 * y6 AS HUGEINT)) AS sxy,
+        |    sum(CAST(x6 * x6 AS HUGEINT)) AS sxx
+        |  FROM pts)
+        |SELECT n_points,
+        |  round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_points * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |FROM s""".stripMargin,
+
+    "x70_graph_pagerank" -> {
+      // 5 unrolled integer-PageRank iterations; each round is the same
+      // join+sum text, generated here so the Spark loop and the oracle
+      // cannot drift in round count or damping arithmetic
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + (850 * sum(r.rank // d.deg)) // 1000
+           |         AS BIGINT) AS rank
+           |  FROM r${i - 1} r
+           |  JOIN deg d ON d.node = r.node
+           |  JOIN e ON e.src = r.node
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |$rounds
+         |SELECT
+         |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS key, deg, rank
+         |FROM r5 JOIN deg USING (node)
+         |ORDER BY node_type, key""".stripMargin
+    },
+
+    "x71_gopher_rules" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n_words,
+         |  (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |   * 100) // len(string_split_regex(text, '\\s+')) AS mwl100,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                       x -> x IN ($stoplistSql))) AS BIGINT)
+         |    AS stop_count,
+         |  (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |        AS BIGINT) * 1000000)
+         |    // CAST(length(text) AS BIGINT) AS sym_ppm,
+         |  (len(string_split_regex(text, '\\s+')) BETWEEN 50 AND 100000)
+         |    AND ((CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |              AS BIGINT) * 100)
+         |         // len(string_split_regex(text, '\\s+')) BETWEEN 300 AND 1000)
+         |    AND (CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                              x -> x IN ($stoplistSql))) AS BIGINT) >= 2)
+         |    AND ((CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |               AS BIGINT) * 1000000)
+         |         // CAST(length(text) AS BIGINT) <= 100000) AS pass
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw

@@ -667,6 +667,69 @@ object RelationalQueries {
             2).as("totacctbal"))
         .orderBy(col("n_name"))
     }),
+
+    // TPC-H Q18's shape (large-volume orders): aggregate the fact table
+    // FIRST (one partial-aggregated shuffle on l_orderkey), filter to
+    // the rare heavy orders, then join the small survivor set back to
+    // orders/customer. Spark-first posture: the qty rollup runs before
+    // any join so the join inputs are orders-of-magnitude smaller than
+    // lineitem — the equivalent IN-subquery form would shuffle the full
+    // fact table into the join. Survivors are few (rare tail of the
+    // qty distribution), so both joins broadcast the aggregated side
+    // under AQE, never reshuffling orders or customer. Quantity sums
+    // accumulate in exact DECIMAL (order-independent) before the
+    // threshold compare, so the >250 cut is bit-stable cross-engine.
+    "q38_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(38,8)")).as("tq"))
+        .filter(col("tq") > 250)
+        .select(col("l_orderkey"),
+          round(col("tq").cast("double"), 2).as("total_qty"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q8's shape (market share by supplier nation within a
+    // region, per order year): two fact-side equi-joins (lineitem ⋈
+    // orders on the order key; lineitem ⋈ supplier on the supp key)
+    // with every dimension (supplier's nation, region) broadcast and
+    // the region filter applied BEFORE the join so non-ASIA suppliers
+    // never enter the shuffle. Revenue accumulates in exact DECIMAL;
+    // the per-year share divides two exact decimals as ONE double
+    // division (correctly rounded — x66's determinism rule), computed
+    // via a year-keyed window over the per-(year, nation) aggregate —
+    // a frame of |nations| rows per year, never a second fact pass.
+    "q39_market_share" -> ((s, dir) => {
+      val suppAsia = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val byYearNation = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(suppAsia, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,8)")).as("rev"))
+      byYearNation
+        .withColumn("year_total", sum(col("rev")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))))
+        .select(col("o_year"), col("n_name"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double")
+            / col("year_total").cast("double"), 4).as("share"))
+        .orderBy(col("o_year"), col("n_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1146,5 +1209,40 @@ object RelationalQueries {
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "q38_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(38,8))) AS tq
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(38,8))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(CAST(tq AS DOUBLE), 2) AS total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q39_market_share" ->
+      """WITH byyn AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |             AS DECIMAL(38,8))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY o_year, n_name)
+        |SELECT o_year, n_name,
+        |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(rev AS DOUBLE)
+        |        / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE), 4)
+        |    AS share
+        |FROM byyn
+        |ORDER BY o_year, n_name""".stripMargin,
   )
 }
