@@ -9,6 +9,52 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.PlanAudit [sfDir]"`.
   */
 object PlanAudit {
+
+  /** Queries whose unpartitioned window is ADJUDICATED: the frame is a
+    * bounded DOMAIN whose size is fixed by quantization or by a
+    * combinatorial bound, not by the corpus — so the single partition
+    * it sorts can never grow past that bound at any data scale. Every
+    * entry must name its bound; an unpartitioned WindowExec in any
+    * query NOT listed here prints `WINDOW-GLOBAL!` and is a review
+    * failure exactly like `CARTESIAN!`.
+    */
+  val windowGlobalOk: Map[String, String] = Map(
+    "x40_heavy_hitters" ->
+      ("rank<=20 hits LimitPushDownThroughWindow: the plan is" +
+        " TakeOrderedAndProject(20) -> Window, so the single-partition" +
+        " frame is exactly 20 rows at any corpus size"),
+    "x41_zorder_layout" ->
+      ("metric-harness ntile(64) only — the LAYOUT path at scale is" +
+        " repartitionByRange(z)+sortWithinPartitions (ZOrder.scala" +
+        " guard note); the harness quantifies pruning on a bounded demo"),
+    "x64_token_budget_select" ->
+      ("score domain <= 1e6+1 rows by ppm quantization; boundary window" +
+        " sees ONE score class"),
+    "x69_zipf_slope" ->
+      ("frequency histogram: distinct counts D <= sqrt(2N) (sum of D" +
+        " distinct positive counts >= D(D+1)/2), ~4.5e6 rows at N=1e13"),
+  )
+
+  /** Count WindowExec nodes with an EMPTY partitionSpec — the
+    * move-everything-to-one-partition shape WindowExec itself warns
+    * about. Tree-walks through AQE wrappers (AdaptiveSparkPlanExec /
+    * QueryStageExec hide the final plan from TreeNode.collect).
+    */
+  def globalWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => 1
+      case _ => 0
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + kids.map(globalWindows).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -23,10 +69,16 @@ object PlanAudit {
         df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
         val p = df.queryExecution.executedPlan.toString
         def n(s: String) = s.r.findAllIn(p).size
+        val gw = globalWindows(df.queryExecution.executedPlan)
         val flags = Seq(
           if (n("CartesianProduct") > 0) "CARTESIAN!" else "",
           if (n("SortAggregate") > 0) "SORT-AGG!" else "",
-          if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "")
+          if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "",
+          if (gw == 0) ""
+          else windowGlobalOk.get(name) match {
+            case Some(why) => s"WINDOW-GLOBAL(ok: $why)"
+            case None => "WINDOW-GLOBAL!"
+          })
           .filter(_.nonEmpty).mkString(" ")
         // codegen stages appear as "*(n) Op" in the string form; count
         // distinct stage ids, not node mentions

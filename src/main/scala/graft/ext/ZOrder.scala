@@ -61,6 +61,10 @@ object ZOrder {
   def bucketStats(
       df: DataFrame, nBuckets: Int, xCol: String, yCol: String,
       orderKeys: Column*): DataFrame = {
+    // METRIC HARNESS ONLY: the global ntile sorts the demo table on one
+    // partition to model per-file min/max stats. Writing a z-ordered
+    // LAYOUT at scale never does this — it is repartitionByRange(z) +
+    // sortWithinPartitions, which sorts each output file independently.
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderKeys: _*)
     df.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
       .groupBy(col("bucket"))

@@ -1384,17 +1384,20 @@ object ExtQueries {
     // size and the shape is unchanged.
     //
     // Scale shape: token counting is one partial-aggregated shuffle on
-    // the token; the ranking window orders DISTINCT tokens (vocabulary
-    // ≪ corpus, and the kept side is K rows — broadcast); the per-doc
-    // membership probe is a broadcast hash join, so the fact side
-    // never reshuffles. Integer ppm keeps the compare exact.
+    // the token; top-K selection is orderBy+limit, which Spark plans as
+    // TakeOrderedAndProject — every partition keeps its LOCAL top K and
+    // only K·partitions rows ever meet, so no vocabulary-sized
+    // single-partition sort exists even at billions of distinct tokens
+    // (the round-7 rank-window form put the whole vocabulary through
+    // one WindowExec partition); the per-doc membership probe is a
+    // broadcast hash join, so the fact side never reshuffles. Integer
+    // ppm keeps the compare exact.
     "x53_vocab_coverage" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("c").desc, col("token"))))
-        .filter(col("rnk") <= 25)
+        .orderBy(col("c").desc, col("token"))
+        .limit(25)
         .select(col("token"), lit(1L).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("token"), "left")
         .groupBy(col("doc_id"))
@@ -2095,18 +2098,52 @@ object ExtQueries {
     // integers EXACTLY in DECIMAL(38,0) (long would overflow at
     // realistic vocabulary sizes: Σx² ≈ 2e14·|V|), and the closed-form
     // slope does a single correctly-rounded double division at the end.
+    // DECIMAL(38,0) headroom: the final terms n·sxy and sx·sy reach
+    // ~|V|²·6e14, which stays inside precision 38 up to |V| ≈ 1e11
+    // distinct tokens — beyond that the products overflow to NULL
+    // (Spark caps decimal precision at 38; DuckDB's HUGEINT does not),
+    // so the exactness claim carries an explicit ~1e11-vocab bound.
     //
-    // Scale shape: one vocab aggregate; the rank window orders DISTINCT
-    // tokens (vocabulary ≪ corpus — x53's adjudication of the bounded
-    // single-partition window); the regression is one 5-sum aggregate.
-    // Output is ONE row at any corpus size.
+    // Scale shape (round 8 — no vocabulary-sized window anywhere): the
+    // regression sums are INVARIANT to which token of a frequency tie
+    // class gets which rank (y6 is constant within the class, so every
+    // sum only sees the RANK MULTISET {base+1..base+m} of each class).
+    // That license turns the global vocab rank into three bounded
+    // pieces: (1) a cumulative over the FREQUENCY HISTOGRAM — its row
+    // count D obeys D ≤ √(2N) (distinct counts c₁<…<c_D each occur, so
+    // N ≥ Σcᵢ ≥ D(D+1)/2): ~4.5e6 rows even at N=1e13 token
+    // occurrences, a legal bounded-domain single-partition window in
+    // x64's class; (2) per-class salt offsets (≤ D·64 rows, windowed
+    // PER CLASS over ≤64 salt buckets); (3) the within-(class,salt)
+    // rank — a KEYED window whose largest partition is the hapax class
+    // over 64 salts (the salt count is the knob: scale it with
+    // corpus/target-partition-size). rn is then a valid permutation of
+    // 1..|V| that is class-exact, so the one output row is bit-identical
+    // to the lexicographic ranking the oracle computes.
     "x69_zipf_slope" -> ((s, dir) => {
+      val salts = 64
       val toks = spread(t(s, dir, "documents"))
         .select(explode(Text.tokens(col("text"))).as("token"))
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("salt", pmod(xxhash64(col("token")), lit(salts.toLong)))
+      val sub = vocab.groupBy(col("c"), col("salt"))
+        .agg(count(lit(1)).as("cnt"))
+      val bases = sub.groupBy(col("c")).agg(sum(col("cnt")).as("m"))
+        .withColumn("base",
+          sum(col("m")).over(Window.orderBy(col("c").desc)) - col("m"))
+        .select(col("c"), col("base"))
+      val offs = sub
+        .withColumn("soff",
+          sum(col("cnt")).over(
+            Window.partitionBy(col("c")).orderBy(col("salt"))) - col("cnt"))
+        .join(bases, "c")
+        .select(col("c"), col("salt"), (col("base") + col("soff")).as("off"))
       val pts = vocab
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("c").desc, col("token"))).cast("long"))
+        .withColumn("tr", row_number().over(
+          Window.partitionBy(col("c"), col("salt")).orderBy(col("token")))
+          .cast("long"))
+        .join(offs, Seq("c", "salt"))
+        .withColumn("rn", col("off") + col("tr"))
         .select(
           expr("CAST(round(round(ln(CAST(rn AS DOUBLE)), 6) * 1e6) AS BIGINT)")
             .as("x6"),
@@ -2187,9 +2224,13 @@ object ExtQueries {
           expr("(CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)" +
             " * 100) div n_words"))
         .withColumn("stop_count", Text.stopwordCount(col("t")))
+        // greatest(len, 1) pins the empty-text document to sym_ppm = 0
+        // instead of a silent NULL from the zero divisor (it still
+        // fails the gate via n_words)
         .withColumn("sym_ppm",
           expr("(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', ''))" +
-            " AS BIGINT) * 1000000) div CAST(length(text) AS BIGINT)"))
+            " AS BIGINT) * 1000000)" +
+            " div greatest(CAST(length(text) AS BIGINT), 1)"))
         .withColumn("pass",
           col("n_words").between(50, 100000)
             && col("mwl100").between(300, 1000)
@@ -4056,7 +4097,7 @@ object ExtQueries {
          |    AS stop_count,
          |  (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
          |        AS BIGINT) * 1000000)
-         |    // CAST(length(text) AS BIGINT) AS sym_ppm,
+         |    // greatest(CAST(length(text) AS BIGINT), 1) AS sym_ppm,
          |  (len(string_split_regex(text, '\\s+')) BETWEEN 50 AND 100000)
          |    AND ((CAST(length(regexp_replace(text, '\\s', '', 'g'))
          |              AS BIGINT) * 100)
@@ -4065,7 +4106,7 @@ object ExtQueries {
          |                              x -> x IN ($stoplistSql))) AS BIGINT) >= 2)
          |    AND ((CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
          |               AS BIGINT) * 1000000)
-         |         // CAST(length(text) AS BIGINT) <= 100000) AS pass
+         |         // greatest(CAST(length(text) AS BIGINT), 1) <= 100000) AS pass
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
   )

@@ -57,7 +57,7 @@ class RoundSevenBSpec extends AnyFunSuite {
     val sets = Tables(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
       .flatMap { case (id, text) =>
-        val t = text.split("\\s+")
+        val t = text.split("\\s+", -1)
         Seq(id -> shingles(t), (id + 10000L) -> shingles(t.dropRight(3)))
       }.filter(_._2.nonEmpty).toMap
     val ids = sets.keys.toArray.sorted
@@ -97,7 +97,7 @@ class RoundSevenBSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().head
     val freqs = Tables(spark, dir, "documents")
       .select($"text").as[String].collect()
-      .flatMap(_.split("\\s+")).groupBy(identity).view.mapValues(_.length)
+      .flatMap(_.split("\\s+", -1)).groupBy(identity).view.mapValues(_.length)
       .toSeq.sortBy { case (t, c) => (-c, t) }
     assert(n == freqs.length)
     def q(v: Double) = math.round(BigDecimal(v)
@@ -153,7 +153,7 @@ class RoundSevenBSpec extends AnyFunSuite {
     val (id0, text) = Tables(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].head()
     val r = rows.find(_._1 == id0).get
-    val toks = text.split("\\s+")
+    val toks = text.split("\\s+", -1)
     assert(r._2 == toks.length)
     assert(r._3 == text.replaceAll("\\s", "").length * 100L / toks.length)
     assert(r._5 == text.replaceAll("[A-Za-z0-9 ]", "").length * 1000000L
