@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension surface).
   *
-  * The decode step is REAL for PPM/P6 images ([[Ppm]]) and RIFF/WAVE
-  * PCM-16 audio ([[Wav]]) — uncompressed formats whose complete
-  * codecs are pure JVM, so header parse → luma/RMS features →
-  * thumbnail/downsample run genuinely on executors — and STUBBED only
-  * for codec-REQUIRING formats (JPEG/MP3/H.264 — no codec libraries
-  * exist in this environment) with a deterministic byte-math fake,
-  * clearly marked below. Everything around either path is the real
-  * Spark shape:
+  * The decode step is REAL for PPM/P6 images ([[Ppm]]), RIFF/WAVE
+  * PCM-16 audio ([[Wav]]) and uncompressed RIFF/AVI BI_RGB video
+  * ([[Avi]]) — uncompressed formats whose complete codecs are pure
+  * JVM, so header parse → luma/RMS/frame features →
+  * thumbnail/downsample/frame-sample run genuinely on executors — and
+  * STUBBED only for codec-REQUIRING formats (JPEG/MP3/H.264 — no
+  * codec libraries exist in this environment) with a deterministic
+  * byte-math fake, clearly marked below. Everything around either
+  * path is the real Spark shape:
   *  - a fixed media schema (content bytes + mime + dimensions);
   *  - per-partition batch processing via `Dataset.mapPartitions` (the
   *    Scala analogue of a batched pandas UDF: one task consumes a whole
@@ -104,30 +105,42 @@ object MultiModal {
     * payloads take the REAL audio path: decoded samples, RMS level
     * (fraction of full scale) as `brightness`, channel count as
     * `n_frames`, and a 2× downsample re-encoded as valid WAV in
-    * `thumb`. Anything both decoders reject (codec-requiring formats,
-    * malformed payloads) falls back to the documented stub — a bad
-    * payload must degrade, never fail the task.
+    * `thumb`. Uncompressed RIFF/AVI payloads take the REAL video path:
+    * decoded frames, mean Rec.709 luma ACROSS frames as `brightness`,
+    * the true frame count as `n_frames`, and an every-2nd-frame
+    * temporal sample re-encoded as valid AVI in `thumb`. Anything all
+    * three decoders reject (codec-requiring formats, malformed
+    * payloads) falls back to the documented stub — a bad payload must
+    * degrade, never fail the task.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // real impl: val codec = Codec.open() — once per batch, here
       batch.map { r =>
-        (Ppm.decode(r.content), Wav.decode(r.content)) match {
-          case (Some(img), _) =>
+        Ppm.decode(r.content) match {
+          case Some(img) =>
             val thumb = Ppm.resize(img,
               math.max(1, img.width / 2), math.max(1, img.height / 2))
             MediaFeatures(r.doc_id, r.content.length.toLong,
               checksum(r.content), Ppm.meanLuma(img), 1, Ppm.encode(thumb))
-          case (None, Some(clip)) =>
-            MediaFeatures(r.doc_id, r.content.length.toLong,
-              checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
-              clip.channels, Wav.encode(Wav.downsample(clip, 2)))
-          case (None, None) =>
-            val (ck, brightness) = decodeStub(r.content)
-            val frames = 1 + (r.content.length % 4) // stub "frame sample" count
-            MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
-              frames, resizeStub(r.content, 4))
+          case None => Wav.decode(r.content) match {
+            case Some(clip) =>
+              MediaFeatures(r.doc_id, r.content.length.toLong,
+                checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
+                clip.channels, Wav.encode(Wav.downsample(clip, 2)))
+            case None => Avi.decode(r.content) match {
+              case Some(vid) =>
+                MediaFeatures(r.doc_id, r.content.length.toLong,
+                  checksum(r.content), Avi.meanLuma(vid), vid.nFrames,
+                  Avi.encode(Avi.frameSample(vid, 2)))
+              case None =>
+                val (ck, brightness) = decodeStub(r.content)
+                val frames = 1 + (r.content.length % 4) // stub "frame sample" count
+                MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
+                  frames, resizeStub(r.content, 4))
+            }
+          }
         }
       }
     }
@@ -190,6 +203,38 @@ object MultiModal {
       }
       MediaRecord(id, "audio/wav", n, 1,
         Wav.encode(Wav.Audio(sampleRate, 1, samples)))
+    }
+  }
+
+  /** Deterministic synthetic uncompressed-AVI fixtures from the
+    * documents table: `n` frames of `w×h` whose pixel (f,x,y) channels
+    * are byte functions of (doc_id, f, x, y) — real decodable video
+    * without binary fixtures on disk, the video analogue of
+    * [[packPpm]]/[[packWav]]. width/height carry the raster geometry.
+    */
+  def packAvi(
+      docs: DataFrame, w: Int = 8, h: Int = 6, n: Int = 4,
+      microsPerFrame: Int = 40000): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val frames = Vector.tabulate(n) { f =>
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            px(i) = ((id + f * 19 + x * 7 + y * 13) % 256).toByte
+            px(i + 1) = ((id * 3 + f * 5 + x * 11 + y) % 256).toByte
+            px(i + 2) = ((id * 5 + f + x + y * 17) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      MediaRecord(id, "video/avi", w, h,
+        Avi.encode(Avi.Video(w, h, microsPerFrame, frames)))
     }
   }
 }

@@ -2239,6 +2239,94 @@ object ExtQueries {
         .select(col("doc_id"), col("n_words"), col("mwl100"),
           col("stop_count"), col("sym_ppm"), col("pass"))
         .orderBy(col("doc_id"))),
+
+    // IVF+PQ composed ANN index — the billion-scale production shape
+    // assembled from parts already proven separately: x16's trained
+    // coarse quantizer shortlists nProbe cells per query, x59's product
+    // quantizer scans ONLY the shortlisted cells with 4-byte codes and
+    // per-query lookup tables (ADC), and the result is audited row by
+    // row against the exact brute-force top-k (`exact_hit` — recall@k
+    // is its per-query mean; RoundEightSpec pins the bound). This is
+    // the whole point of the composition: the coarse index bounds the
+    // candidate COUNT (cells, not corpus), PQ bounds the candidate
+    // WIDTH (4 bytes, not 256), so the scan that decides the top-k
+    // touches ~nProbe/k of the corpus at ~1/64 the bytes.
+    //
+    // Determinism: both quantizer fits are KMeansLite's bit-exact
+    // grid-quantized Lloyd step (driver state (kc + m·kq)·dims doubles,
+    // bounded); LUT entries and the exact-leg distances use the same
+    // zip_with/aggregate left-fold the x16/x59 oracles already match
+    // bit-for-bit; every rank ties to the lowest neighbor id.
+    //
+    // Scale shape: codes ride ONE equi-join on the cell id (the IVF
+    // shortlist — candidates per query bounded by cell size × nProbe);
+    // the probe side (20 queries × nProbe cells × 4 LUTs) is a bounded
+    // broadcast spine; the exact leg is the x03 brute-force baseline,
+    // present only because the query's OUTPUT is the recall audit — a
+    // deployment serves the approx leg alone.
+    "x72_ivfpq_ann" -> ((s, dir) => {
+      val m = 4; val sub = 16; val kc = 8; val kq = 16
+      val nProbe = 2; val topK = 5; val nQ = 20
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      // the coarse fit and the m subspace fits are independent —
+      // submit them as concurrent Spark jobs (the x59 pattern)
+      val (coarse, cents): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val cF = Future(KMeansLite.fitQuantized(base, "vec_id", "v", kc, iters = 1))
+        val pF = Future.sequence((0 until m).toList.map { j =>
+          Future(KMeansLite.fitQuantized(
+            base.select(col("vec_id"),
+              slice(col("v"), j * sub + 1, sub).as("v")),
+            "vec_id", "v", kq, iters = 1))
+        })
+        (Await.result(cF, Duration.Inf), Await.result(pF, Duration.Inf))
+      }
+      val codes = base.select(
+        col("vec_id").as("neighbor_id") +:
+          KMeansLite.assign(col("v"), coarse).as("cell") +:
+          (0 until m).map(j => KMeansLite.assign(
+            slice(col("v"), j * sub + 1, sub), cents(j)).as(s"code_$j")): _*)
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("cell"))
+      val probes = base.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          posexplode(KMeansLite.cellDistances(col("v"), coarse))
+            .as(Seq("cell", "d2")))
+        .withColumn("cr", row_number().over(wProbe))
+        .filter(col("cr") <= nProbe)
+        .select(col("query_id") +: col("cell") +:
+          (0 until m).map(j => KMeansLite.cellDistances(
+            slice(col("qv"), j * sub + 1, sub), cents(j)).as(s"lut_$j")): _*)
+      val adc6 = round((0 until m)
+        .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
+        .reduce(_ + _), 6)
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc6"), col("neighbor_id"))
+      val approx = probes.join(codes, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc6", adc6)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("adc6").as("adc_d2"))
+      val wExact = Window.partitionBy(col("query_id"))
+        .orderBy(col("ed6"), col("neighbor_id"))
+      val exact = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+        .crossJoin(broadcast(base.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("ed6", round(KMeansLite.dist2(col("qv"), col("cv")), 6))
+        .withColumn("ernk", row_number().over(wExact))
+        .filter(col("ernk") <= topK)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("adc_d2"), coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4109,6 +4197,10 @@ object ExtQueries {
          |         // greatest(CAST(length(text) AS BIGINT), 1) <= 100000) AS pass
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    "x72_ivfpq_ann" ->
+      ivfPqSql(kc = 8, dims = 64, m = 4, sub = 16, kq = 16,
+        nProbe = 2, topK = 5, nQueries = 20),
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw
@@ -4237,6 +4329,112 @@ object ExtQueries {
        |SELECT query_id, rnk, neighbor_id, adc_d2
        |FROM r WHERE rnk <= $topK
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** IVF+PQ composed-index oracle (x72): the coarse leg is kmeans1Sql's
+    * 1-iteration fit + final assignment verbatim; the PQ leg is
+    * pqAdcSql's per-subspace CTEs verbatim; the shortlist is one
+    * equi-join on the coarse cell; the exact leg is the brute-force
+    * squared-distance top-k (the same left-fold summation order as
+    * KMeansLite.dist2). exact_hit marks ADC results that appear in the
+    * exact top-k — recall@k is its per-query mean.
+    */
+  private def ivfPqSql(
+      kc: Int, dims: Int, m: Int, sub: Int, kq: Int,
+      nProbe: Int, topK: Int, nQueries: Int): String = {
+    def d2c(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    def d2s(v: String, cv: String): String =
+      s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${sub + 1})])"
+    def sl(j: Int) = s"[${j * sub + 1}:${(j + 1) * sub}]"
+    val subCtes = (0 until m).map { j =>
+      s"""p_$j AS (
+         |  SELECT vec_id, v${sl(j)} AS v,
+         |    [CAST(round(x * 16777216.0) AS BIGINT) for x in v${sl(j)}] AS q
+         |  FROM base),
+         |c0_$j AS (
+         |  SELECT cell, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+         |    FROM p_$j)
+         |  WHERE cell < $kq),
+         |a1_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |                         ORDER BY ${d2s("p.v", "c.cv")}, c.cell) AS rn
+         |    FROM p_$j p, c0_$j c)
+         |  WHERE rn = 1),
+         |m1_$j AS (
+         |  SELECT a.cell, r.i AS dim,
+         |    floor(CAST(sum(p.q[r.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ms
+         |  FROM a1_$j a JOIN p_$j p USING (vec_id), range(1, ${sub + 1}) r(i)
+         |  GROUP BY a.cell, r.i),
+         |cm1_$j AS (
+         |  SELECT cell, list(ms / 16777216.0 ORDER BY dim) AS cv
+         |  FROM m1_$j GROUP BY cell),
+         |c1_$j AS (
+         |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c0_$j p LEFT JOIN cm1_$j n USING (cell)),
+         |code_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |                         ORDER BY ${d2s("p.v", "c.cv")}, c.cell) AS rn
+         |    FROM p_$j p, c1_$j c)
+         |  WHERE rn = 1),
+         |lut_$j AS (
+         |  SELECT b.vec_id AS query_id, c.cell,
+         |    ${d2s(s"b.v${sl(j)}", "c.cv")} AS d
+         |  FROM base b, c1_$j c WHERE b.vec_id < $nQueries)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m)
+      .map(j => s"JOIN code_$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m)
+      .map(j => s"code_$j.cell AS code_$j").mkString(", ")
+    val lutJoins = (0 until m).map(j =>
+      s"JOIN lut_$j l$j ON l$j.query_id = qd.query_id AND l$j.cell = cd.code_$j")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH ${kmeans1Sql(kc, dims)},
+       |qd AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY ${d2c("q.v", "c.cv")}, c.cell) AS cr
+       |    FROM base q, c_1 c WHERE q.vec_id < $nQueries)
+       |  WHERE cr <= $nProbe),
+       |$subCtes,
+       |codes AS (
+       |  SELECT asg.vec_id, asg.cell, $codeCols
+       |  FROM asg $codeJoins),
+       |adc AS (
+       |  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+       |    round($adcSum, 6) AS adc_d2
+       |  FROM qd JOIN codes cd USING (cell)
+       |  $lutJoins
+       |  WHERE cd.vec_id <> qd.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, adc_d2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rnk
+       |  FROM adc),
+       |ex AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(${d2c("q.v", "b.v")}, 6) AS ed6
+       |  FROM base b, base q
+       |  WHERE q.vec_id < $nQueries AND b.vec_id <> q.vec_id),
+       |exact5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY ed6, neighbor_id) AS ernk
+       |    FROM ex)
+       |  WHERE ernk <= $topK)
+       |SELECT a.query_id, a.rnk, a.neighbor_id, a.adc_d2,
+       |  (e.neighbor_id IS NOT NULL) AS exact_hit
+       |FROM approx a LEFT JOIN exact5 e USING (query_id, neighbor_id)
+       |WHERE a.rnk <= $topK
+       |ORDER BY a.query_id, a.rnk""".stripMargin
   }
 
   /** SemDeDup oracle: planted 2^-10-grid variants, one quantized
