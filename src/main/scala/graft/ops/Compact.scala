@@ -37,19 +37,37 @@ object Compact {
     def parquetFiles(p: Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
 
-    // compact() rewrites ONE leaf data directory. Pointed at a
-    // partitioned table root, listStatus sees only subdirectories
-    // (before=0) and the rewrite would materialize the partition
-    // columns into data files, destroying the dt=/month_part= layout —
-    // so reject roots outright; callers compact each leaf partition.
-    require(fs.listStatus(target).forall(_.isFile),
-      s"$dir contains subdirectories (partitioned table root?) — " +
-        "compact each leaf partition directory instead")
-
-    val before = parquetFiles(target)
     // Single-writer contract ([[SingleWriter]]): two concurrent
-    // compactions of one directory would race the rename swap.
+    // compactions of one directory would race the rename swap. Crash
+    // recovery below also runs UNDER the lock — it is itself a
+    // mutation. (A writer that crashed mid-run leaves its lock behind,
+    // per the SingleWriter crash caveat; the operator removes the
+    // stale lock, and the next compact() then self-repairs.)
     SingleWriter.withLock(fs, target) {
+      // Crash recovery BEFORE anything else: a writer that died
+      // between the two swap renames leaves the target renamed away to
+      // `_compact_retired` (the documented non-transactional gap). The
+      // retired directory is the complete pre-compaction table — roll
+      // it back and proceed; nothing was lost, only the swap was. A
+      // death before the swap (staging dir present, target intact)
+      // needs no handling here: the staging delete below discards it.
+      val retiredAtStart = new Path(target.getParent, target.getName + "_compact_retired")
+      if (!fs.exists(target) && fs.exists(retiredAtStart)) {
+        if (!fs.rename(retiredAtStart, target))
+          throw new IllegalStateException(
+            s"could not roll back crashed swap from $retiredAtStart")
+      }
+
+      // compact() rewrites ONE leaf data directory. Pointed at a
+      // partitioned table root, listStatus sees only subdirectories
+      // (before=0) and the rewrite would materialize the partition
+      // columns into data files, destroying the dt=/month_part= layout —
+      // so reject roots outright; callers compact each leaf partition.
+      require(fs.listStatus(target).forall(_.isFile),
+        s"$dir contains subdirectories (partitioned table root?) — " +
+          "compact each leaf partition directory instead")
+
+      val before = parquetFiles(target)
       val df = spark.read.parquet(dir)
       val rows = df.count()
       val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)

@@ -53,6 +53,53 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(root).count() === 2L)
   }
 
+  test("recovers a writer killed between the two swap renames") {
+    // simulate the documented non-transactional gap: the dying writer
+    // renamed the target away to `_compact_retired` but never promoted
+    // the staging dir, and (per the SingleWriter crash caveat) left its
+    // lock behind
+    val parent = Files.createTempDirectory("compact-crash")
+    val dir = parent.resolve("t").toString
+    val data = (1L to 100L).map(i => (i, s"row-$i"))
+    data.toDF("id", "payload").repartition(10).write.parquet(dir)
+
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(parent.toString, "t_compact_retired")
+    val staging = new org.apache.hadoop.fs.Path(parent.toString, "t_compact_staging")
+    // crash state: staging fully written, target renamed away, no promote
+    spark.read.parquet(dir).repartition(1).write.parquet(staging.toString)
+    assert(fs.rename(target, retired))
+    fs.create(graft.ops.SingleWriter.lockFor(target), false).close()
+
+    // 1) the stale lock blocks — loud, not silent interleaving
+    intercept[graft.ops.SingleWriter.ConcurrentWriteException] {
+      Compact.compact(spark, dir, targetRowsPerFile = 50)
+    }
+    // 2) operator removes the stale lock; the next compact self-repairs:
+    //    rolls the retired dir back, discards stale staging, re-compacts
+    fs.delete(graft.ops.SingleWriter.lockFor(target), false)
+    val (before, after, rows) = Compact.compact(spark, dir, targetRowsPerFile = 50)
+    assert(before === 10 && after === 2 && rows === 100L)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq === data)
+    assert(!fs.exists(retired) && !fs.exists(staging))
+  }
+
+  test("a writer killed before the swap leaves the source untouched and recoverable") {
+    val parent = Files.createTempDirectory("compact-crash2")
+    val dir = parent.resolve("t").toString
+    (1L to 40L).toDF("id").repartition(4).write.parquet(dir)
+    // crash state: staging half-written (here: written with WRONG data to
+    // prove it is discarded, not promoted), target intact, lock gone
+    val staging = new org.apache.hadoop.fs.Path(parent.toString, "t_compact_staging")
+    Seq(999L).toDF("id").write.parquet(staging.toString)
+
+    val (before, after, rows) = Compact.compact(spark, dir, targetRowsPerFile = 100)
+    assert(before === 4 && after === 1 && rows === 40L)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq === (1L to 40L))
+  }
+
   test("composes with the ingest path: compacting a dt partition keeps the rollup") {
     // the intended deployment: Ingest's per-micro-batch appends leave
     // several files inside each dt= partition; compacting one

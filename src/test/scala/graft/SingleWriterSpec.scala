@@ -75,6 +75,25 @@ class SingleWriterSpec extends AnyFunSuite {
     assert(Versioned.publish(Seq(7).toDF("n"), root) === 4L) // numbering intact
   }
 
+  test("publish killed before its commit marker leaves debris invisible; next publish reclaims it") {
+    val root = tmp("verscrash") + "/t"
+    val f = fs(root)
+    assert(Versioned.publish(Seq(1, 2).toDF("n"), root) === 1L)
+    // crash state: v=2 data fully written but the writer died BEFORE
+    // creating _commit_00000002 (and its stale lock was removed by an
+    // operator, per the SingleWriter crash caveat)
+    Seq(99).toDF("n").write.parquet(root + "/v=00000002")
+    // readers never see the uncommitted snapshot
+    assert(Versioned.read(spark, root).as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // the next publish reuses version 2: the debris dir is deleted, the
+    // new snapshot committed atomically, numbering intact
+    assert(Versioned.publish(Seq(3, 4).toDF("n"), root) === 2L)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted.toSeq === Seq(3, 4))
+    val vDirs = f.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(vDirs === Seq("v=00000001", "v=00000002"))
+  }
+
   test("reader racing publishes sees old-or-new, never partial") {
     val root = tmp("race") + "/t"
     // snapshots chosen so any mixed/partial read is detectable: version
