@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Text
+
+/** Dev utility: synthesize a k×-scaled copy of a driver testdata dir
+  * (round-7 verdict #4 — "no validation above sf0.1"), so Bench and
+  * the DuckDB oracle can run at ~sf1 on the 128 GiB sandbox —
+  * `runMain graft.MakeSf <srcDir> <outDir> <k>`.
+  *
+  * Scaling discipline (the ScaleProbe generator's, extended to the
+  * whole star schema): copy c of each table shifts every key by
+  * c·10⁷, consistently on BOTH sides of each FK (o_custkey moves with
+  * c_custkey, l_orderkey/l_partkey/l_suppkey with their dimensions),
+  * so referential integrity and per-key fan-outs are preserved
+  * exactly — joins at k× do k× the work, never k² and never zero.
+  * `region`/`nation` stay fixed (TPC-H keeps them constant across
+  * SF, and the nationkey FKs still resolve).
+  *
+  * Content columns grow the way a real corpus grows — linearly, with
+  * vocabulary growth, WITHOUT manufacturing k near-identical copies
+  * of everything (which would multiply dedup pair counts ~k²/2 and
+  * measure a corpus no one ingests):
+  *  - documents: copy c suffixes every token with `_c<c>` — shingle
+  *    sets disjoint from copy 0, so each copy contributes its own
+  *    internal near-dup structure (pairs scale k×) and DISTINCT
+  *    vocabulary (the heavy-tailed growth the x53/x69 bounded-domain
+  *    rewrites exist for); n_chars is recomputed to keep its
+  *    n_chars = length(text) invariant.
+  *  - embeddings: copy c adds a deterministic per-(vec_id, dim, c)
+  *    hash perturbation of ±0.1 — far outside near-dup cosine bands,
+  *    so ANN candidate structure scales linearly too.
+  *  - events: ids shift; timestamps keep their distribution (k× the
+  *    traffic in the same window, which is how event volume actually
+  *    scales — sessions multiply by users, not by length).
+  *
+  * Each table lands as a single `<name>.parquet` FILE (renamed out of
+  * the Spark staging dir) to match the driver layout that
+  * `scripts/check.py` and [[Tables]] expect; parquet row groups keep
+  * a single file splittable for Spark-side parallelism.
+  */
+object MakeSf {
+  private val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1); val k = args(2).toInt
+    require(k >= 1 && k * 600000L < Shift, s"k=$k out of the safe shift range")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = Tables(spark, src, name)
+      (0 until k).map(c => f(base, c)).reduce(_ unionByName _)
+    }
+    def shifted(df: DataFrame, c: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, key) => d.withColumn(key, col(key) + c * Shift))
+
+    def write(df: DataFrame, name: String): Unit = {
+      val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(out, s"_staging_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging)
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+      val dest = new Path(out, s"$name.parquet")
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"rename failed for $name")
+      fs.delete(staging, true)
+      println(s"MAKESF $name rows=${spark.read.parquet(dest.toString).count()}")
+    }
+
+    write(Tables(spark, src, "region"), "region")
+    write(Tables(spark, src, "nation"), "nation")
+    write(copies("customer")(shifted(_, _, "c_custkey")), "customer")
+    write(copies("supplier")(shifted(_, _, "s_suppkey")), "supplier")
+    write(copies("part")(shifted(_, _, "p_partkey")), "part")
+    write(copies("orders")(shifted(_, _, "o_orderkey", "o_custkey")), "orders")
+    write(copies("lineitem")(
+      shifted(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(copies("events")(shifted(_, _, "event_id", "user_id")), "events")
+
+    write(copies("documents") { (df, c) =>
+      val base = shifted(df, c, "doc_id")
+      if (c == 0) base
+      else base
+        .withColumn("text", array_join(
+          transform(Text.tokens(col("text")),
+            t => concat(t, lit(s"_c$c"))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    write(copies("embeddings") { (df, c) =>
+      val base = shifted(df, c, "vec_id")
+      if (c == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          x + ((pmod(xxhash64(col("vec_id"), i, lit(c)), lit(2001L)) - 1000L)
+            .cast("float") * lit(1e-4f))))
+    }, "embeddings")
+
+    spark.stop()
+  }
+}
