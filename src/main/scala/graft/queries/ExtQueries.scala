@@ -84,15 +84,21 @@ object ExtQueries {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), toD(col("embedding")).as("qv"))
       val c = e.select(col("vec_id").as("neighbor_id"), toD(col("embedding")).as("cv"))
+      // exact integer micro-units for both the ordering key and the
+      // display value: raw cosines are bit-identical across engines,
+      // and floor(x·10⁶+0.5) of identical doubles is identical, while
+      // round() tie-breaks diverge at representation boundaries (the
+      // x15 sf1 lesson)
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos6").desc, col("neighbor_id"))
+        .orderBy(col("cos_e6").desc, col("neighbor_id"))
       c.crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("cos_e6",
+          floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          round(col("cos6"), 4).as("cosine"))
+          (floor(col("cos_e6") / 100.0 + 0.5) / 10000.0).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -320,13 +326,16 @@ object ExtQueries {
       val top5 = graft.ext.TopK.topK(5)
       c.crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos6", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        // integer micro-unit score, exact in a double — see x03
+        .withColumn("cos_e6",
+          floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5)
+            .cast("double"))
         .groupBy(col("query_id"))
-        .agg(top5(col("cos6"), col("neighbor_id")).as("top"))
+        .agg(top5(col("cos_e6"), col("neighbor_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("sc.id").as("neighbor_id"),
-          round(col("sc.score"), 4).as("cosine"))
+          (floor(col("sc.score") / 100.0 + 0.5) / 10000.0).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -921,7 +930,13 @@ object ExtQueries {
     // GraftFunctions.ensureRegistered) and a spark.sql text query —
     // resolution, codegen and the oracle all treat it like a built-in.
     // The 1-row query side is a broadcast nested-loop join (the scalar
-    // -subquery shape); double-rounding (6 then 4) matches x03.
+    // -subquery shape). floor(x·10⁴+0.5), not round(round(x,6),4): the
+    // raw doubles are bit-identical across engines (sequential fold),
+    // but round() is BigDecimal-via-string HALF_UP in Spark vs raw
+    // double arithmetic in DuckDB, and the first round manufactures
+    // exact …50 ties at the 4th decimal that the engines then break
+    // differently (9/20000 rows at sf1). floor of identical doubles
+    // is identical everywhere.
     "x15_sql_cosine" -> ((s, dir) => {
       org.apache.spark.sql.GraftFunctions.ensureRegistered(s)
       t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
@@ -929,8 +944,9 @@ object ExtQueries {
         WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
                    FROM emb_sql WHERE vec_id = 0)
         SELECT e.vec_id,
-               ROUND(ROUND(cosine_similarity(CAST(e.embedding AS ARRAY<DOUBLE>),
-                                             q.qv), 6), 4) AS cos_q0
+               CAST(FLOOR(cosine_similarity(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                            q.qv) * 10000 + 0.5) AS DOUBLE)
+                 / 10000 AS cos_q0
         FROM emb_sql e CROSS JOIN q
         ORDER BY e.vec_id
       """)
@@ -2426,14 +2442,14 @@ object ExtQueries {
        |  FROM embeddings),
        |s AS (
        |  SELECT query_id, neighbor_id,
-       |    round(${cosineSql("qv", "cv")}, 6) AS cos6
+       |    floor(${cosineSql("qv", "cv")} * 1000000 + 0.5) AS cos_e6
        |  FROM c, q WHERE neighbor_id <> query_id),
        |r AS (
-       |  SELECT query_id, neighbor_id, cos6,
+       |  SELECT query_id, neighbor_id, cos_e6,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY cos6 DESC, neighbor_id) AS BIGINT) AS rnk
+       |                            ORDER BY cos_e6 DESC, neighbor_id) AS BIGINT) AS rnk
        |  FROM s)
-       |SELECT query_id, rnk, neighbor_id, round(cos6, 4) AS cosine
+       |SELECT query_id, rnk, neighbor_id, floor(cos_e6 / 100 + 0.5) / 10000.0 AS cosine
        |FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
@@ -3264,7 +3280,8 @@ object ExtQueries {
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
-         |SELECT e.vec_id, round(round(${cosineSql("cv", "qv")}, 6), 4) AS cos_q0
+         |SELECT e.vec_id,
+         |  floor(${cosineSql("cv", "qv")} * 10000 + 0.5) / 10000.0 AS cos_q0
          |FROM e, q
          |ORDER BY e.vec_id""".stripMargin,
 
@@ -3446,18 +3463,24 @@ object ExtQueries {
     // The 25 index-internal pairs the full recompute also surfaces are
     // natural near-dups WITHIN the original corpus — already-resolved
     // history an incremental pass rightly never re-derives.
+    // the new-batch side is tagged EXPLICITLY (nw) rather than inferred
+    // from an id range: `doc_b >= 10000` was only true while original
+    // doc_ids stayed below 10000, and silently admitted original-vs-
+    // original pairs once MakeSf's scaled copies shifted ids by c·10⁷
+    // (2301 phantom rows at sf1)
     "x42_incremental_lsh" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text, 0 AS nw FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000,
         |    array_to_string(
         |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
-        |      ' ')
+        |      ' '),
+        |    1 AS nw
         |  FROM documents),
-        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |tok AS (SELECT doc_id, nw, string_split_regex(text, '\s+') AS t FROM corpus),
         |sh AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, nw,
         |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                   for i in range(1, len(t) - 1)]) AS s
         |  FROM tok WHERE len(t) >= 3),
@@ -3479,12 +3502,13 @@ object ExtQueries {
         |  SELECT doc_a, doc_b,
         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
         |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
-        |             AS DOUBLE) AS jac
+        |             AS DOUBLE) AS jac,
+        |    sa.nw + sb.nw AS nw2
         |  FROM cand
         |  JOIN sh sa ON sa.doc_id = doc_a
         |  JOIN sh sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
-        |FROM j WHERE jac >= 0.5 AND doc_b >= 10000
+        |FROM j WHERE jac >= 0.5 AND nw2 > 0
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x43_mixture_sample" ->
