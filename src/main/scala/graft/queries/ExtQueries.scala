@@ -1968,11 +1968,21 @@ object ExtQueries {
     // can't diverge.
     //
     // Scale shape: vocab join as in x32 (AQE broadcasts while it
-    // fits); the ranking window is keyed on lang — per-language sort,
-    // the same skew posture as any keyed window (a giant language at
-    // 100 TB would switch to the x64 trick: rank against broadcast
-    // percentile thresholds from a score histogram, since the score
-    // domain is bounded by quantization).
+    // fits). The round-7 form ranked every document through a
+    // lang-keyed window — correct, but a giant language (English is
+    // half of any web corpus) puts billions of rows through ONE window
+    // partition. Round 8 applies the x64 bounded-domain trick: the
+    // score domain is 6-decimal-quantized (≤ ~2e7 distinct values
+    // regardless of corpus size), so the per-language (score → count)
+    // HISTOGRAM is what gets the cumulative window — rows bounded by
+    // the score domain, never by documents. Whole score classes map to
+    // their bucket from class-span arithmetic; only the ≤ 2 classes
+    // per language that STRADDLE a bucket edge get an in-class window
+    // (keyed by lang+score) to realize the doc_id tie-break — the same
+    // "boundary window sees one score class" posture PlanAudit already
+    // adjudicates for x64. Degenerate all-one-score languages make the
+    // boundary class the whole language, but that cost is inherent to
+    // the rank-with-tie-break SEMANTICS, not this plan.
     "x66_ccnet_buckets" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
@@ -1990,15 +2000,40 @@ object ExtQueries {
         .withColumn("avg_logp",
           round(col("sum_e6").cast("double")
             / (col("n_tokens") * 1000000L).cast("double"), 6))
-      val wL = Window.partitionBy(col("lang"))
-      perDoc
-        .withColumn("rn", row_number().over(
-          wL.orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
-        .withColumn("n_docs", count(lit(1)).over(wL))
+      // bounded-domain histogram: one row per (lang, distinct score)
+      val wH = Window.partitionBy(col("lang"))
+      val hist = perDoc.groupBy(col("lang"), col("avg_logp"))
+        .agg(count(lit(1)).as("cls_n"))
+        .withColumn("cum_before",
+          coalesce(sum(col("cls_n")).over(
+            wH.orderBy(col("avg_logp").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_docs", sum(col("cls_n")).over(wH))
+        // head = positions 1..floor(n/3), middle = ..floor(2n/3)
+        .withColumn("h_edge", floor(col("n_docs") / 3))
+        .withColumn("m_edge", floor(col("n_docs") * 2 / 3))
+        .withColumn("cls_bucket",
+          when(col("cum_before") + col("cls_n") <= col("h_edge"), "head")
+            .when(col("cum_before") >= col("h_edge")
+              && col("cum_before") + col("cls_n") <= col("m_edge"), "middle")
+            .when(col("cum_before") >= col("m_edge"), "tail")
+            .otherwise("boundary"))
+        .select(col("lang"), col("avg_logp"), col("cum_before"),
+          col("h_edge"), col("m_edge"), col("cls_bucket"))
+      val joined = perDoc.join(hist, Seq("lang", "avg_logp"))
+      // only edge-straddling classes rank their docs; the window is
+      // keyed by (lang, score) — one score class per partition
+      val wC = Window.partitionBy(col("lang"), col("avg_logp"))
+        .orderBy(col("doc_id"))
+      val boundary = joined.filter(col("cls_bucket") === "boundary")
+        .withColumn("pos", col("cum_before") + row_number().over(wC))
         .withColumn("bucket",
-          when(col("rn") * 3 <= col("n_docs"), "head")
-            .when(col("rn") * 3 <= col("n_docs") * 2, "middle")
+          when(col("pos") <= col("h_edge"), "head")
+            .when(col("pos") <= col("m_edge"), "middle")
             .otherwise("tail"))
+      joined.filter(col("cls_bucket") =!= "boundary")
+        .withColumn("bucket", col("cls_bucket"))
+        .unionByName(boundary.drop("pos"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("avg_logp"), col("bucket"))
         .orderBy(col("doc_id"))
@@ -2342,6 +2377,111 @@ object ExtQueries {
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("adc_d2"), coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Approximate k-NN GRAPH over the embedding corpus — every node's
+    // top-k nearest neighbors, the substrate for graph-based curation
+    // (SemDeDup-style clustering, kNN-LM retrieval sets, label
+    // propagation over semantic neighborhoods). x03/x72 answer "top-k
+    // for THESE 20 queries"; this op answers it for EVERY node at once,
+    // which is exactly where brute force dies (n² distances) and the
+    // cell-restricted form survives: candidates come only from the
+    // node's own k-means cell, so the pairwise stage is O(n·cell) with
+    // the cell population held bounded by growing k with the corpus
+    // (the x58 adjudication, measured flat in ScaleProbe).
+    //
+    // Determinism: KMeansLite's bit-exact quantized fit (driver state
+    // k·d doubles); distances are the zip_with left-fold both engines
+    // reproduce bit-for-bit, compared in integer micro-units
+    // (floor(d2·1e6 + 0.5) — pure IEEE arithmetic, no round() tie
+    // hazard); ranks tie to the lowest neighbor id.
+    //
+    // Scale shape: ONE equi-join on the cell id (exchange reused for
+    // both sides of the self-join) + a src-keyed rank window. Nothing
+    // driver-side, nothing n². Recall tuning at scale = multi-probe
+    // (assign each node to its p nearest cells as x72's probe leg
+    // does) — same plan, p× candidate rows.
+    "x73_knn_graph" -> ((s, dir) => {
+      val k = 16; val topK = 5
+      val corpus = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
+      val assigned = corpus.select(col("vec_id"), col("v"),
+        KMeansLite.assign(col("v"), cents).as("cell"))
+      val wSrc = Window.partitionBy(col("src_id"))
+        .orderBy(col("d2_e6"), col("neighbor_id"))
+      assigned
+        .select(col("cell"), col("vec_id").as("src_id"), col("v").as("va"))
+        .join(assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("v").as("vb")), "cell")
+        .filter(col("src_id") =!= col("neighbor_id"))
+        .withColumn("d2_e6",
+          floor(KMeansLite.dist2(col("va"), col("vb")) * 1e6 + 0.5))
+        .withColumn("rnk", row_number().over(wSrc).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"), col("d2_e6"))
+        .orderBy(col("src_id"), col("rnk"))
+    }),
+
+    // BPE-style corpus pair-merge rounds — the distributed core of
+    // tokenizer TRAINING (Sennrich et al. 2016): repeatedly find the
+    // most frequent adjacent token pair across the whole corpus and
+    // fuse its occurrences into one symbol. Three rounds unrolled
+    // (the x70 PageRank discipline: per-round dataflow, zero driver
+    // state — the winning pair rides a 1-row broadcast, never a
+    // collect).
+    //
+    // Candidate pairs are restricted to a ≠ b: with distinct halves an
+    // occurrence can never overlap the next one (a match ending at i
+    // would need t[i]=a and t[i]=b at once), so "merge all
+    // occurrences" is position-independent and both engines rebuild
+    // token arrays with pure per-element arithmetic — no greedy
+    // left-to-right scan whose tie-handling could diverge. Pairs are
+    // packed a + U+0001 + b (U+0001 sorts below every token char, so
+    // packed-string order IS (a, b) tuple order in both engines).
+    //
+    // Scale shape per round: one partial-aggregated shuffle on the
+    // packed pair (counts), a 1-row TakeOrderedAndProject argmax
+    // broadcast back (the x32 scalar shape — PlanAudit's adjudicated
+    // BNLJ), and a NARROW per-document array rewrite. Rounds compose
+    // linearly; a production vocab build runs the same plan to
+    // convergence with per-round checkpointing like Components.
+    "x74_bpe_merges" -> ((s, dir) => {
+      val sep = "\u0001"
+      def mergeRound(df: DataFrame, r: Int): DataFrame = {
+        val tk = col("toks")
+        val pairs = df.select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (x, y) => when(x =!= y, concat(x, lit(sep), y)))).as("ab"))
+          .filter(col("ab").isNotNull)
+        val top1 = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("ab")).limit(1)
+          .select(split(col("ab"), sep).getItem(0).as("ma"),
+            split(col("ab"), sep).getItem(1).as("mb"))
+        val n = size(tk)
+        val dropped = (i: Column) => coalesce(
+          when(i > 1, element_at(tk, i - 1) === col("ma")
+            && element_at(tk, i) === col("mb")), lit(false))
+        val headOf = (i: Column) => element_at(tk, i) === col("ma") &&
+          coalesce(when(i < n, element_at(tk, i + 1) === col("mb")), lit(false))
+        df.crossJoin(broadcast(top1))
+          .withColumn(s"merge_$r", concat(col("ma"), lit("_"), col("mb")))
+          .withColumn("toks", transform(
+            filter(sequence(lit(1), n), i => !dropped(i)),
+            i => when(headOf(i),
+              concat(col("ma"), lit("_"), col("mb")))
+              .otherwise(element_at(tk, i))))
+          .drop("ma", "mb")
+      }
+      val t0 = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("n_before", size(col("toks")).cast("long"))
+      val t3 = (1 to 3).foldLeft(t0)(mergeRound)
+      t3.select(col("doc_id"), col("n_before"),
+        size(col("toks")).cast("long").as("n_after"),
+        array_join(col("toks"), " ").as("text_merged"),
+        col("merge_1"), col("merge_2"), col("merge_3"))
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -4225,6 +4365,75 @@ object ExtQueries {
     "x72_ivfpq_ann" ->
       ivfPqSql(kc = 8, dims = 64, m = 4, sub = 16, kq = 16,
         nProbe = 2, topK = 5, nQueries = 20),
+
+    // x73: kmeans1Sql's assignment, within-cell self-join, per-source
+    // rank over integer micro-unit distances (floor(d2*1e6 + 0.5) —
+    // pure IEEE arithmetic, matching Spark bit-for-bit).
+    "x73_knn_graph" -> {
+      val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
+        "for i in range(1, 65)])"
+      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+         |edges AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+         |    CAST(floor($d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+         |  FROM asg a JOIN asg b USING (cell)
+         |  JOIN pts pa ON a.vec_id = pa.vec_id
+         |  JOIN pts pb ON b.vec_id = pb.vec_id
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT src_id, rnk, neighbor_id, d2_e6 FROM (
+         |  SELECT src_id, neighbor_id, d2_e6,
+         |    CAST(row_number() OVER (PARTITION BY src_id
+         |                            ORDER BY d2_e6, neighbor_id) AS BIGINT)
+         |      AS rnk
+         |  FROM edges)
+         |WHERE rnk <= 5
+         |ORDER BY src_id, rnk""".stripMargin
+    },
+
+    // x74: three unrolled merge rounds; the winning pair is the global
+    // (count desc, packed-pair asc) argmax with U+0001 packing so the
+    // string order equals (a, b) tuple order; rebuilds are pure list
+    // comprehensions — with a <> b occurrences can't overlap, so
+    // per-element rewrite is exact.
+    "x74_bpe_merges" -> {
+      def round(prev: String, cur: Int): String =
+        s"""p_$cur AS (
+           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
+           |                 for i in range(1, len(toks))
+           |                 if toks[i] <> toks[i+1]]) AS ab
+           |  FROM $prev),
+           |m_$cur AS (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
+           |  ORDER BY c DESC, ab LIMIT 1),
+           |t_$cur AS (
+           |  SELECT doc_id, n_before,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks,
+           |    ${(1 to cur).map(j => s"merge_$j").mkString(", ")}
+           |  FROM $prev, (SELECT ma, mb, ma || '_' || mb AS merge_$cur
+           |               FROM m_$cur) m)""".stripMargin
+      s"""WITH t_0 AS (
+         |  SELECT doc_id,
+         |    string_split_regex(text, '\\s+') AS toks,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_before
+         |  FROM documents),
+         |${round("t_0", 1)},
+         |${round("t_1", 2)},
+         |${round("t_2", 3)}
+         |SELECT doc_id, n_before,
+         |  CAST(len(toks) AS BIGINT) AS n_after,
+         |  list_aggregate(toks, 'string_agg', ' ') AS text_merged,
+         |  merge_1, merge_2, merge_3
+         |FROM t_3
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw
