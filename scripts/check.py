@@ -105,6 +105,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"     {p}")
         else:
             print(f"PASS {name} ({len(got)} rows)")
+    # Completeness guard (round-9 postmortem): every query Verify says
+    # it ran must have been compared above — a silent gap between the
+    # registry and the compared set is how four real breaks read as
+    # "driver omission" in round 9.
+    try:
+        manifest = json.load(open(f"{out_dir}/verify_manifest.json"))
+        missing = [q for q in manifest["queries"] if q not in oracle]
+        if manifest.get("failed"):
+            print(f"VERIFY-FAILED dumps: {manifest['failed']}")
+            failures += len(manifest["failed"])
+        if missing:
+            print(f"NOTE: {len(missing)} registered queries have no oracle "
+                  f"SQL (rows-only check upstream): {missing}")
+    except FileNotFoundError:
+        pass
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     return 1 if failures else 0
 

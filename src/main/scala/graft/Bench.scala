@@ -53,23 +53,37 @@ object Bench {
     // 10-20% above quiet-machine steady state; the third buys most of
     // the remaining stability for ~45s of extra wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Round-9 postmortem (ADVICE.md): a query that THROWS must not
+    // masquerade as a fast timing — BENCH_r09 counted four
+    // AnalysisException elapsed times (~0.08s each) in the total and
+    // the verdict cited them as health. A failed rep now records the
+    // sentinel -1, the query is excluded from the total, and the JSON
+    // carries an explicit failures list so the driver (and the judge)
+    // see red instead of fast.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Full materialization: iterate every InternalRow of every
         // partition on the executors. Unlike count(), nothing upstream
         // can be pruned.
-        try fn(spark, sfDir).queryExecution.toRdd
-          .foreachPartition(it => while (it.hasNext) it.next())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).queryExecution.toRdd
+              .foreachPartition(it => while (it.hasNext) it.next())
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Same-plan ratio guard (round-6 verdict): w06 is w01 expressed as
     // SQL text — identical physical plan, so a w06/w01 ratio > 1.5 is
     // bench-context interference (GC/heap from preceding queries), not
@@ -92,8 +106,9 @@ object Bench {
     // exact failure this emission path exists to prevent)
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failedArr = failed.toSeq.map(jstr).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_failed":${failed.size},"failed":$failedArr,"sf":${jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val outPath = Paths.get(out)
     if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
@@ -123,12 +138,16 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"sf":${jstr(sfDir)},"detail":${jstr(out)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"n_failed":${failed.size},"sf":${jstr(sfDir)},"detail":${jstr(out)}}"""
     // Stop Spark BEFORE the raw write so any shutdown chatter cannot
     // land after the JSON line and push it out of the tail window.
     spark.stop()
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((line + "\n").getBytes("UTF-8"))
     raw.flush()
+    // Nonzero exit on any failure — rc:0 with silent -1 sentinels is
+    // how r9's four broken queries passed unnoticed. The JSON line is
+    // already flushed to fd 1, so the driver still parses it.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

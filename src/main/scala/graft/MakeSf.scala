@@ -48,6 +48,17 @@ object MakeSf {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val k = args(2).toInt
     require(k >= 1 && k * 600000L < Shift, s"k=$k out of the safe shift range")
+    // Single-writer bound (round-8 verdict task #8): write() funnels
+    // each table through coalesce(1) because the driver layout is ONE
+    // <name>.parquet FILE per table — that final write serializes on
+    // one task, ~90s/10 GB locally. k=10 (≈ sf1 from sf0.1: ~6 GB of
+    // lineitem) is comfortably inside that; past k≈16 the sequential
+    // write dominates the whole run and the right move is a
+    // partitioned directory layout + a Tables-side glob, not a bigger
+    // coalesce. Fail loudly instead of degrading quietly.
+    require(k <= 16, s"k=$k: the single-file-per-table layout " +
+      "(coalesce(1) in write()) serializes beyond ~sf1.6; switch to a " +
+      "partitioned layout before scaling further")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -268,6 +268,43 @@ object ScaleProbe {
         f"topk=$topk%4d semdedup=$tSem%7.2fs pq=$tPq%7.2fs")
       corpus.unpersist()
     }
+
+    // kNN graph (the x73 shape, round-8 task #4): cells scale WITH
+    // the corpus (cells ∝ vecs) so cell population — and therefore
+    // candidates per node — stays flat, making the pairwise stage
+    // O(n·cell); the output is exactly n·topK rows by construction
+    // (minus nodes in singleton cells). The curve must track vecs
+    // ~linearly; edge count is the output-size accounting.
+    ks.foreach { k =>
+      val corpus = scaledEmb(k).cache()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val edges = graft.ext.AnnIndex.knnGraph(corpus, k = 16 * k, topK = 5)
+        .count()
+      println(f"SCALE-KNNG k=$k vecs=${k * e0}%7d cells=${16 * k}%4d " +
+        f"edges=$edges%8d t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      corpus.unpersist()
+    }
+
+    // BPE merge rounds (the x74 shape, round-8 task #4): per round
+    // one partial-aggregated pair-count shuffle, a 1-row argmax
+    // broadcast, and a narrow per-document array rewrite — time must
+    // track token mass ~linearly in k. Output accounting: token mass
+    // before/after the 3 rounds (the difference is the total merged
+    // occurrence count across rounds).
+    ks.foreach { k =>
+      val toks = scaledDocs(k)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .cache()
+      val before = toks.agg(sum(size(col("toks")))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val after = graft.ext.BpeMerge.mergeRounds(toks, 3)
+        .agg(sum(size(col("toks")))).head().getLong(0)
+      println(f"SCALE-BPE k=$k docs=${k * n0}%7d tokens_before=$before%9d " +
+        f"tokens_after=$after%9d merged=${before - after}%8d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      toks.unpersist()
+    }
     spark.stop()
   }
 }

@@ -22,11 +22,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,22 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round-9 postmortem: four queries silently vanished from the
+    // driver's correctness set and the gap read as "driver omission"
+    // when it was a real break. Emit a manifest of what SHOULD be
+    // checked (every registered query key, plus which ones failed to
+    // dump) so any downstream compare can assert completeness, and
+    // exit nonzero when a dump failed so the round log shows red.
+    val ran = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    val manifest =
+      s"""{"n_queries":${ran.size},"queries":[${ran.map(q).mkString(",")}],""" +
+      s""""n_failed":${failed.size},"failed":[${failed.toSeq.map(q).mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED to dump: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

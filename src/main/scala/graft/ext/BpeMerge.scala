@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide BPE pair-merge rounds (Sennrich et al. 2016), the
+  * distributed core of tokenizer training, lifted out of the x74
+  * registry entry so the merge policy is parameterized (round-8
+  * verdict task #6 — the a ≠ b restriction is now a FLAG, not a
+  * silent limitation).
+  *
+  * Scale shape per round: one partial-aggregated shuffle on the packed
+  * pair (counts), a 1-row TakeOrderedAndProject argmax broadcast back
+  * (the x32 scalar shape — PlanAudit's adjudicated BNLJ), and a NARROW
+  * per-document array rewrite. Rounds compose linearly; a production
+  * vocab build runs the same plan to convergence with per-round
+  * checkpointing like Components. Zero driver state — the winning
+  * pair rides the broadcast, never a collect.
+  *
+  * Merge policies:
+  *  - `allowIdentical = false` (x74's frozen oracle shape): candidate
+  *    pairs are restricted to a ≠ b. With distinct halves an
+  *    occurrence can never overlap the next one (a match ending at i
+  *    would need t[i]=a and t[i]=b at once), so "merge all
+  *    occurrences" is position-independent and both engines rebuild
+  *    token arrays with pure per-element arithmetic.
+  *  - `allowIdentical = true` (real BPE): identical-half pairs (a, a)
+  *    compete too, counted at every adjacent position (overlaps
+  *    included, the standard adjacency count). Occurrences inside a
+  *    run of a's overlap, so the rewrite applies the deterministic
+  *    LEFT-GREEDY rule real BPE uses: within each maximal run of
+  *    length L, positions at even 0-based run offset start a merge
+  *    when a partner follows — floor(L/2) merged pairs, then a lone
+  *    trailing a when L is odd ("a a a a a" → "a_a a_a a"). Run
+  *    offsets derive from each position's nearest preceding non-a
+  *    index, an O(len²) per-document expression — documents are
+  *    length-bounded by the chunking stage at any corpus scale, and
+  *    the rewrite stays narrow (no shuffle, no state).
+  *
+  * Pairs are packed a + U+0001 + b (U+0001 sorts below every token
+  * char, so packed-string order IS (a, b) tuple order in both
+  * engines); count ties break to the packed-string minimum.
+  */
+object BpeMerge {
+  private val sep = "\u0001"
+
+  /** One merge round: count adjacent pairs corpus-wide, broadcast the
+    * argmax pair, rewrite every document's `toks`, and record the
+    * winning pair as `merge_<r>`.
+    */
+  def mergeRound(df: DataFrame, r: Int,
+      allowIdentical: Boolean = false): DataFrame = {
+    val tk = col("toks")
+    val adjacent = zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (x, y) =>
+        if (allowIdentical) concat(x, lit(sep), y)
+        else when(x =!= y, concat(x, lit(sep), y)))
+    val pairs = df.select(explode(adjacent).as("ab"))
+      .filter(col("ab").isNotNull)
+    val top1 = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("ab")).limit(1)
+      .select(split(col("ab"), sep).getItem(0).as("ma"),
+        split(col("ab"), sep).getItem(1).as("mb"))
+    val n = size(tk)
+    // a ≠ b: occurrences cannot overlap — merge every match.
+    val droppedNe = (i: Column) => coalesce(
+      when(i > 1, element_at(tk, i - 1) === col("ma")
+        && element_at(tk, i) === col("mb")), lit(false))
+    val headNe = (i: Column) => element_at(tk, i) === col("ma") &&
+      coalesce(when(i < n, element_at(tk, i + 1) === col("mb")), lit(false))
+    // a == b: left-greedy within each maximal run of a's. runOff is
+    // the 0-based offset of position i inside its run (distance to
+    // the nearest preceding non-a index); even offsets start merges.
+    val lastNonA = (i: Column) => coalesce(
+      when(i > 1, array_max(filter(sequence(lit(1), i - 1),
+        j => element_at(tk, j) =!= col("ma")))), lit(0))
+    val runOff = (i: Column) => i - lastNonA(i) - 1
+    val isA = (i: Column) => element_at(tk, i) === col("ma")
+    val headEq = (i: Column) => isA(i) && (runOff(i) % 2 === 0) &&
+      coalesce(when(i < n, element_at(tk, i + 1) === col("ma")), lit(false))
+    val droppedEq = (i: Column) => isA(i) && (runOff(i) % 2 === 1)
+    val eqHalves = col("ma") === col("mb")
+    val dropped = (i: Column) =>
+      if (allowIdentical) when(eqHalves, droppedEq(i)).otherwise(droppedNe(i))
+      else droppedNe(i)
+    val head = (i: Column) =>
+      if (allowIdentical) when(eqHalves, headEq(i)).otherwise(headNe(i))
+      else headNe(i)
+    df.crossJoin(broadcast(top1))
+      .withColumn(s"merge_$r", concat(col("ma"), lit("_"), col("mb")))
+      .withColumn("toks", transform(
+        filter(sequence(lit(1), n), i => !dropped(i)),
+        i => when(head(i),
+          concat(col("ma"), lit("_"), col("mb")))
+          .otherwise(element_at(tk, i))))
+      .drop("ma", "mb")
+  }
+
+  /** `rounds` composed merge rounds over a (…, toks ARRAY<STRING>)
+    * frame; adds `merge_1 … merge_<rounds>` columns.
+    */
+  def mergeRounds(df: DataFrame, rounds: Int,
+      allowIdentical: Boolean = false): DataFrame =
+    (1 to rounds).foldLeft(df)((d, r) => mergeRound(d, r, allowIdentical))
+}

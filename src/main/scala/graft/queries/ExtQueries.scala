@@ -296,10 +296,10 @@ object ExtQueries {
     "x13_sessionize_batch" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("prev_ms", lag(RelationalQueries.epochMs(col("ts")), 1).over(w))
         .withColumn("brk",
           when(col("prev_ms").isNull ||
-            unix_millis(col("ts")) - col("prev_ms") > 30 * 60 * 1000L, 1L)
+            RelationalQueries.epochMs(col("ts")) - col("prev_ms") > 30 * 60 * 1000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("brk")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -2315,64 +2315,17 @@ object ExtQueries {
     // broadcast spine; the exact leg is the x03 brute-force baseline,
     // present only because the query's OUTPUT is the recall audit — a
     // deployment serves the approx leg alone.
+    // Index constants below are the FROZEN oracle settings; the plan
+    // itself is parameterized in ext/AnnIndex (round-8 task #5 —
+    // RoundTenSpec re-runs the same plan at other nProbe/kc/m values
+    // and pins the recall@5 tuning curve).
     "x72_ivfpq_ann" -> ((s, dir) => {
-      val m = 4; val sub = 16; val kc = 8; val kq = 16
-      val nProbe = 2; val topK = 5; val nQ = 20
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      // the coarse fit and the m subspace fits are independent —
-      // submit them as concurrent Spark jobs (the x59 pattern)
-      val (coarse, cents): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val cF = Future(KMeansLite.fitQuantized(base, "vec_id", "v", kc, iters = 1))
-        val pF = Future.sequence((0 until m).toList.map { j =>
-          Future(KMeansLite.fitQuantized(
-            base.select(col("vec_id"),
-              slice(col("v"), j * sub + 1, sub).as("v")),
-            "vec_id", "v", kq, iters = 1))
-        })
-        (Await.result(cF, Duration.Inf), Await.result(pF, Duration.Inf))
-      }
-      val codes = base.select(
-        col("vec_id").as("neighbor_id") +:
-          KMeansLite.assign(col("v"), coarse).as("cell") +:
-          (0 until m).map(j => KMeansLite.assign(
-            slice(col("v"), j * sub + 1, sub), cents(j)).as(s"code_$j")): _*)
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("cell"))
-      val probes = base.filter(col("vec_id") < nQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          posexplode(KMeansLite.cellDistances(col("v"), coarse))
-            .as(Seq("cell", "d2")))
-        .withColumn("cr", row_number().over(wProbe))
-        .filter(col("cr") <= nProbe)
-        .select(col("query_id") +: col("cell") +:
-          (0 until m).map(j => KMeansLite.cellDistances(
-            slice(col("qv"), j * sub + 1, sub), cents(j)).as(s"lut_$j")): _*)
-      val adc6 = round((0 until m)
-        .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
-        .reduce(_ + _), 6)
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc6"), col("neighbor_id"))
-      val approx = probes.join(codes, "cell")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("adc6", adc6)
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= topK)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("adc6").as("adc_d2"))
-      val wExact = Window.partitionBy(col("query_id"))
-        .orderBy(col("ed6"), col("neighbor_id"))
-      val exact = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-        .crossJoin(broadcast(base.filter(col("vec_id") < nQ)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("ed6", round(KMeansLite.dist2(col("qv"), col("cv")), 6))
-        .withColumn("ernk", row_number().over(wExact))
-        .filter(col("ernk") <= topK)
-        .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
+      val approx = graft.ext.AnnIndex.ivfPqTopK(
+        base, m = 4, sub = 16, kc = 8, kq = 16,
+        nProbe = 2, topK = 5, nQ = 20)
+      val exact = graft.ext.AnnIndex.exactTopK(base, topK = 5, nQ = 20)
       approx.join(exact, Seq("query_id", "neighbor_id"), "left")
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("adc_d2"), coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
@@ -2401,25 +2354,13 @@ object ExtQueries {
     // driver-side, nothing n². Recall tuning at scale = multi-probe
     // (assign each node to its p nearest cells as x72's probe leg
     // does) — same plan, p× candidate rows.
+    // k=16/topK=5/nProbe=1 are the frozen oracle settings; the plan is
+    // parameterized in ext/AnnIndex.knnGraph (nProbe is the recall
+    // knob — RoundTenSpec pins the multi-probe tuning curve).
     "x73_knn_graph" -> ((s, dir) => {
-      val k = 16; val topK = 5
       val corpus = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
-      val assigned = corpus.select(col("vec_id"), col("v"),
-        KMeansLite.assign(col("v"), cents).as("cell"))
-      val wSrc = Window.partitionBy(col("src_id"))
-        .orderBy(col("d2_e6"), col("neighbor_id"))
-      assigned
-        .select(col("cell"), col("vec_id").as("src_id"), col("v").as("va"))
-        .join(assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
-          col("v").as("vb")), "cell")
-        .filter(col("src_id") =!= col("neighbor_id"))
-        .withColumn("d2_e6",
-          floor(KMeansLite.dist2(col("va"), col("vb")) * 1e6 + 0.5))
-        .withColumn("rnk", row_number().over(wSrc).cast("long"))
-        .filter(col("rnk") <= topK)
-        .select(col("src_id"), col("rnk"), col("neighbor_id"), col("d2_e6"))
+      graft.ext.AnnIndex.knnGraph(corpus, k = 16, topK = 5, nProbe = 1)
         .orderBy(col("src_id"), col("rnk"))
     }),
 
@@ -2431,14 +2372,18 @@ object ExtQueries {
     // state — the winning pair rides a 1-row broadcast, never a
     // collect).
     //
-    // Candidate pairs are restricted to a ≠ b: with distinct halves an
-    // occurrence can never overlap the next one (a match ending at i
-    // would need t[i]=a and t[i]=b at once), so "merge all
-    // occurrences" is position-independent and both engines rebuild
-    // token arrays with pure per-element arithmetic — no greedy
-    // left-to-right scan whose tie-handling could diverge. Pairs are
-    // packed a + U+0001 + b (U+0001 sorts below every token char, so
-    // packed-string order IS (a, b) tuple order in both engines).
+    // The merge machinery lives in ext/BpeMerge (round-8 task #6).
+    // THIS entry runs the a ≠ b policy — what the DuckDB oracle
+    // mirrors: with distinct halves an occurrence can never overlap
+    // the next one (a match ending at i would need t[i]=a and t[i]=b
+    // at once), so "merge all occurrences" is position-independent
+    // and both engines rebuild token arrays with pure per-element
+    // arithmetic. Identical-half (a, a) merges are BpeMerge's
+    // allowIdentical=true policy — deterministic left-greedy within
+    // runs, real BPE's rule — pinned by RoundTenSpec against
+    // hand-computed run rewrites. Pairs are packed a + U+0001 + b
+    // (U+0001 sorts below every token char, so packed-string order
+    // IS (a, b) tuple order in both engines).
     //
     // Scale shape per round: one partial-aggregated shuffle on the
     // packed pair (counts), a 1-row TakeOrderedAndProject argmax
@@ -2447,36 +2392,10 @@ object ExtQueries {
     // linearly; a production vocab build runs the same plan to
     // convergence with per-round checkpointing like Components.
     "x74_bpe_merges" -> ((s, dir) => {
-      val sep = "\u0001"
-      def mergeRound(df: DataFrame, r: Int): DataFrame = {
-        val tk = col("toks")
-        val pairs = df.select(explode(zip_with(
-          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
-          (x, y) => when(x =!= y, concat(x, lit(sep), y)))).as("ab"))
-          .filter(col("ab").isNotNull)
-        val top1 = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("ab")).limit(1)
-          .select(split(col("ab"), sep).getItem(0).as("ma"),
-            split(col("ab"), sep).getItem(1).as("mb"))
-        val n = size(tk)
-        val dropped = (i: Column) => coalesce(
-          when(i > 1, element_at(tk, i - 1) === col("ma")
-            && element_at(tk, i) === col("mb")), lit(false))
-        val headOf = (i: Column) => element_at(tk, i) === col("ma") &&
-          coalesce(when(i < n, element_at(tk, i + 1) === col("mb")), lit(false))
-        df.crossJoin(broadcast(top1))
-          .withColumn(s"merge_$r", concat(col("ma"), lit("_"), col("mb")))
-          .withColumn("toks", transform(
-            filter(sequence(lit(1), n), i => !dropped(i)),
-            i => when(headOf(i),
-              concat(col("ma"), lit("_"), col("mb")))
-              .otherwise(element_at(tk, i))))
-          .drop("ma", "mb")
-      }
       val t0 = spread(t(s, dir, "documents"))
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .withColumn("n_before", size(col("toks")).cast("long"))
-      val t3 = (1 to 3).foldLeft(t0)(mergeRound)
+      val t3 = graft.ext.BpeMerge.mergeRounds(t0, 3)
       t3.select(col("doc_id"), col("n_before"),
         size(col("toks")).cast("long").as("n_after"),
         array_join(col("toks"), " ").as("text_merged"),

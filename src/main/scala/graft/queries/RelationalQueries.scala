@@ -31,6 +31,20 @@ object RelationalQueries {
   private def sumExact(c: Column, digits: Int): Column =
     round(sum(c.cast("decimal(38,8)")).cast("double"), digits)
 
+  /** NTZ-safe epoch extraction. The test parquet's `ts` arrives as
+    * TIMESTAMP_NTZ (parquet `timestamp[us]` without isAdjustedToUTC),
+    * which `unix_millis`/`unix_micros` reject outright. Casting to
+    * TIMESTAMP first is a no-op for tz-aware input and interprets NTZ
+    * wall-clock in the session zone (pinned to UTC by every entry
+    * point), which is exactly DuckDB's `epoch_ms` semantics on naive
+    * timestamps — so the oracle values agree either way the driver
+    * writes the column.
+    */
+  private[queries] def epochMs(c: Column): Column =
+    unix_millis(c.cast("timestamp"))
+  private[queries] def epochUs(c: Column): Column =
+    unix_micros(c.cast("timestamp"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2d A1-A6 analogue + COUNT/SUM/COUNT DISTINCT (the "not present"
@@ -339,9 +353,9 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
       val iv = ev.filter(col("event_id") % 97 === 0)
         .select(col("event_id").as("interval_id"),
-          unix_millis(col("ts")).as("lo"),
-          (unix_millis(col("ts")) + 7200000L).as("hi"))
-      val pr = ev.select(col("user_id"), unix_millis(col("ts")).as("pt"),
+          epochMs(col("ts")).as("lo"),
+          (epochMs(col("ts")) + 7200000L).as("hi"))
+      val pr = ev.select(col("user_id"), epochMs(col("ts")).as("pt"),
         col("value"))
       graft.ops.RangeJoin.byBucket(pr, "pt", iv, "lo", "hi",
           bucketWidth = 3600000L)
@@ -496,7 +510,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
         .rangeBetween(-3599999999L, Window.currentRow)
       t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("es"),
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("es"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         .withColumn("trailing_n", count(lit(1)).over(w))
         .withColumn("trailing_cents", sum(col("cents")).over(w))
@@ -622,12 +636,12 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
       val sessions = ev.filter(col("event_id") % 53 === 0)
         .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
-          unix_millis(col("ts")).as("s_lo"),
-          (unix_millis(col("ts")) + 1800000L).as("s_hi"))
+          epochMs(col("ts")).as("s_lo"),
+          (epochMs(col("ts")) + 1800000L).as("s_hi"))
       val campaigns = ev.filter(col("event_id") % 97 === 0)
         .select(col("event_id").as("c_id"),
-          unix_millis(col("ts")).as("c_lo"),
-          (unix_millis(col("ts")) + 7200000L).as("c_hi"))
+          epochMs(col("ts")).as("c_lo"),
+          (epochMs(col("ts")) + 7200000L).as("c_hi"))
       graft.ops.RangeJoin.overlapByBucket(sessions, "s_lo", "s_hi",
           campaigns, "c_lo", "c_hi", bucketWidth = 3600000L)
         .groupBy(col("c_id"))
