@@ -62,6 +62,15 @@ object MakeSf {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      // 4 MB parquet row groups (default 128 MB would pack sf1's whole
+      // 113 MB lineitem into ONE row group): a single-row-group file is
+      // unsplittable no matter what maxPartitionBytes says, so every
+      // scan — and everything pipelined on top of it — runs on one
+      // core. Production tables arrive as many files; many row groups
+      // in the one driver-layout file reproduces that parallelism
+      // locally (round-10 sf1 postmortem: q25 spent 50 s isolated on a
+      // 1-core 28.7M-row fan-out join for exactly this reason).
+      .config("spark.hadoop.parquet.block.size", (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

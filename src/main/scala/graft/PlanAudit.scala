@@ -60,6 +60,12 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // split multi-row-group files into ~4 MB input partitions: the
+      // driver layout is one parquet FILE per table, and a 100 MB
+      // single file would otherwise scan on one core (production data
+      // arrives as many files; MakeSf writes 4 MB row groups so sf1
+      // scans parallelize the way a real table's file count would)
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

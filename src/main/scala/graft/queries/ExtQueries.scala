@@ -2402,6 +2402,32 @@ object ExtQueries {
         col("merge_1"), col("merge_2"), col("merge_3"))
         .orderBy(col("doc_id"))
     }),
+
+    // Incremental kNN-graph maintenance against a FROZEN index — the
+    // x42 incremental pattern on x73's plan (round-8 verdict task #7).
+    // Old corpus = vec_id % 10 != 0 (the persisted index: centroids
+    // fit on it, assignments stored); new batch = vec_id % 10 == 0
+    // arrives later, probes its frozen cells, and ONLY the
+    // batch-touched cells recompute. Output = refreshed edges for
+    // every node in a touched cell. The oracle runs the FULL
+    // frozen-index recompute restricted to touched cells — proving
+    // row-identity: incremental maintenance loses nothing, because a
+    // node's candidates never leave its own cell.
+    //
+    // Scale shape: the touched-cell spine (≤ min(batch, k) rows)
+    // BROADCASTS against the persisted assignments, so per-batch work
+    // is O(touched-cell population), independent of corpus size; the
+    // rank window is keyed on src_id. RoundTenSpec pins the same law
+    // at the DataFrame level plus the untouched-cells-absent property.
+    "x75_incremental_knn" -> ((s, dir) => {
+      val corpus = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      graft.ext.AnnIndex.incrementalNeighbors(
+        corpus.filter(col("vec_id") % 10 =!= 0),
+        corpus.filter(col("vec_id") % 10 === 0),
+        k = 16, topK = 5)
+        .orderBy(col("src_id"), col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4353,6 +4379,35 @@ object ExtQueries {
          |FROM t_3
          |ORDER BY doc_id""".stripMargin
     },
+
+    // x75: the frozen-index incremental-maintenance identity — fit on
+    // the old corpus only (fitWhere), assign everything, then run the
+    // FULL x73-shaped recompute RESTRICTED to cells the new batch
+    // touched. Row-identity with the Spark incremental path proves the
+    // batch probe loses nothing.
+    "x75_incremental_knn" -> {
+      val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
+        "for i in range(1, 65)])"
+      s"""WITH ${kmeans1Sql(k = 16, dims = 64, fitWhere = "vec_id % 10 <> 0")},
+         |touched AS (
+         |  SELECT DISTINCT cell FROM asg WHERE vec_id % 10 = 0),
+         |edges AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+         |    CAST(floor($d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |  JOIN pts pa ON a.vec_id = pa.vec_id
+         |  JOIN pts pb ON b.vec_id = pb.vec_id
+         |  WHERE a.vec_id <> b.vec_id
+         |    AND a.cell IN (SELECT cell FROM touched))
+         |SELECT src_id, rnk, neighbor_id, d2_e6 FROM (
+         |  SELECT src_id, neighbor_id, d2_e6,
+         |    CAST(row_number() OVER (PARTITION BY src_id
+         |                            ORDER BY d2_e6, neighbor_id) AS BIGINT)
+         |      AS rnk
+         |  FROM edges)
+         |WHERE rnk <= 5
+         |ORDER BY src_id, rnk""".stripMargin
+    },
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw
@@ -4360,10 +4415,22 @@ object ExtQueries {
     * ops that need only the final assignment): defines `base`, `pts`,
     * `c_0`…`c_1` and `asg(vec_id, cell, d)` where d is the squared
     * distance to the assigned (argmin, ties-to-lowest) centroid.
+    *
+    * `fitWhere`: optional predicate (over unaliased `pts` columns)
+    * restricting which points the centroid FIT sees — seeds, the
+    * Lloyd assignment and the mean update all ignore excluded rows,
+    * while the final `asg` assignment still covers EVERY point. This
+    * is the frozen-index shape x75 verifies: the index is built from
+    * the old corpus, then new arrivals are assigned to it unchanged.
+    * Empty (the default) emits byte-identical SQL to the pre-x75
+    * builder, so the frozen x09/x16/x58/x72/x73 oracles are untouched.
     */
-  private def kmeans1Sql(k: Int, dims: Int): String = {
+  private def kmeans1Sql(k: Int, dims: Int, fitWhere: String = ""): String = {
     def d2(v: String, cv: String): String =
       s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    val w0 = if (fitWhere.isEmpty) "" else s" WHERE $fitWhere"
+    val w1 = if (fitWhere.isEmpty) ""
+      else s" WHERE ${fitWhere.replace("vec_id", "p.vec_id")}"
     s"""base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |pts AS (
@@ -4373,14 +4440,14 @@ object ExtQueries {
        |c_0 AS (
        |  SELECT cell, cv FROM (
        |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-       |    FROM pts)
+       |    FROM pts$w0)
        |  WHERE cell < $k),
        |a_1 AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT p.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY p.vec_id
        |                         ORDER BY ${d2("p.v", "c.cv")}, c.cell) AS rn
-       |    FROM pts p, c_0 c)
+       |    FROM pts p, c_0 c$w1)
        |  WHERE rn = 1),
        |m_1 AS (
        |  SELECT a.cell, r.i AS dim,

@@ -135,4 +135,41 @@ class RoundTenSpec extends AnyFunSuite {
       .orderBy($"src_id", $"rnk").as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaRegistry == viaIndex)
   }
+
+  // ---- incremental kNN maintenance (round-8 task #7): new batch vs
+  // frozen index must equal the full recompute on batch-touching
+  // cells, and must stay silent everywhere else --------------------------
+
+  test("incrementalNeighbors == frozen-index full recompute on touched cells") {
+    import graft.ext.KMeansLite
+    // a SMALL batch (5 of 500 vectors), unlike x75's 10% oracle split:
+    // it must leave some cells untouched, or the silent-elsewhere
+    // assertion below would be vacuous
+    val old = base.filter($"vec_id" % 100 =!= 0)
+    val batch = base.filter($"vec_id" % 100 === 0)
+    val cents = KMeansLite.fitQuantized(old, "vec_id", "v", 16, iters = 1)
+    val assignedAll = base.select($"vec_id", $"v",
+      KMeansLite.assign($"v", cents).as("cell"))
+    val cellOf = assignedAll.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    val touched = batch.select(KMeansLite.assign($"v", cents).as("cell"))
+      .distinct().as[Int].collect().toSet
+    val full = AnnIndex.knnGraphAssigned(assignedAll, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inc = AnnIndex.incrementalNeighbors(old, batch, k = 16, topK = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(touched.size < 16, s"batch of 5 touched every cell " +
+      s"(${touched.size}/16) — the silence assertion would be vacuous")
+    val expected = full.filter(r => touched(cellOf(r._1)))
+    assert(inc == expected,
+      s"incremental drifted from the frozen full recompute: " +
+        s"missing=${(expected -- inc).take(3)} extra=${(inc -- expected).take(3)}")
+    // the refresh must cover OLD nodes in touched cells (their top-k
+    // can change when the batch lands nearby), not just the batch
+    assert(inc.exists(_._1 % 10 != 0), "old nodes in touched cells refreshed")
+    assert(inc.exists(_._1 % 10 == 0), "new batch nodes present")
+    // and stay silent for untouched cells
+    assert(!inc.exists(r => !touched(cellOf(r._1))),
+      "emitted edges for a cell the batch never touched")
+  }
 }
