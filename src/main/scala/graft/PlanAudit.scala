@@ -33,6 +33,16 @@ object PlanAudit {
     "x69_zipf_slope" ->
       ("frequency histogram: distinct counts D <= sqrt(2N) (sum of D" +
         " distinct positive counts >= D(D+1)/2), ~4.5e6 rows at N=1e13"),
+    "x78_pmi_collocations" ->
+      ("rank<=20 hits LimitPushDownThroughWindow:" +
+        " TakeOrderedAndProject(20) -> Window over the c_ab>=5 pruned" +
+        " collocation table; the single-partition frame is 20 rows at" +
+        " any corpus size"),
+    "x79_boolean_retrieval" ->
+      ("both windows are bounded ranks (top-3 df terms, top-20 docs):" +
+        " each hits LimitPushDownThroughWindow ->" +
+        " TakeOrderedAndProject(k) -> Window, k<=20 rows per frame at" +
+        " any corpus size"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Cms, Components, Dedup, Drift, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
+import graft.ext.{Bloom, Cms, Components, Dedup, Drift, Hll, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -2428,6 +2428,153 @@ object ExtQueries {
         k = 16, topK = 5)
         .orderBy(col("src_id"), col("rnk"))
     }),
+
+    // Bloom-filter decontamination (ext/Bloom): membership of every
+    // document's 5-grams against a reference blocklist (docs with
+    // doc_id % 10 == 0) folded into a 2^16-slot, 4-hash Bloom filter.
+    // This is the shape that beats x24's vocabulary equi-join at
+    // scale: the reference side reduces to ≤ 65536 set-bit positions
+    // (broadcast) no matter how many billions of grams it holds, and
+    // the test side never shuffles on the gram — only the per-doc
+    // aggregation shuffles, keyed on doc_id. The demo ALSO runs the
+    // exact vocabulary join to surface false positives per document
+    // (n_fp = bloom hits − exact hits); a production decontamination
+    // pass drops that audit join — it exists here to make the FP
+    // behavior itself oracle-checked.
+    "x76_bloom_decontaminate" -> ((s, dir) => {
+      val j = 4
+      val grams = spread(t(s, dir, "documents"))
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), explode(Text.wordShingles(col("tk"), 5)).as("gram"))
+      val refVocab = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("gram")).distinct()
+      val bits = Bloom.build(refVocab, col("gram"), j)
+      Bloom.test(grams, col("gram"), bits, j)
+        .join(refVocab.withColumn("in_ref", lit(1L)), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L))).as("n_bloom"),
+          sum(coalesce(col("in_ref"), lit(0L))).as("n_exact"))
+        .withColumn("n_fp", col("n_bloom") - col("n_exact"))
+        .withColumn("bloom_ratio", round(
+          col("n_bloom").cast("double") / col("n_grams").cast("double"), 4))
+        .withColumn("flagged", col("bloom_ratio") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HLL distinct-count sketch (ext/Hll): per-language distinct-
+    // trigram cardinality from 64 five-bit registers — the constant-
+    // space sibling of x27's KMV, rebuilt md5-deterministic so the
+    // oracle validates every register sum and the final estimate
+    // bit-for-bit (Spark's own approx_count_distinct HLL++ can't sit
+    // under a hash oracle). The partial aggregate reduces each
+    // partition to ≤ 64 (lang, register) rows before the shuffle —
+    // sketch-sized traffic at any corpus size — while the exact
+    // countDistinct beside it (the accuracy audit) pays the full
+    // distinct-gram shuffle the sketch exists to avoid.
+    "x77_hll_distinct" -> ((s, dir) => {
+      val grams = spread(t(s, dir, "documents"))
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 3)
+        .select(col("lang"), explode(Text.wordShingles(col("tk"))).as("gram"))
+      val regs = grams
+        .withColumn("h", Hll.h32(col("gram")))
+        .select(col("lang"), Hll.regIndex(col("h")).as("idx"),
+          Hll.rho(col("h")).as("rho"))
+        .groupBy(col("lang"), col("idx"))
+        .agg(max(col("rho")).as("m_rho"))
+      val sketch = regs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_regs"),
+          sum(Hll.presentWeight("m_rho")).as("s_present"))
+        .withColumn("v_zero", lit(Hll.M.toLong) - col("n_regs"))
+        .withColumn("s_int",
+          col("s_present") + col("v_zero") * lit(Hll.EmptyWeight))
+      val exact = grams.groupBy(col("lang"))
+        .agg(countDistinct(col("gram")).as("exact_distinct"))
+      exact.join(sketch, Seq("lang"))
+        .select(col("lang"), col("exact_distinct"), col("v_zero"),
+          col("s_int"),
+          Hll.estimate(col("s_int"), col("v_zero")).as("hll_estimate"))
+        .withColumn("rel_err", round(
+          (col("hll_estimate") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 4))
+        .orderBy(col("lang"))
+    }),
+
+    // PMI collocations: top-20 adjacent-bigram associations with a
+    // min-count prune (c_ab ≥ 5) BEFORE the unigram joins — the prune
+    // is what makes collocation mining scale: the bigram→unigram join
+    // ships only surviving collocations (broadcast) against the
+    // unigram vocabulary, never the corpus-sized bigram stream. The
+    // PMI ratio is computed as ONE division of two exact integer
+    // products (long→double casts and the division are correctly
+    // rounded, so cross-engine identical; at corpora where
+    // c_ab·N_uni² would exceed a long, switch to the log-sum form and
+    // widen the rounding), then ln, quantized to 6 decimals before
+    // ranking (the x20 pattern). rank ≤ 20 over the pruned set is the
+    // x40 TakeOrderedAndProject shape — the global window never sees
+    // more than the pruned collocation table.
+    "x78_pmi_collocations" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      val uni = toks.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
+      val bi = toks.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> named_struct('a', element_at(tk, i),
+            |                    'b', element_at(tk, i + 1)))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+      val scored = broadcast(bi.filter(col("c_ab") >= 5))
+        .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+        .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+        .crossJoin(broadcast(nUni))
+        .crossJoin(broadcast(nBi))
+        .withColumn("pmi6", round(log(
+          (col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
+            (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 6))
+      val w = Window.orderBy(col("pmi6").desc, col("a"), col("b"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("a"), col("b"), col("c_ab"),
+          col("c_a"), col("c_b"), col("pmi6"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Conjunctive boolean retrieval over an inverted index: the query
+    // is the 3 highest-document-frequency terms (deterministic, data-
+    // derived); a document matches iff it contains ALL three, ranked
+    // by summed term frequency. The posting list join is keyed on the
+    // term with the 3-row term set BROADCAST, so only matching
+    // postings shuffle (keyed doc_id for the intersection count) —
+    // the smallest-posting-first discipline of a search engine,
+    // expressed as count(distinct term) == |query|. Both global
+    // windows (top-3 terms, top-20 docs) are bounded-rank
+    // TakeOrderedAndProject shapes.
+    "x79_boolean_retrieval" -> ((s, dir) => {
+      val postings = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfTbl = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val wTop = Window.orderBy(col("df").desc, col("w"))
+      val terms = dfTbl.withColumn("trnk", row_number().over(wTop))
+        .filter(col("trnk") <= 3)
+      val wRank = Window.orderBy(col("total_tf").desc, col("doc_id"))
+      postings.join(broadcast(terms.select(col("w"))), "w")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("w")).as("n_terms"),
+          sum(col("tf")).as("total_tf"))
+        .filter(col("n_terms") === 3)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("doc_id"), col("total_tf"))
+        .orderBy(col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4408,6 +4555,160 @@ object ExtQueries {
          |WHERE rnk <= 5
          |ORDER BY src_id, rnk""".stripMargin
     },
+
+    // x76: same 2^16-slot / 4-hash Bloom construction — position i of
+    // a gram is the first 4 hex chars of md5(i || ':' || gram) — so
+    // filter contents, every membership verdict AND every false
+    // positive reproduce bit-for-bit.
+    "x76_bloom_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |                          for i in range(1, len(tk) - 3)])) AS gram
+        |  FROM tok WHERE len(tk) >= 5),
+        |refv AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT DISTINCT substr(md5(CAST(r.i AS VARCHAR) || ':' || gram), 1, 4)
+        |    AS pos
+        |  FROM refv, range(1, 5) r(i)),
+        |probes AS (
+        |  SELECT g.doc_id, g.gram,
+        |    substr(md5(CAST(r.i AS VARCHAR) || ':' || g.gram), 1, 4) AS pos
+        |  FROM g, range(1, 5) r(i)),
+        |verdict AS (
+        |  SELECT p.doc_id, p.gram,
+        |    (CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      = 4) AS bloom_hit
+        |  FROM probes p LEFT JOIN bits b USING (pos)
+        |  GROUP BY p.doc_id, p.gram),
+        |agg AS (
+        |  SELECT v.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN v.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bloom,
+        |    CAST(sum(CASE WHEN rv.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact
+        |  FROM verdict v LEFT JOIN refv rv USING (gram)
+        |  GROUP BY v.doc_id)
+        |SELECT doc_id, n_grams, n_bloom, n_exact,
+        |  n_bloom - n_exact AS n_fp,
+        |  round(CAST(n_bloom AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+        |    AS bloom_ratio,
+        |  (round(CAST(n_bloom AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.5)
+        |    AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // x77: registers rebuilt from the same 32-bit md5 hash (6 index
+    // bits / 26 pattern bits); the register sum travels as the exact
+    // integer Σ 2^(27−M_j) so the single division is the only rounding
+    // point; the raw-estimate numerator constant is interpolated from
+    // the one Scala double both sides share.
+    "x77_hll_distinct" ->
+      s"""WITH tok AS (
+        |  SELECT lang, string_split_regex(text, '\\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          for i in range(1, len(tk) - 1)])) AS gram
+        |  FROM tok WHERE len(tk) >= 3),
+        |h AS (
+        |  SELECT lang,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(gram), i, 1))
+        |                    - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+        |                   for i in range(1, 9)]) AS BIGINT) AS h32
+        |  FROM g),
+        |regs AS (
+        |  SELECT lang, h32 // 67108864 AS idx,
+        |    max(CASE WHEN h32 % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h32 % 67108864)) END) AS m_rho
+        |  FROM h GROUP BY lang, idx),
+        |sk AS (
+        |  SELECT lang, count(*) AS n_regs,
+        |    CAST(sum(1::BIGINT << CAST(27 - m_rho AS INT)) AS BIGINT)
+        |      AS s_present
+        |  FROM regs GROUP BY lang),
+        |s2 AS (
+        |  SELECT lang, CAST(64 - n_regs AS BIGINT) AS v_zero,
+        |    CAST(s_present + (64 - n_regs) * 134217728 AS BIGINT) AS s_int
+        |  FROM sk),
+        |ex AS (
+        |  SELECT lang, count(DISTINCT gram) AS exact_distinct FROM g
+        |  GROUP BY lang),
+        |est AS (
+        |  SELECT e.lang, e.exact_distinct, s.v_zero, s.s_int,
+        |    round(CASE WHEN ${Hll.RawNumerator} / CAST(s.s_int AS DOUBLE)
+        |                    <= 160.0 AND s.v_zero > 0
+        |      THEN 64.0 * ln(64.0 / CAST(s.v_zero AS DOUBLE))
+        |      ELSE ${Hll.RawNumerator} / CAST(s.s_int AS DOUBLE) END, 4)
+        |      AS hll_estimate
+        |  FROM ex e JOIN s2 s USING (lang))
+        |SELECT lang, exact_distinct, v_zero, s_int, hll_estimate,
+        |  round((hll_estimate - CAST(exact_distinct AS DOUBLE))
+        |        / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+        |FROM est ORDER BY lang""".stripMargin,
+
+    // x78: bigrams as 'a b' strings (whitespace tokens can't contain
+    // spaces, so split_part inverts exactly); min-count prune before
+    // the unigram joins; one integer-exact division then ln, quantized
+    // to 6 decimals before ranking.
+    "x78_pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(text, '\s+') AS tk FROM documents),
+        |uc AS (
+        |  SELECT w, count(*) AS c_w
+        |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+        |nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uc),
+        |bg AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+        |    AS gram
+        |  FROM tok WHERE len(tk) >= 2),
+        |bc AS (
+        |  SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b,
+        |    count(*) AS c_ab
+        |  FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bc),
+        |sc AS (
+        |  SELECT bc.a, bc.b, bc.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |    round(ln(CAST(bc.c_ab * nu.n_uni * nu.n_uni AS DOUBLE)
+        |             / CAST(nb.n_bi * ua.c_w * ub.c_w AS DOUBLE)), 6) AS pmi6
+        |  FROM bc
+        |  JOIN uc ua ON bc.a = ua.w
+        |  JOIN uc ub ON bc.b = ub.w, nu, nb
+        |  WHERE bc.c_ab >= 5),
+        |r AS (
+        |  SELECT a, b, c_ab, c_a, c_b, pmi6,
+        |    CAST(row_number() OVER (ORDER BY pmi6 DESC, a, b) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT rnk, a, b, c_ab, c_a, c_b, pmi6
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // x79: query = top-3 df terms; conjunctive match via
+    // count(distinct term) == 3 over the term-filtered postings.
+    "x79_boolean_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |tfv AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM tok) GROUP BY 1, 2),
+        |dfv AS (SELECT w, count(*) AS df FROM tfv GROUP BY w),
+        |terms AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY df DESC, w) AS r FROM dfv)
+        |  WHERE r <= 3),
+        |h AS (
+        |  SELECT t.doc_id, count(DISTINCT t.w) AS n_terms,
+        |    CAST(sum(t.tf) AS BIGINT) AS total_tf
+        |  FROM tfv t JOIN terms USING (w) GROUP BY t.doc_id),
+        |r AS (
+        |  SELECT doc_id, total_tf,
+        |    CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id) AS BIGINT)
+        |      AS rnk
+        |  FROM h WHERE n_terms = 3)
+        |SELECT rnk, doc_id, total_tf FROM r WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw

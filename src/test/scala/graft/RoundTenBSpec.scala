@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Bloom, Hll, Text}
+
+/** Round-10 second wave: the sketch/membership operators behind
+  * x76–x79 — properties the DuckDB oracle can't state (no false
+  * negatives ever, mergeability, error bounds), proven at sf0.001.
+  */
+class RoundTenBSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def grams(n: Int) = Tables(spark, dir, "documents")
+    .withColumn("tk", Text.tokens(col("text")))
+    .filter(size(col("tk")) >= n)
+    .select(col("doc_id"), explode(Text.wordShingles(col("tk"), n)).as("gram"))
+
+  test("Bloom: zero false negatives, bounded filter, plausible FP rate") {
+    val g = grams(5)
+    val ref = g.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+    val bits = Bloom.build(ref, col("gram"), j = 4).cache()
+    val nBits = bits.count()
+    assert(nBits <= 65536, "filter must stay within the 2^16 slot table")
+
+    // no false negatives: every reference gram must test positive
+    val refVerdicts = Bloom.test(ref, col("gram"), bits, j = 4)
+    assert(refVerdicts.filter(!col("bloom_hit")).count() === 0)
+
+    // false positives exist in principle but must stay near the
+    // theoretical (1 - e^(-jn/m))^j; allow 5x headroom for variance
+    val nonRef = g.join(ref, Seq("gram"), "left_anti")
+      .select("gram").distinct()
+    val fp = Bloom.test(nonRef, col("gram"), bits, j = 4)
+      .filter(col("bloom_hit")).count()
+    val nNonRef = nonRef.count()
+    val p = math.pow(1.0 - math.exp(-4.0 * ref.count() / 65536.0), 4)
+    assert(fp <= math.max(5, 5 * p * nNonRef),
+      s"fp=$fp of $nNonRef vs theoretical p=$p")
+    bits.unpersist()
+  }
+
+  test("Hll: registers merge (sketch of union == max of sketches)") {
+    val g = grams(3).withColumn("h", Hll.h32(col("gram")))
+      .select(Hll.regIndex(col("h")).as("idx"), Hll.rho(col("h")).as("rho"),
+        col("doc_id"))
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("idx").agg(max("rho").as("m_rho"))
+        .as[(Long, Int)].collect().toMap
+    val whole = regsOf(g)
+    val a = regsOf(g.filter(col("doc_id") % 2 === 0))
+    val b = regsOf(g.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(i =>
+      i -> math.max(a.getOrElse(i, 0), b.getOrElse(i, 0))).toMap
+    assert(merged === whole,
+      "register-wise max of shard sketches must equal the union sketch")
+  }
+
+  test("Hll: estimate lands within sketch error of the exact count") {
+    val rows = ExtQueriesAccess.run(spark, dir, "x77_hll_distinct")
+      .select(col("exact_distinct"), col("hll_estimate"))
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, est) =>
+      // sigma = 1.04/sqrt(64) = 13%; assert within 3.5 sigma
+      assert(math.abs(est - exact) <= math.max(8.0, 0.455 * exact),
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
+  test("x78: every collocation survived the min-count prune") {
+    val out = ExtQueriesAccess.run(spark, dir, "x78_pmi_collocations")
+    assert(out.filter(col("c_ab") < 5).count() === 0)
+    assert(out.count() <= 20)
+  }
+
+  test("x79: retrieved documents really contain all three query terms") {
+    val out = ExtQueriesAccess.run(spark, dir, "x79_boolean_retrieval")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    // recompute the top-3 df terms independently
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .distinct()
+    val top3 = toks.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(3)
+      .select("w").as[String].collect().toSet
+    val docsWithAll = toks.filter(col("w").isin(top3.toSeq: _*))
+      .groupBy("doc_id").agg(countDistinct("w").as("n"))
+      .filter(col("n") === 3).select("doc_id").as[Long].collect().toSet
+    assert(out.subsetOf(docsWithAll))
+  }
+}
+
+/** Test-side accessor for registered queries (the registry values are
+  * what the driver runs; specs reuse them instead of re-pasting).
+  */
+object ExtQueriesAccess {
+  def run(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+}
