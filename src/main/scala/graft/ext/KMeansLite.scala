@@ -19,10 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object KMeansLite {
 
-  /** Squared L2 distance between two vector columns (sequential left
-    * fold — the order the oracle's list comprehension reproduces).
+  /** Squared L2 distance between two vector columns via the native
+    * codegen'd expression
+    * ([[org.apache.spark.sql.graft.SquaredDistance]]): one fused loop,
+    * no `zip_with` intermediate array — the hot inner op of every
+    * assignment scan and kNN edge. Fold order (sequential left fold)
+    * is identical to [[dist2Hof]] and the oracle's list comprehension;
+    * ExtSpec asserts bit-equality, and the same-session sf1 A/B
+    * (PLANS.md round-10 note) measured x75 41 → 7 s, x73 17 → 11 s.
     */
   def dist2(v: Column, c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.SquaredDistance(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+
+  /** HOF formulation — the pure-built-in reference implementation
+    * [[dist2]] must match bit-for-bit.
+    */
+  def dist2Hof(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 

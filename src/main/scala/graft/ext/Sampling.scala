@@ -31,4 +31,24 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, key: Column, keepBuckets: Int): DataFrame =
     df.filter(hashBucket256(key) < keepBuckets)
+
+  /** Efraimidis–Spirakis (2006) weighted-sampling key: rank rows by
+    * u^(1/w) descending and take k — equivalently (and numerically
+    * safer) by ln(u)/w descending, which this returns. u is the
+    * md5-derived 32-bit uniform of the key (+1 so u > 0), making the
+    * sample a pure function of the data like every split here: re-runs,
+    * re-shards and the DuckDB oracle agree row-for-row. ln is the one
+    * libm call, so it is quantized to 8 decimals BEFORE the weight
+    * division (the x20 discipline — both engines then divide identical
+    * doubles, and the division is correctly rounded), and the final key
+    * to 12. Top-k per group is a keyed rank window — weighted
+    * reservoir sampling without replacement, no global state, at any
+    * corpus size.
+    */
+  def esKey(key: Column, weight: Column): Column = {
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + 1.0) / 4294967296.0
+    round(round(log(u), 8) / weight.cast("double"), 12)
+  }
 }

@@ -2575,6 +2575,65 @@ object ExtQueries {
         .select(col("rnk"), col("doc_id"), col("total_tf"))
         .orderBy(col("rnk"))
     }),
+
+    // Label propagation over the kNN structure (semi-supervised
+    // labeling — how a small set of human/classifier quality labels
+    // spreads to a whole corpus): nodes with vec_id % 5 == 0 are
+    // "unlabeled"; each takes the MAJORITY label of its 5 nearest
+    // LABELED neighbors within its k-means cell (x73's candidate
+    // discipline — one cell equi-join, never n²), ties to the lowest
+    // label, distances in integer micro-units. The output carries the
+    // held-out true label so the query IS its own accuracy audit.
+    // Scale: identical to x73 — O(n·cell) candidates with k∝corpus;
+    // both windows are keyed by src_id.
+    "x80_label_propagation" -> ((s, dir) => {
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"), col("label"))
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
+      val assigned = base.withColumn("cell", KMeansLite.assign(col("v"), cents))
+      val masked = assigned.filter(col("vec_id") % 5 === 0)
+        .select(col("cell"), col("vec_id").as("src_id"),
+          col("v").as("va"), col("label").as("true_label"))
+      val voters = assigned.filter(col("vec_id") % 5 =!= 0)
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("v").as("vb"), col("label").as("voter_label"))
+      val wSrc = Window.partitionBy(col("src_id"))
+        .orderBy(col("d2_e6"), col("neighbor_id"))
+      val wVote = Window.partitionBy(col("src_id"))
+        .orderBy(col("n_votes").desc, col("voter_label"))
+      masked.join(voters, "cell")
+        .withColumn("d2_e6",
+          floor(KMeansLite.dist2(col("va"), col("vb")) * 1e6 + 0.5))
+        .withColumn("rnk", row_number().over(wSrc))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("src_id"), col("true_label"), col("voter_label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("src_id"), col("true_label"),
+          col("voter_label").as("predicted_label"), col("n_votes"),
+          (col("voter_label") === col("true_label")).as("correct"))
+        .orderBy(col("src_id"))
+    }),
+
+    // Weighted reservoir sampling without replacement (Efraimidis–
+    // Spirakis A-ES, Sampling.esKey): top-10 docs per source ranked by
+    // the deterministic md5-derived key ln(u)/n_chars — longer docs
+    // proportionally likelier, membership a pure function of the data
+    // (re-runs, re-shards, and the oracle agree row-for-row, unlike
+    // rand()-based sampling). One narrow map + a per-source rank
+    // window; no global state at any corpus size.
+    "x81_weighted_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("key12").desc, col("doc_id"))
+      t(s, dir, "documents").filter(col("n_chars") > 0)
+        .withColumn("key12", Sampling.esKey(col("doc_id"), col("n_chars")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+          col("key12"))
+        .orderBy(col("source"), col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4709,6 +4768,68 @@ object ExtQueries {
         |  FROM h WHERE n_terms = 3)
         |SELECT rnk, doc_id, total_tf FROM r WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin,
+
+    // x80: same frozen 1-iteration quantized k-means assignment
+    // (kmeans1Sql), masked/voter split by vec_id % 5, within-cell
+    // micro-unit distances, top-5 labeled neighbors, majority vote
+    // with ties to the lowest label.
+    "x80_label_propagation" -> {
+      val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
+        "for i in range(1, 65)])"
+      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |m AS (
+         |  SELECT a.vec_id AS src_id, a.cell, l.label AS true_label
+         |  FROM asg a JOIN lbl l USING (vec_id) WHERE a.vec_id % 5 = 0),
+         |vt AS (
+         |  SELECT a.vec_id AS neighbor_id, a.cell, l.label AS voter_label
+         |  FROM asg a JOIN lbl l USING (vec_id) WHERE a.vec_id % 5 <> 0),
+         |e AS (
+         |  SELECT m.src_id, m.true_label, v.neighbor_id, v.voter_label,
+         |    CAST(floor($d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+         |  FROM m JOIN vt v ON m.cell = v.cell
+         |  JOIN pts pa ON m.src_id = pa.vec_id
+         |  JOIN pts pb ON v.neighbor_id = pb.vec_id),
+         |r AS (
+         |  SELECT src_id, true_label, voter_label,
+         |    row_number() OVER (PARTITION BY src_id
+         |                       ORDER BY d2_e6, neighbor_id) AS rnk
+         |  FROM e),
+         |votes AS (
+         |  SELECT src_id, true_label, voter_label, count(*) AS n_votes
+         |  FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT src_id, true_label, voter_label, n_votes,
+         |    row_number() OVER (PARTITION BY src_id
+         |                       ORDER BY n_votes DESC, voter_label) AS vr
+         |  FROM votes)
+         |SELECT src_id, true_label, voter_label AS predicted_label,
+         |  CAST(n_votes AS BIGINT) AS n_votes,
+         |  (voter_label = true_label) AS correct
+         |FROM win WHERE vr = 1 ORDER BY src_id""".stripMargin
+    },
+
+    // x81: identical A-ES key arithmetic — md5-derived u, ln quantized
+    // to 8 BEFORE the weight division, key to 12 — so the sample
+    // membership itself is the thing being oracle-checked.
+    "x81_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    round(round(ln(
+        |      (CAST(list_sum([(strpos('0123456789abcdef',
+        |                       substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |                      * CAST(pow(16, 8 - i) AS BIGINT)
+        |                      for i in range(1, 9)]) AS DOUBLE) + 1.0)
+        |      / 4294967296.0), 8) / CAST(n_chars AS DOUBLE), 12) AS key12
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, key12,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY key12 DESC, doc_id) AS BIGINT)
+        |      AS rnk
+        |  FROM d)
+        |SELECT source, rnk, doc_id, n_chars, key12
+        |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
   )
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw

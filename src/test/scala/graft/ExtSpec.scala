@@ -121,6 +121,26 @@ class ExtSpec extends AnyFunSuite {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("native SquaredDistance: bit-identical to the HOF fold, null-safe") {
+    import graft.ext.KMeansLite
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+      .select(Similarity.toDoubleArray(col("embedding")).as("v"), col("vec_id"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        KMeansLite.dist2(col("a.v"), col("b.v")).as("native"),
+        KMeansLite.dist2Hof(col("a.v"), col("b.v")).as("hof"))
+    // exact double equality — same sequential left fold, or the
+    // k-means/kNN oracles would drift
+    assert(pairs.filter(col("native") =!= col("hof")).isEmpty)
+
+    val edge: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)), // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))) // null element
+    val df = edge.toDF("a", "b")
+      .select(KMeansLite.dist2(col("a"), col("b")).as("c"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
   test("signBucket: positively-scaled copies share a bucket") {
     val v = (0 until 64).map(i => math.sin(i + 1.0))
     val df = Seq(v, v.map(_ * 1.02)).toDF("v")

@@ -78,6 +78,43 @@ class RoundTenBSpec extends AnyFunSuite {
     assert(out.count() <= 20)
   }
 
+  test("x80: only masked nodes, bounded votes, consistent correctness flag") {
+    val out = ExtQueriesAccess.run(spark, dir, "x80_label_propagation")
+    assert(out.count() > 0)
+    assert(out.filter(col("src_id") % 5 =!= 0).count() === 0)
+    assert(out.filter(col("n_votes") < 1 || col("n_votes") > 5).count() === 0)
+    assert(out.filter(
+      col("correct") =!= (col("predicted_label") === col("true_label")))
+      .count() === 0)
+  }
+
+  test("x81: engine sample equals an exact driver-side A-ES replay") {
+    val got = ExtQueriesAccess.run(spark, dir, "x81_weighted_sample")
+      .select("source", "rnk", "doc_id").as[(String, Long, Long)].collect()
+      .toSeq.sorted
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    def key12(docId: Long, w: Long): BigDecimal = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      val lnu8 = BigDecimal(math.log(u))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(lnu8.toDouble / w.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(r => (key12(r._1, r._3), r._1))
+        .sortBy { case (k, id) => (-k, id) }
+        .take(10).zipWithIndex
+        .map { case ((_, id), i) => (src, (i + 1).toLong, id) }
+    }.sorted
+    assert(got === expected)
+  }
+
   test("x79: retrieved documents really contain all three query terms") {
     val out = ExtQueriesAccess.run(spark, dir, "x79_boolean_retrieval")
       .select("doc_id").as[Long].collect().toSet
