@@ -43,6 +43,10 @@ object PlanAudit {
         " each hits LimitPushDownThroughWindow ->" +
         " TakeOrderedAndProject(k) -> Window, k<=20 rows per frame at" +
         " any corpus size"),
+    "x82_power_iteration" ->
+      ("rank<=20 hits LimitPushDownThroughWindow:" +
+        " TakeOrderedAndProject(20) -> Window; the single-partition" +
+        " frame is 20 rows at any corpus size"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

@@ -2634,6 +2634,34 @@ object ExtQueries {
           col("key12"))
         .orderBy(col("source"), col("rnk"))
     }),
+
+    // Top principal direction of the embedding corpus by deterministic
+    // power iteration (ext/PowerIter — the KMeansLite integer-sum
+    // discipline applied to a distributed matrix multiply), then every
+    // vector scored against it: projection and residual energy. The
+    // extreme |projection| tail is the "dominant-direction" diagnostic
+    // of embedding-corpus health (anisotropy / cone collapse —
+    // Ethayarajh 2019 — and boilerplate floods show up here before
+    // they show up in token stats). The oracle recomputes BOTH
+    // unrolled iterations in SQL — exact integer register sums, the
+    // same 64-term norm fold — so the learned DIRECTION itself is
+    // verified bit-for-bit, not just the scores. rank ≤ 20 is the x40
+    // bounded TakeOrderedAndProject shape.
+    "x82_power_iteration" -> ((s, dir) => {
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val pc1 = typedlit(graft.ext.PowerIter.fit(base, "v", dims = 64, iters = 2))
+      val w = Window.orderBy(col("abs_proj").desc, col("vec_id"))
+      base
+        .withColumn("proj6", round(Similarity.dot(col("v"), pc1), 6))
+        .withColumn("abs_proj", abs(col("proj6")))
+        .withColumn("resid6",
+          round(Similarity.norm2(col("v")) - col("proj6") * col("proj6"), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("vec_id"), col("proj6"), col("resid6"))
+        .orderBy(col("rnk"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4830,7 +4858,64 @@ object ExtQueries {
         |  FROM d)
         |SELECT source, rnk, doc_id, n_chars, key12
         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+
+    // x82: both power iterations recomputed in SQL — v0 = 1/sqrt(d)
+    // exactly, per-vector contributions quantized to the 2^-24 grid
+    // and integer-summed per dimension, the same 64-term norm fold —
+    // so the direction Spark's driver computed is re-derived, not
+    // trusted.
+    "x82_power_iteration" -> powerIterSql(dims = 64, iters = 2),
   )
+
+  /** Unrolled deterministic power-iteration oracle ([[graft.ext
+    * .PowerIter]] arithmetic as CTEs): v_0 = 1/√dims; per round,
+    * t = v·v_k, per-dim integer sum of round(x_d·t·2^24), w = s/2^24,
+    * v_{k+1} = w/‖w‖; final scores = 6-decimal projection + residual,
+    * top-20 by |projection|.
+    */
+  private def powerIterSql(dims: Int, iters: Int): String = {
+    def dot(v: String, u: String) =
+      s"list_sum([$v[i] * $u[i] for i in range(1, ${dims + 1})])"
+    val iterCtes = (1 to iters).map { k =>
+      s"""t_$k AS (
+         |  SELECT p.vec_id, p.v, ${dot("p.v", "c.vv")} AS t
+         |  FROM pts p, v_${k - 1} c),
+         |u_$k AS (
+         |  SELECT r.i AS dim,
+         |    CAST(sum(CAST(round(t.v[r.i] * t.t * 16777216.0) AS BIGINT))
+         |      AS BIGINT) AS s
+         |  FROM t_$k t, range(1, ${dims + 1}) r(i)
+         |  GROUP BY r.i),
+         |w_$k AS (
+         |  SELECT list(CAST(s AS DOUBLE) / 16777216.0 ORDER BY dim) AS wv
+         |  FROM u_$k),
+         |v_$k AS (
+         |  SELECT [x / sqrt(list_sum([y * y for y in wv])) for x in wv]
+         |    AS vv
+         |  FROM w_$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |v_0 AS (
+       |  SELECT [1.0 / sqrt(${dims}.0) for i in range(1, ${dims + 1})]
+       |    AS vv),
+       |$iterCtes,
+       |sc AS (
+       |  SELECT p.vec_id, round(${dot("p.v", "c.vv")}, 6) AS proj6,
+       |    list_sum([x * x for x in p.v]) AS n2
+       |  FROM pts p, v_$iters c),
+       |sc2 AS (
+       |  SELECT vec_id, proj6, round(n2 - proj6 * proj6, 6) AS resid6,
+       |    abs(proj6) AS ap
+       |  FROM sc),
+       |r AS (
+       |  SELECT vec_id, proj6, resid6,
+       |    CAST(row_number() OVER (ORDER BY ap DESC, vec_id) AS BIGINT)
+       |      AS rnk
+       |  FROM sc2)
+       |SELECT rnk, vec_id, proj6, resid6 FROM r WHERE rnk <= 20
+       |ORDER BY rnk""".stripMargin
+  }
 
   /** Shared 1-iteration quantized-k-means CTE block over the raw
     * embeddings table (the kmeansIvfSql arithmetic, factored for the

@@ -115,6 +115,31 @@ class RoundTenBSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("x82/PowerIter: unit direction, Rayleigh quotient non-decreasing") {
+    import graft.ext.{PowerIter, Similarity}
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
+    def rayleigh(v: Seq[Double]): Double = {
+      val vl = typedlit(v)
+      base.select(Similarity.dot(col("v"), vl).as("t"))
+        .agg(sum(col("t") * col("t"))).head().getDouble(0)
+    }
+    val v1 = PowerIter.fit(base, "v", dims = 64, iters = 1)
+    val v2 = PowerIter.fit(base, "v", dims = 64, iters = 2)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-12)
+    // power iteration never decreases the quadratic form (up to the
+    // 2^-24 quantization jitter)
+    assert(rayleigh(v2) >= rayleigh(v1) * (1 - 1e-6),
+      s"Rayleigh fell: ${rayleigh(v1)} -> ${rayleigh(v2)}")
+
+    val out = ExtQueriesAccess.run(spark, dir, "x82_power_iteration")
+    assert(out.count() === 20)
+    // Cauchy-Schwarz: residual energy ||x||^2 - (x.v)^2 >= 0 for a
+    // unit v (tolerance for the 6-decimal projection rounding)
+    assert(out.filter(col("resid6") < -1e-5).count() === 0)
+  }
+
   test("x79: retrieved documents really contain all three query terms") {
     val out = ExtQueriesAccess.run(spark, dir, "x79_boolean_retrieval")
       .select("doc_id").as[Long].collect().toSet
