@@ -311,6 +311,76 @@ object ScaleProbe {
         f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
       toks.unpersist()
     }
+
+    // Bloom decontamination (the x76 shape, round-10): the REFERENCE
+    // corpus grows k× too, and the claim under test is that the
+    // filter stays bounded — n_bits must saturate at ≤ 65536 (2^16
+    // slots) no matter how many grams the reference holds, while the
+    // probe side's cost tracks its own size linearly. A reference
+    // equi-join design (the x24 shape) would instead ship a
+    // vocabulary growing with k.
+    ks.foreach { k =>
+      val corpus = scaledDocs(k)
+      val grams = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"),
+          explode(Text.wordShingles(col("t"), 5)).as("gram"))
+      val t0 = System.nanoTime()
+      val bits = graft.ext.Bloom.build(
+        grams.filter(col("doc_id") % 10 === 0).select(col("gram")).distinct(),
+        col("gram"), j = 4).cache()
+      val nBits = bits.count()
+      val flagged = graft.ext.Bloom.test(
+        grams.select(col("doc_id"), col("gram")), col("gram"), bits, j = 4)
+        .filter(col("bloom_hit")).count()
+      println(f"SCALE-BLOOM k=$k docs=${k * n0}%7d bits=$nBits%6d " +
+        f"flagged=$flagged%9d t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      bits.unpersist()
+    }
+
+    // HLL sketch (the x77 shape, round-10): distinct-gram cardinality
+    // grows with k (rotated copies mint new shingles), but the
+    // aggregate's shuffle is register-bounded — the probe reports the
+    // register-row count actually shuffled (≤ 64 per lang at ANY k)
+    // next to the growing estimate; time tracks the hashing scan
+    // linearly.
+    ks.foreach { k =>
+      val corpus = scaledDocs(k)
+      val grams = corpus.withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(explode(Text.wordShingles(col("t"))).as("gram"))
+      val t0 = System.nanoTime()
+      val regs = grams.withColumn("h", graft.ext.Hll.h32(col("gram")))
+        .select(graft.ext.Hll.regIndex(col("h")).as("idx"),
+          graft.ext.Hll.rho(col("h")).as("rho"))
+        .groupBy(col("idx")).agg(max(col("rho")).as("m_rho")).cache()
+      val nRegs = regs.count()
+      val est = regs.agg(
+        graft.ext.Hll.estimate(
+          sum(graft.ext.Hll.presentWeight("m_rho")) +
+            (lit(graft.ext.Hll.M.toLong) - count(lit(1))) *
+              lit(graft.ext.Hll.EmptyWeight),
+          lit(graft.ext.Hll.M.toLong) - count(lit(1))))
+        .head().getDouble(0)
+      println(f"SCALE-HLL k=$k docs=${k * n0}%7d reg_rows=$nRegs%3d " +
+        f"estimate=$est%12.1f t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      regs.unpersist()
+    }
+
+    // Power iteration (the x82 shape, round-10): per round one narrow
+    // map + one d-row aggregate, driver state d longs — time must
+    // track vecs linearly and the direction's unit norm is the
+    // correctness accounting.
+    ks.foreach { k =>
+      val corpus = scaledEmb(k).cache()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val v = graft.ext.PowerIter.fit(corpus, "v", dims = 64, iters = 2)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      println(f"SCALE-PIT k=$k vecs=${k * e0}%7d norm=$norm%8.6f " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }
