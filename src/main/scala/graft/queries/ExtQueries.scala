@@ -2662,6 +2662,100 @@ object ExtQueries {
         .select(col("rnk"), col("vec_id"), col("proj6"), col("resid6"))
         .orderBy(col("rnk"))
     }),
+
+    // The capstone composition: the full pretraining-data gate as ONE
+    // dataflow — quality rules (x71) → exact dedup (x01) →
+    // Bloom decontamination (x76) → A-ES weighted sampling (x81) →
+    // context packing (x19) — with a per-document disposition naming
+    // the FIRST stage that dropped it. Corpus = documents ∪ identical
+    // copies so dedup does real work; eval blocklist = base docs with
+    // doc_id % 17 == 0. The stages thread through one frame with
+    // CONDITIONAL window partitions (rank within (q_pass, md5), rank
+    // within (eligible, source), cumsum within (kept, source, lang))
+    // instead of per-stage self-joins — so the whole gate costs: one
+    // gram aggregation + doc-keyed join (contam grain), three keyed
+    // window shuffles, zero corpus self-joins. Every stage's math is
+    // the already-oracle-proven form, so the composition's oracle is
+    // assembled from the same SQL pieces.
+    "x83_pipeline_gate" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val corpus = spread(base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + 10000)))
+      // stage 1: quality (the x71 integer rules)
+      val q = corpus
+        .withColumn("tk", Text.tokens(col("text")))
+        .withColumn("n_words", size(col("tk")).cast("long"))
+        .withColumn("mwl100",
+          expr("(CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)" +
+            " * 100) div n_words"))
+        .withColumn("stop_count", Text.stopwordCount(col("tk")))
+        .withColumn("sym_ppm",
+          expr("(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', ''))" +
+            " AS BIGINT) * 1000000)" +
+            " div greatest(CAST(length(text) AS BIGINT), 1)"))
+        .withColumn("q_pass",
+          col("n_words").between(50, 100000)
+            && col("mwl100").between(300, 1000)
+            && col("stop_count") >= 2
+            && col("sym_ppm") <= 100000)
+      // stage 2: exact dedup among quality passers — rank within the
+      // (q_pass, content hash) partition, no self-join
+      val wDup = Window.partitionBy(col("q_pass"), col("content_md5"))
+        .orderBy(col("doc_id"))
+      val d = q.withColumn("content_md5", md5(col("text")))
+        .withColumn("dup_rank", row_number().over(wDup))
+      // stage 3: Bloom decontamination of dedup survivors vs the eval
+      // blocklist (x76's filter; quality already guarantees >= 50
+      // tokens, so every survivor has 5-grams)
+      val evalGrams = base.filter(col("doc_id") % 17 === 0)
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 5)
+        .select(explode(Text.wordShingles(col("tk"), 5)).as("gram"))
+        .distinct()
+      val bits = Bloom.build(evalGrams, col("gram"), j = 4)
+      val ratios = Bloom.test(
+        d.filter(col("q_pass") && col("dup_rank") === 1)
+          .select(col("doc_id"),
+            explode(Text.wordShingles(col("tk"), 5)).as("gram")),
+        col("gram"), bits, j = 4)
+        .groupBy(col("doc_id"))
+        .agg(round(
+          sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L)))
+            .cast("double") / count(lit(1)).cast("double"), 4)
+          .as("contam_ratio"))
+      val e = d.join(ratios, Seq("doc_id"), "left")
+        .withColumn("contam",
+          coalesce(col("contam_ratio"), lit(0.0)) >= 0.5)
+        .withColumn("eligible",
+          col("q_pass") && col("dup_rank") === 1 && !col("contam"))
+      // stage 4: A-ES weighted sample, top-10 per source among the
+      // eligible — rank within the (eligible, source) partition
+      val wS = Window.partitionBy(col("eligible"), col("source"))
+        .orderBy(col("key12").desc, col("doc_id"))
+      val sampled = e
+        .withColumn("key12", Sampling.esKey(col("doc_id"),
+          greatest(col("n_chars"), lit(1L))))
+        .withColumn("s_rank", row_number().over(wS))
+        .withColumn("kept", col("eligible") && col("s_rank") <= 10)
+      // stage 5: context packing of the kept set — cumsum within the
+      // (kept, source, lang) partition, nulled out for dropped docs
+      Pack.contextSpans(sampled, col("n_words"), col("doc_id"), 512,
+        col("kept"), col("source"), col("lang"))
+        .withColumn("stage",
+          when(!col("q_pass"), "quality")
+            .when(col("dup_rank") > 1, "dup")
+            .when(col("contam"), "contam")
+            .when(col("s_rank") > 10, "sample")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("stage"),
+          when(col("kept"), col("n_tokens")).as("n_tokens"),
+          when(col("kept"), col("tok_offset")).as("tok_offset"),
+          when(col("kept"), col("first_chunk")).as("first_chunk"),
+          when(col("kept"), col("n_chunks")).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4865,6 +4959,120 @@ object ExtQueries {
     // so the direction Spark's driver computed is re-derived, not
     // trusted.
     "x82_power_iteration" -> powerIterSql(dims = 64, iters = 2),
+
+    // x83: the composed gate, assembled from the same SQL pieces as
+    // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),
+    // x81 (A-ES key), x19 (pack cumsum) — conditional window
+    // partitions mirror the Spark side exactly.
+    "x83_pipeline_gate" -> {
+      val gram5 = "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || " +
+        "tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] " +
+        "for i in range(1, len(tk) - 3)])"
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents),
+         |corpus AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    md5(text) AS content_md5,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_words,
+         |    (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |     * 100) // len(string_split_regex(text, '\\s+')) AS mwl100,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                         x -> x IN ($stoplistSql))) AS BIGINT)
+         |      AS stop_count,
+         |    (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |          AS BIGINT) * 1000000)
+         |      // greatest(CAST(length(text) AS BIGINT), 1) AS sym_ppm
+         |  FROM corpus),
+         |q2 AS (
+         |  SELECT *,
+         |    (n_words BETWEEN 50 AND 100000)
+         |      AND (mwl100 BETWEEN 300 AND 1000)
+         |      AND stop_count >= 2 AND sym_ppm <= 100000 AS q_pass
+         |  FROM q),
+         |d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_pass, content_md5
+         |                               ORDER BY doc_id) AS dup_rank
+         |  FROM q2),
+         |refg AS (
+         |  SELECT DISTINCT unnest($gram5) AS gram
+         |  FROM (SELECT string_split_regex(text, '\\s+') AS tk
+         |        FROM base WHERE doc_id % 17 = 0)
+         |  WHERE len(tk) >= 5),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    substr(md5(CAST(r.i AS VARCHAR) || ':' || gram), 1, 4) AS pos
+         |  FROM refg, range(1, 5) r(i)),
+         |sg AS (
+         |  SELECT doc_id, unnest($gram5) AS gram
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |        FROM d WHERE q_pass AND dup_rank = 1)),
+         |probes AS (
+         |  SELECT sg.doc_id, sg.gram,
+         |    substr(md5(CAST(r.i AS VARCHAR) || ':' || sg.gram), 1, 4) AS pos
+         |  FROM sg, range(1, 5) r(i)),
+         |verdict AS (
+         |  SELECT p.doc_id, p.gram,
+         |    (CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) = 4) AS bloom_hit
+         |  FROM probes p LEFT JOIN bits b USING (pos)
+         |  GROUP BY p.doc_id, p.gram),
+         |ratio AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+         |            AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         |      AS contam_ratio
+         |  FROM verdict GROUP BY doc_id),
+         |e AS (
+         |  SELECT d.*,
+         |    coalesce(r.contam_ratio, 0.0) >= 0.5 AS contam,
+         |    q_pass AND dup_rank = 1
+         |      AND NOT (coalesce(r.contam_ratio, 0.0) >= 0.5) AS eligible
+         |  FROM d LEFT JOIN ratio r USING (doc_id)),
+         |s AS (
+         |  SELECT *,
+         |    round(round(ln(
+         |      (CAST(list_sum([(strpos('0123456789abcdef',
+         |                       substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+         |                       - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+         |                      for i in range(1, 9)]) AS DOUBLE) + 1.0)
+         |      / 4294967296.0), 8)
+         |      / CAST(greatest(n_chars, 1) AS DOUBLE), 12) AS key12
+         |  FROM e),
+         |s2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY eligible, source
+         |                               ORDER BY key12 DESC, doc_id)
+         |    AS s_rank
+         |  FROM s),
+         |s3 AS (SELECT *, eligible AND s_rank <= 10 AS kept FROM s2),
+         |p AS (
+         |  SELECT *,
+         |    CAST(sum(n_words) OVER (
+         |      PARTITION BY kept, source, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_words AS tok_offset
+         |  FROM s3)
+         |SELECT doc_id,
+         |  CASE WHEN NOT q_pass THEN 'quality'
+         |       WHEN dup_rank > 1 THEN 'dup'
+         |       WHEN contam THEN 'contam'
+         |       WHEN s_rank > 10 THEN 'sample'
+         |       ELSE 'kept' END AS stage,
+         |  CASE WHEN kept THEN n_words END AS n_tokens,
+         |  CASE WHEN kept THEN tok_offset END AS tok_offset,
+         |  CASE WHEN kept THEN CAST(floor(tok_offset / 512) AS BIGINT) END
+         |    AS first_chunk,
+         |  CASE WHEN kept THEN
+         |    CAST(floor((tok_offset + greatest(n_words, 1) - 1) / 512)
+         |      AS BIGINT)
+         |    - CAST(floor(tok_offset / 512) AS BIGINT) + 1 END AS n_chunks
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** Unrolled deterministic power-iteration oracle ([[graft.ext

@@ -140,6 +140,35 @@ class RoundTenBSpec extends AnyFunSuite {
     assert(out.filter(col("resid6") < -1e-5).count() === 0)
   }
 
+  test("x83: stages partition the corpus; dups are the id-shifted copies; packing is gapless") {
+    val out = ExtQueriesAccess.run(spark, dir, "x83_pipeline_gate").cache()
+    val n = Tables(spark, dir, "documents").count()
+    assert(out.count() === 2 * n, "one disposition row per corpus doc")
+    assert(out.select("stage").distinct().as[String].collect().toSet
+      .subsetOf(Set("quality", "dup", "contam", "sample", "kept")))
+    // a copy (id >= 10000) that passes quality can only fall at dedup:
+    // its original shares the text and always holds the lower id
+    assert(out.filter(col("doc_id") >= 10000 && col("stage") =!= "quality"
+      && col("stage") =!= "dup").count() === 0)
+    // packing: per (source, lang), kept offsets are gapless cumulative
+    val kept = out.filter(col("stage") === "kept")
+      .join(Tables(spark, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id")
+      .select("source", "lang", "doc_id", "tok_offset", "n_tokens")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._4 === 0L, "first doc in a shard starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5,
+          s"offset gap between ${a._3} and ${b._3}")
+        case _ =>
+      }
+    }
+    out.unpersist()
+  }
+
   test("x79: retrieved documents really contain all three query terms") {
     val out = ExtQueriesAccess.run(spark, dir, "x79_boolean_retrieval")
       .select("doc_id").as[Long].collect().toSet
