@@ -54,7 +54,7 @@ object Bloom {
       .join(broadcast(bits.withColumn("__set", lit(1L))),
         probed("__pos") === bits("pos"), "left")
       .drop("pos", "__pos")
-      .groupBy(keys.columns.map(col): _*)
+      .groupBy(keys.columns.toIndexedSeq.map(col): _*)
       .agg((sum(coalesce(col("__set"), lit(0L))) === j).as("bloom_hit"))
   }
 }

@@ -118,7 +118,7 @@ object StreamCdc {
       .cache()
     try {
       val touched = upd.select(col("part")).distinct()
-        .collect().map(_.getInt(0)) // bounded: ≤ buckets rows
+        .collect().toIndexedSeq.map(_.getInt(0)) // bounded: ≤ buckets rows
       if (touched.nonEmpty) {
         // "Table exists" must mean HAS DATA, not "dir exists": a crash
         // during a first batch's staging write leaves the root dir
