@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
 
 /** Vector-similarity operators over `array<float>` embedding columns
   * (north-star extension surface).
@@ -22,8 +22,20 @@ object Similarity {
     */
   def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product: element-wise product, then sequential left-fold sum. */
+  /** Dot product via the native codegen'd expression
+    * ([[org.apache.spark.sql.graft.DotProduct]]) — the per-row hot op
+    * of every power-iteration round and projection scoring pass. Same
+    * sequential left fold as [[dotHof]] and the oracle; ExtSpec
+    * asserts bit-equality.
+    */
   def dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DotProduct(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** HOF formulation — the pure-built-in reference implementation
+    * [[dot]] must match bit-for-bit.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column =

@@ -121,6 +121,23 @@ class ExtSpec extends AnyFunSuite {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("native DotProduct: bit-identical to the HOF fold, null-safe") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+      .select(Similarity.toDoubleArray(col("embedding")).as("v"), col("vec_id"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("native"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).isEmpty)
+
+    val edge: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)), // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))) // null element
+    val df = edge.toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("c"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
   test("native SquaredDistance: bit-identical to the HOF fold, null-safe") {
     import graft.ext.KMeansLite
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
