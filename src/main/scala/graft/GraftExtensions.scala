@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, WordShingles}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSignature, SquaredDistance, WordShingles}
 import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native expressions as SQL
@@ -63,5 +63,15 @@ object GraftExtensions {
             "n must be an INT literal"),
         args => { arity(args, 2, "word_shingles")
           WordShingles(args.head, intArg(args, 1, "word_shingles")) }),
+      (FunctionIdentifier("squared_distance"),
+        new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance",
+          "squared_distance(a, b) - squared L2 distance of two array<double> vectors"),
+        args => { arity(args, 2, "squared_distance")
+          SquaredDistance(args.head, args(1)) }),
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product",
+          "dot_product(a, b) - dot product of two array<double> vectors"),
+        args => { arity(args, 2, "dot_product")
+          DotProduct(args.head, args(1)) }),
     )
 }

@@ -26,6 +26,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === -1.0)
   }
 
+  test("squared_distance and dot_product resolve from SQL, known values") {
+    val r = spark.sql(
+      """SELECT
+        |  squared_distance(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d2,
+        |  dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp,
+        |  squared_distance(array(1.0D), array(1.0D, 2.0D)) AS mismatch
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 25.0) // 3^2 + 4^2
+    assert(r.getDouble(1) === 32.0) // 4 + 10 + 18
+    assert(r.isNullAt(2))
+  }
+
   test("word_shingles and minhash_signature from SQL match the Column API") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
