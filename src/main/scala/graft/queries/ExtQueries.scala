@@ -2756,6 +2756,46 @@ object ExtQueries {
           when(col("kept"), col("n_chunks")).as("n_chunks"))
         .orderBy(col("doc_id"))
     }),
+
+    // Containment join — the ASYMMETRIC set-similarity x12's resemblance
+    // can't express: |tri(q) ∩ tri(d)| / |tri(q)| ≥ 0.9 finds a QUOTE
+    // inside a larger source even when the source is 10× longer (its
+    // Jaccard would be ~0.1 and every resemblance threshold misses it).
+    // This is the quote/excerpt-detection pass of a pretraining
+    // pipeline. Corpus of quotes = first 30 tokens of even docs
+    // (id+20000). Candidate generation is an equi-join on the quote's
+    // OPENING trigram against the corpus's distinct-trigram postings —
+    // one blocking key per quote (not |tri(q)| keys), corpus-linear
+    // postings on the other side, so the join output is "docs that
+    // contain the quote's first trigram", a selective set; exact
+    // containment then runs only on candidates via array_intersect of
+    // the two bounded distinct-trigram arrays. No all-pairs anywhere.
+    "x84_containment_join" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("tk")).as("tri"))
+      val quotes = spread(t(s, dir, "documents"))
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(col("doc_id") % 2 === 0 && size(col("tk")) >= 30)
+        .select((col("doc_id") + 20000).as("quote_id"),
+          Text.wordShingles(expr("slice(tk, 1, 30)")).as("qtri"),
+          concat_ws(" ", element_at(col("tk"), 1), element_at(col("tk"), 2),
+            element_at(col("tk"), 3)).as("block"))
+      val postings = docs.select(col("doc_id"),
+        explode(col("tri")).as("block"))
+      quotes.join(postings, "block")
+        .join(docs, "doc_id")
+        .withColumn("n_q", size(col("qtri")).cast("long"))
+        .withColumn("n_common",
+          size(array_intersect(col("qtri"), col("tri"))).cast("long"))
+        .withColumn("containment",
+          round(col("n_common").cast("double") / col("n_q").cast("double"), 4))
+        .filter(col("containment") >= 0.9)
+        .select(col("quote_id"), col("doc_id"), col("n_q"), col("n_common"),
+          col("containment"))
+        .orderBy(col("quote_id"), col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4959,6 +4999,39 @@ object ExtQueries {
     // so the direction Spark's driver computed is re-derived, not
     // trusted.
     "x82_power_iteration" -> powerIterSql(dims = 64, iters = 2),
+
+    // x84: same opening-trigram blocking and distinct-trigram
+    // intersection; both engines' set-intersect sizes agree because
+    // both input arrays are distinct.
+    "x84_containment_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                   for i in range(1, len(tk) - 1)]) AS tri
+        |  FROM tok WHERE len(tk) >= 3),
+        |q AS (
+        |  SELECT doc_id + 20000 AS quote_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                   for i in range(1, 29)]) AS qtri,
+        |    tk[1] || ' ' || tk[2] || ' ' || tk[3] AS block
+        |  FROM tok WHERE doc_id % 2 = 0 AND len(tk) >= 30),
+        |p AS (SELECT doc_id, unnest(tri) AS block FROM d),
+        |c AS (
+        |  SELECT q.quote_id, p.doc_id, q.qtri, d.tri
+        |  FROM q JOIN p USING (block) JOIN d ON p.doc_id = d.doc_id),
+        |sc AS (
+        |  SELECT quote_id, doc_id,
+        |    CAST(len(qtri) AS BIGINT) AS n_q,
+        |    CAST(len(list_intersect(qtri, tri)) AS BIGINT) AS n_common
+        |  FROM c)
+        |SELECT quote_id, doc_id, n_q, n_common,
+        |  round(CAST(n_common AS DOUBLE) / CAST(n_q AS DOUBLE), 4)
+        |    AS containment
+        |FROM sc
+        |WHERE round(CAST(n_common AS DOUBLE) / CAST(n_q AS DOUBLE), 4) >= 0.9
+        |ORDER BY quote_id, doc_id""".stripMargin,
 
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),

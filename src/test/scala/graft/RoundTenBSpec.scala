@@ -169,6 +169,41 @@ class RoundTenBSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x84: every quote finds its source at containment 1.0; Jaccard would miss them") {
+    import graft.ext.Text
+    val out = ExtQueriesAccess.run(spark, dir, "x84_containment_join").cache()
+    val quotes = Tables(spark, dir, "documents")
+      .withColumn("tk", Text.tokens(col("text")))
+      .filter(col("doc_id") % 2 === 0 && size(col("tk")) >= 30)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(quotes.nonEmpty)
+    // the planted truth: quote q (id+20000) ⊂ source q, containment exactly 1
+    val selfPairs = out
+      .filter(col("doc_id") === col("quote_id") - 20000)
+      .select("quote_id", "containment").as[(Long, Double)].collect()
+    assert(selfPairs.map(_._1 - 20000).toSet === quotes,
+      "every planted quote must find its own source")
+    assert(selfPairs.forall(_._2 === 1.0))
+    // asymmetry: for most self pairs the source has far more trigrams
+    // than the quote, so RESEMBLANCE (Jaccard = n_common / union) sits
+    // below the 0.9 threshold that containment clears — the reason
+    // this operator exists next to x12
+    val jacBelow = out
+      .filter(col("doc_id") === col("quote_id") - 20000)
+      .join(Tables(spark, dir, "documents")
+        .withColumn("tk", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          size(Text.wordShingles(col("tk"))).cast("long").as("n_d")),
+        "doc_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_q") + col("n_d") - col("n_common")).cast("double"))
+      .filter(col("jaccard") < 0.9).count()
+    assert(jacBelow > selfPairs.length / 2,
+      "most planted pairs must be invisible to a 0.9 resemblance threshold")
+    out.unpersist()
+  }
+
   test("x79: retrieved documents really contain all three query terms") {
     val out = ExtQueriesAccess.run(spark, dir, "x79_boolean_retrieval")
       .select("doc_id").as[Long].collect().toSet
