@@ -2232,25 +2232,62 @@ object ExtQueries {
     // float anywhere. Node encoding 2·part / 2·supp+1 keeps one id
     // space; both directions of each edge are materialized so the
     // bipartite walk is symmetric.
+    //
+    // Round-11 structural rework (was 15 s vs DuckDB 2.6 s at sf1 —
+    // the unrolled plan re-derived the 6M-row lineitem DISTINCT and
+    // the degree aggregate inside EVERY round's subtree; exchange
+    // reuse does not cover them across the rank-lineage chain, and
+    // localCheckpoint partitioning is invisible to EnsureRequirements
+    // under AQE). The graph here is DENSE BIPARTITE: |V| is
+    // catalog-sized (200k parts + 10k suppliers — grows sublinearly
+    // with order volume) while |E| is order-flow-sized (11.8M at sf1,
+    // 56 edges/node). The 100 TB shape for that regime:
+    //  1. ONE corpus exchange builds the dst-clustered adjacency —
+    //     repartition(dst) satisfies BOTH downstream groupings
+    //     (hash keys ⊆ grouping keys), so pair-dedup, the adjacency
+    //     collect_list, AND every round's dst-aggregate are
+    //     partition-local. localCheckpoint materializes |V| array
+    //     rows once; the degree table reads those 210k rows, not the
+    //     11.8M edges.
+    //  2. Each round BROADCASTS the node-sized contribution table
+    //     (|V|·16 B — bounded by the catalog, the x76-Bloom class of
+    //     adjudicated broadcast) and re-derives per-edge flows by
+    //     exploding the checkpointed arrays: a narrow map + local
+    //     aggregate, ZERO per-round shuffle of E. rank carries deg
+    //     along (re-attached by a reused broadcast of the degree
+    //     table), so a round is one codegen stage, not three joins.
+    // For sparse web-scale graphs where |V| outgrows a broadcast, the
+    // per-round rank⋈edges equi-join (this operator's pre-round-11
+    // form, x23's shape) is the fallback — that trade-off is the
+    // PLANS.md x70 attribution note.
     "x70_graph_pagerank" -> ((s, dir) => {
-      val e0 = spread(t(s, dir, "lineitem"))
+      val n = s.sparkContext.defaultParallelism
+      val eRaw = t(s, dir, "lineitem")
         .select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
-      var rank = deg.select(col("node"), lit(1000000L).as("rank"))
+      val adjCk = eRaw.unionByName(
+        eRaw.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(n, col("dst"))
+        .groupBy(col("dst"), col("src")).agg(count(lit(1)).as("_dup"))
+        .groupBy(col("dst")).agg(collect_list(col("src")).as("nbrs"))
+        .localCheckpoint()
+      val degCk = adjCk.select(col("dst").as("node"),
+        size(col("nbrs")).cast("long").as("deg"))
+        .localCheckpoint()
+      var rank = degCk.select(col("node"), col("deg"),
+        lit(1000000L).as("rank"))
       for (_ <- 1 to 5) {
-        val contrib = rank.join(deg, "node")
-          .select(col("node"), expr("rank div deg").as("c"))
-        rank = edges.join(contrib, edges("src") === contrib("node"))
+        val contrib = rank
+          .select(col("node").as("cn"), expr("rank div deg").as("c"))
+        rank = adjCk.select(col("dst"), explode(col("nbrs")).as("src"))
+          .join(broadcast(contrib), col("src") === col("cn"))
           .groupBy(col("dst")).agg(sum(col("c")).as("m"))
           .select(col("dst").as("node"),
             (lit(150000L) + expr("(850 * m) div 1000")).as("rank"))
+          .join(broadcast(degCk), "node")
+          .select(col("node"), col("deg"), col("rank"))
       }
-      rank.join(deg, "node")
+      rank
         .select(
           when(col("node") % 2 === 0, "part").otherwise("supplier")
             .as("node_type"),
@@ -2515,11 +2552,25 @@ object ExtQueries {
     // ranking (the x20 pattern). rank ≤ 20 over the pruned set is the
     // x40 TakeOrderedAndProject shape — the global window never sees
     // more than the pruned collocation table.
+    //
+    // Round-11: the token arrays are localCheckpoint'd so the regex
+    // tokenize pass runs ONCE — the unigram and bigram aggregates
+    // previously each re-tokenized the corpus from the scan; so is the
+    // unigram vocabulary (read three times: n_uni and both sides of
+    // the collocation join). The long-product overflow the round-10
+    // advice flagged now fails LOUDLY via assert_true instead of
+    // silently wrapping: c_ab·n_uni² ≤ Long.Max is checked as
+    // c_ab ≤ (Max div n_uni) div n_uni (sequential integer divides —
+    // themselves overflow-free), same for the n_bi·c_a·c_b
+    // denominator. DuckDB raises on overflow, so the engines now agree
+    // at every corpus size: either both compute, or both refuse.
     "x78_pmi_collocations" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .localCheckpoint()
       val uni = toks.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        .localCheckpoint()
       val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
       val bi = toks.filter(size(col("tk")) >= 2)
         .select(explode(expr(
@@ -2530,11 +2581,18 @@ object ExtQueries {
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+      val maxL = lit(Long.MaxValue)
       val scored = broadcast(bi.filter(col("c_ab") >= 5))
         .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
         .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
         .crossJoin(broadcast(nUni))
         .crossJoin(broadcast(nBi))
+        .filter(coalesce(assert_true(
+          col("c_ab") <= maxL / col("n_uni") / col("n_uni") &&
+            col("c_b") <= maxL / col("n_bi") / col("c_a"),
+          lit("x78: PMI integer product would overflow long — " +
+            "switch to the log-sum form at this corpus size")),
+          lit(true)))
         .withColumn("pmi6", round(log(
           (col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
             (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 6))
@@ -2556,10 +2614,18 @@ object ExtQueries {
     // expressed as count(distinct term) == |query|. Both global
     // windows (top-3 terms, top-20 docs) are bounded-rank
     // TakeOrderedAndProject shapes.
+    // Round-11: the postings table is localCheckpoint'd — it feeds
+    // both the document-frequency ranking and the final intersection,
+    // and without the checkpoint each consumer re-ran the corpus
+    // explode+aggregate. The conjunction count is a plain count(*):
+    // postings are distinct on (doc_id, w) BY CONSTRUCTION (they are
+    // the groupBy keys), so count(DISTINCT w) only added an Expand +
+    // second aggregate exchange for a value already guaranteed.
     "x79_boolean_retrieval" -> ((s, dir) => {
       val postings = spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfTbl = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val wTop = Window.orderBy(col("df").desc, col("w"))
       val terms = dfTbl.withColumn("trnk", row_number().over(wTop))
@@ -2567,7 +2633,7 @@ object ExtQueries {
       val wRank = Window.orderBy(col("total_tf").desc, col("doc_id"))
       postings.join(broadcast(terms.select(col("w"))), "w")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("w")).as("n_terms"),
+        .agg(count(lit(1)).as("n_terms"),
           sum(col("tf")).as("total_tf"))
         .filter(col("n_terms") === 3)
         .withColumn("rnk", row_number().over(wRank).cast("long"))
