@@ -47,6 +47,10 @@ object PlanAudit {
       ("rank<=20 hits LimitPushDownThroughWindow:" +
         " TakeOrderedAndProject(20) -> Window; the single-partition" +
         " frame is 20 rows at any corpus size"),
+    "x86_shard_writeout" ->
+      ("Shards.assign bucket-offset cumsum: the frame is the 256" +
+        " two-hex-char bucket count rows at any corpus size; per-doc" +
+        " ranks run under the keyed per-bucket window"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

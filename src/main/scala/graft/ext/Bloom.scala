@@ -39,12 +39,16 @@ object Bloom {
   def build(ref: DataFrame, key: Column, j: Int, hexWidth: Int = 4): DataFrame =
     ref.select(explode(positions(key, j, hexWidth)).as("pos")).distinct()
 
-  /** Per-key membership verdict: `keys` (any cardinality) gains a
-    * boolean `bloom_hit` — true iff ALL j positions are set. The only
-    * join is `keys × broadcast(bits)` on the position string; duplicate
-    * positions within one key's j probes are safe because each probe
-    * row matches at most the one distinct bits row, so `count == j`
-    * holds exactly when every probe landed on a set bit.
+  /** Per-key membership verdict: `keys` (any cardinality, duplicate
+    * rows included) gains a boolean `bloom_hit` — true iff ALL j
+    * positions are set. The only join is `keys × broadcast(bits)` on
+    * the position string. The verdict is `min(matched) == 1`, not
+    * `count == j`: every probe row either matched the one distinct
+    * bits row (1) or missed (0), so the minimum is 1 exactly when no
+    * probe missed — correct under duplicate key rows (whose probe rows
+    * collapse into one group; a count-based verdict would see 2j and
+    * emit a FALSE NEGATIVE — the round-10 advice finding) and under
+    * colliding positions within one key's j probes alike.
     */
   def test(keys: DataFrame, key: Column, bits: DataFrame, j: Int,
       hexWidth: Int = 4): DataFrame = {
@@ -55,6 +59,6 @@ object Bloom {
         probed("__pos") === bits("pos"), "left")
       .drop("pos", "__pos")
       .groupBy(keys.columns.toIndexedSeq.map(col): _*)
-      .agg((sum(coalesce(col("__set"), lit(0L))) === j).as("bloom_hit"))
+      .agg((min(coalesce(col("__set"), lit(0L))) === 1L).as("bloom_hit"))
   }
 }

@@ -7,15 +7,28 @@ import org.apache.spark.sql.functions._
   * distributed core of tokenizer training, lifted out of the x74
   * registry entry so the merge policy is parameterized (round-8
   * verdict task #6 — the a ≠ b restriction is now a FLAG, not a
-  * silent limitation).
+  * silent limitation). Round 11 splits the machinery into the two
+  * halves a production tokenizer actually has:
   *
-  * Scale shape per round: one partial-aggregated shuffle on the packed
-  * pair (counts), a 1-row TakeOrderedAndProject argmax broadcast back
-  * (the x32 scalar shape — PlanAudit's adjudicated BNLJ), and a NARROW
-  * per-document array rewrite. Rounds compose linearly; a production
-  * vocab build runs the same plan to convergence with per-round
-  * checkpointing like Components. Zero driver state — the winning
-  * pair rides the broadcast, never a collect.
+  *  - TRAIN ([[topPair]] / [[trainPairs]] / [[mergeRound]]): find the
+  *    most frequent adjacent pair corpus-wide, fuse it, repeat. Runs
+  *    once per vocabulary.
+  *  - ENCODE ([[applyPair]] / [[encode]]): apply an already-trained
+  *    merge sequence, in training order, to ANY corpus — the hot path
+  *    that runs ~1000× more often than training. Each merge is a
+  *    1-row broadcast + a NARROW per-document array rewrite: no
+  *    shuffle, no state, embarrassingly parallel at any corpus size.
+  *    Applying the merges in training order reproduces training's own
+  *    rewrites exactly, so encode(training corpus) == the trained
+  *    corpus row for row (RoundElevenSpec pins the round trip).
+  *
+  * Scale shape per TRAINING round: one partial-aggregated shuffle on
+  * the packed pair (counts), a 1-row TakeOrderedAndProject argmax
+  * broadcast back (the x32 scalar shape — PlanAudit's adjudicated
+  * BNLJ), and the narrow rewrite. Rounds compose linearly; a
+  * production vocab build runs the same plan to convergence with
+  * per-round checkpointing like Components. Zero driver state — the
+  * winning pair rides the broadcast, never a collect.
   *
   * Merge policies:
   *  - `allowIdentical = false` (x74's frozen oracle shape): candidate
@@ -44,24 +57,31 @@ import org.apache.spark.sql.functions._
 object BpeMerge {
   private val sep = "\u0001"
 
-  /** One merge round: count adjacent pairs corpus-wide, broadcast the
-    * argmax pair, rewrite every document's `toks`, and record the
-    * winning pair as `merge_<r>`.
+  /** The argmax adjacent pair of the current corpus, as a 1-row
+    * (ma, mb) frame — the trained merge rule of one round.
     */
-  def mergeRound(df: DataFrame, r: Int,
-      allowIdentical: Boolean = false): DataFrame = {
+  def topPair(df: DataFrame, allowIdentical: Boolean = false): DataFrame = {
     val tk = col("toks")
     val adjacent = zip_with(
       slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
       (x, y) =>
         if (allowIdentical) concat(x, lit(sep), y)
         else when(x =!= y, concat(x, lit(sep), y)))
-    val pairs = df.select(explode(adjacent).as("ab"))
+    df.select(explode(adjacent).as("ab"))
       .filter(col("ab").isNotNull)
-    val top1 = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("ab")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("ab")).limit(1)
       .select(split(col("ab"), sep).getItem(0).as("ma"),
         split(col("ab"), sep).getItem(1).as("mb"))
+  }
+
+  /** Rewrite `toks` under the (ma, mb) columns riding on each row.
+    * Shared by training (where the pair is the round's argmax) and
+    * encode (where it is a trained rule).
+    */
+  private def rewriteToks(df: DataFrame,
+      allowIdentical: Boolean): DataFrame = {
+    val tk = col("toks")
     val n = size(tk)
     // a ≠ b: occurrences cannot overlap — merge every match.
     val droppedNe = (i: Column) => coalesce(
@@ -87,15 +107,34 @@ object BpeMerge {
     val head = (i: Column) =>
       if (allowIdentical) when(eqHalves, headEq(i)).otherwise(headNe(i))
       else headNe(i)
-    df.crossJoin(broadcast(top1))
-      .withColumn(s"merge_$r", concat(col("ma"), lit("_"), col("mb")))
-      .withColumn("toks", transform(
-        filter(sequence(lit(1), n), i => !dropped(i)),
-        i => when(head(i),
-          concat(col("ma"), lit("_"), col("mb")))
-          .otherwise(element_at(tk, i))))
-      .drop("ma", "mb")
+    df.withColumn("toks", transform(
+      filter(sequence(lit(1), n), i => !dropped(i)),
+      i => when(head(i),
+        concat(col("ma"), lit("_"), col("mb")))
+        .otherwise(element_at(tk, i))))
   }
+
+  /** Apply one trained merge rule (a 1-row (ma, mb) frame) to every
+    * document: 1-row broadcast + narrow rewrite. `tagCol` optionally
+    * records the rule as a `<ma>_<mb>` column (training's merge_r).
+    */
+  def applyPair(df: DataFrame, pair: DataFrame,
+      allowIdentical: Boolean = false,
+      tagCol: Option[String] = None): DataFrame = {
+    val joined = df.crossJoin(broadcast(pair))
+    val tagged = tagCol.fold(joined)(c =>
+      joined.withColumn(c, concat(col("ma"), lit("_"), col("mb"))))
+    rewriteToks(tagged, allowIdentical).drop("ma", "mb")
+  }
+
+  /** One merge round: count adjacent pairs corpus-wide, broadcast the
+    * argmax pair, rewrite every document's `toks`, and record the
+    * winning pair as `merge_<r>`.
+    */
+  def mergeRound(df: DataFrame, r: Int,
+      allowIdentical: Boolean = false): DataFrame =
+    applyPair(df, topPair(df, allowIdentical), allowIdentical,
+      tagCol = Some(s"merge_$r"))
 
   /** `rounds` composed merge rounds over a (…, toks ARRAY<STRING>)
     * frame; adds `merge_1 … merge_<rounds>` columns.
@@ -103,4 +142,28 @@ object BpeMerge {
   def mergeRounds(df: DataFrame, rounds: Int,
       allowIdentical: Boolean = false): DataFrame =
     (1 to rounds).foldLeft(df)((d, r) => mergeRound(d, r, allowIdentical))
+
+  /** Train `rounds` merge rules on `train` and return them in
+    * training order, each a lazily-composed 1-row (ma, mb) frame
+    * (round r's argmax is computed over the corpus rewritten by
+    * rounds 1..r-1, exactly as [[mergeRounds]] does).
+    */
+  def trainPairs(train: DataFrame, rounds: Int,
+      allowIdentical: Boolean = false): Seq[DataFrame] = {
+    var cur = train
+    (1 to rounds).map { _ =>
+      val p = topPair(cur, allowIdentical)
+      cur = applyPair(cur, p, allowIdentical)
+      p
+    }
+  }
+
+  /** ENCODE: apply a trained merge sequence to any corpus — the
+    * tokenizer hot path. Pure narrow maps under k 1-row broadcasts;
+    * applying the rules in training order makes encode(train corpus)
+    * reproduce the trained corpus row for row.
+    */
+  def encode(df: DataFrame, pairs: Seq[DataFrame],
+      allowIdentical: Boolean = false): DataFrame =
+    pairs.foldLeft(df)((d, p) => applyPair(d, p, allowIdentical))
 }

@@ -2862,6 +2862,61 @@ object ExtQueries {
           col("containment"))
         .orderBy(col("quote_id"), col("doc_id"))
     }),
+
+    // BPE ENCODE — the missing half of x74 (r10 verdict, missing #1):
+    // x74 TRAINS a merge table; every real pipeline then runs the
+    // encode path ~1000× more often than training. Train on the
+    // doc_id % 10 == 0 subset (the production pattern: fit the
+    // vocabulary once on a sample), then tokenize the WHOLE corpus —
+    // including documents training never saw — by applying the merge
+    // rules in training order (BpeMerge.encode). Each rule is a 1-row
+    // broadcast + a narrow per-document array rewrite: no shuffle, no
+    // state, corpus-linear at any scale; the training-round argmaxes
+    // are the only aggregates, and they run over the 10% sample.
+    // Output is the deterministic fingerprint of the token stream —
+    // exact token count + md5 of the space-joined tokens — so the
+    // oracle verifies the ENTIRE encoded sequence of every document,
+    // not just its length. RoundElevenSpec pins the round trip:
+    // encode(training corpus) == mergeRounds' own rewrites row for
+    // row, and the left-greedy allowIdentical run rule on a
+    // hand-computed fixture.
+    "x85_bpe_encode" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val merges = graft.ext.BpeMerge.trainPairs(
+        docs.filter(col("doc_id") % 10 === 0), rounds = 3)
+      graft.ext.BpeMerge.encode(docs, merges)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("tokens_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic training-shard write-out (r10 verdict, missing
+    // #2): the step AFTER selection/packing — a seeded global shuffle
+    // of the kept set (here: dedup survivors with n_chars ≥ 200, the
+    // x01 window discipline) and fixed-size shard assignment, every
+    // (doc → shard, position) a pure function of (data, seed).
+    // ext/Shards computes the md5-order global rank WITHOUT a
+    // single-partition sort: 256 key-prefix buckets rank in parallel,
+    // offsets ride a 256-row cumsum (the adjudicated bounded window).
+    // Shards.write lands it partitionBy(shard); appends go to fresh
+    // shards via rankOffset while shipped (shard, position) pairs
+    // stay immutable — RoundElevenSpec pins determinism, dense
+    // fixed-size shards, and append stability.
+    "x86_shard_writeout" -> ((s, dir) => {
+      val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val kept = spread(t(s, dir, "documents"))
+        .filter(col("n_chars") >= 200)
+        .withColumn("h", md5(col("text")))
+        .withColumn("dr", row_number().over(wD))
+        .filter(col("dr") === 1)
+        .select(col("doc_id"))
+      graft.ext.Shards.assign(kept, col("doc_id"),
+        docsPerShard = 100, seed = 42)
+        .select(col("doc_id"), col("skey"), col("shard"), col("position"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -5098,6 +5153,70 @@ object ExtQueries {
         |FROM sc
         |WHERE round(CAST(n_common AS DOUBLE) / CAST(n_q AS DOUBLE), 4) >= 0.9
         |ORDER BY quote_id, doc_id""".stripMargin,
+
+    // x85: x74's training CTE rounds restricted to the doc_id % 10 = 0
+    // subset (tr_*), then the SAME rewrite applied to the full corpus
+    // (e_*) — the merge rules and the encode rewrites are one template,
+    // so the engines can only agree by computing identical token
+    // streams (md5-verified per document).
+    "x85_bpe_encode" -> {
+      def rewrite(src: String, out: String, m: String): String =
+        s"""$out AS (
+           |  SELECT doc_id,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks
+           |  FROM $src, $m m)""".stripMargin
+      def pair(src: String, cur: Int): String =
+        s"""p_$cur AS (
+           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
+           |                 for i in range(1, len(toks))
+           |                 if toks[i] <> toks[i+1]]) AS ab
+           |  FROM $src),
+           |m_$cur AS (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
+           |  ORDER BY c DESC, ab LIMIT 1)""".stripMargin
+      s"""WITH t_0 AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |tr_0 AS (SELECT doc_id, toks FROM t_0 WHERE doc_id % 10 = 0),
+         |${pair("tr_0", 1)},
+         |${rewrite("tr_0", "tr_1", "m_1")},
+         |${pair("tr_1", 2)},
+         |${rewrite("tr_1", "tr_2", "m_2")},
+         |${pair("tr_2", 3)},
+         |${rewrite("t_0", "e_1", "m_1")},
+         |${rewrite("e_1", "e_2", "m_2")},
+         |${rewrite("e_2", "e_3", "m_3")}
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
+         |FROM e_3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // x86: the oracle states the shard assignment the direct way — one
+    // global row_number over the seeded md5 key — which the engine must
+    // reproduce through its 2-level bucketed rank.
+    "x86_shard_writeout" ->
+      """WITH kept AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS dr
+        |  FROM documents WHERE n_chars >= 200),
+        |k AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM kept WHERE dr = 1),
+        |r AS (
+        |  SELECT doc_id, skey,
+        |    row_number() OVER (ORDER BY skey, doc_id) - 1 AS rk
+        |  FROM k)
+        |SELECT doc_id, skey, rk // 100 AS shard, rk % 100 AS position
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),

@@ -34,6 +34,11 @@ object StreamHll {
       windowLength: String, watermark: String,
       extraKeys: String*): DataFrame =
     df.withWatermark(tsCol, watermark)
+      // skip null values like the builtin distinct aggregates do —
+      // without this a single null event would null h32 and crash the
+      // non-nullable Long decode inside the typed Aggregator at
+      // runtime (round-10 advice finding)
+      .filter(col(valueCol).isNotNull)
       .groupBy(window(col(tsCol), windowLength) +: extraKeys.map(col): _*)
       .agg(Hll.hll(Hll.h32(col(valueCol))).as("regs"))
       .select(

@@ -35,6 +35,10 @@ object StreamSample {
       windowLength: String, watermark: String, k: Int,
       extraKeys: String*): DataFrame =
     df.withWatermark(tsCol, watermark)
+      // a null id or weight would null the A-ES key and crash the
+      // typed aggregator's non-nullable decode at runtime — skip such
+      // rows like builtin aggregates skip nulls (round-10 advice)
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(window(col(tsCol), windowLength) +: extraKeys.map(col): _*)
       .agg(TopK.topK(k)(
         Sampling.esKey(col(idCol), col(weightCol)),

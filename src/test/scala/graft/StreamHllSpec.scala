@@ -96,4 +96,30 @@ class StreamHllSpec extends AnyFunSuite {
       assert((closed(1)._3, closed(1)._4, closed(1)._5) === ((us._1, us._2, us._3)))
     } finally q.stop()
   }
+
+  test("null values are skipped, not a crash (r10 advice)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamHll.windowedDistinct(
+      input.toDF().toDF("ts", "user"),
+      "ts", "user", windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hll_nulls")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts("10:00"), "ada"), (ts("10:05"), null),
+        (ts("10:10"), "bob")))
+      q.processAllAvailable()
+      input.addData(Seq((ts("13:00"), "zoe")))
+      q.processAllAvailable()
+      val closed = spark.table("hll_nulls")
+        .select($"window_start", $"v_zero", $"s_int", $"distinct_est")
+        .as[(Timestamp, Long, Long, Double)].collect()
+        .filter(_._1 == ts("10:00"))
+      assert(closed.length === 1)
+      val (vz, si, est) = batchSketch(Seq("ada", "bob"))
+      assert((closed.head._2, closed.head._3, closed.head._4) ===
+        ((vz, si, est)),
+        "sketch must equal the batch sketch of the non-null values")
+    } finally q.stop()
+  }
 }

@@ -74,4 +74,30 @@ class StreamSampleSpec extends AnyFunSuite {
     assert(sample.count(_ > 90) >= 3,
       s"expected mostly heavy ids, got ${sample.toSeq}")
   }
+
+  test("null id or weight rows are skipped, not a crash (r10 advice)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, java.lang.Long, java.lang.Long)]
+    val q = StreamSample.windowedSample(
+      input.toDF().toDF("ts", "id", "w"),
+      "ts", "id", "w", windowLength = "1 hour", watermark = "30 minutes",
+      k = 5)
+      .writeStream.format("memory").queryName("sample_nulls")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq[(Timestamp, java.lang.Long, java.lang.Long)](
+        (ts("10:00"), 1L, 11L), (ts("10:05"), null, 21L),
+        (ts("10:10"), 3L, null), (ts("10:15"), 4L, 41L)))
+      q.processAllAvailable()
+      input.addData(Seq[(Timestamp, java.lang.Long, java.lang.Long)](
+        (ts("13:00"), 9L, 91L)))
+      q.processAllAvailable()
+      val sampled = spark.table("sample_nulls")
+        .select($"window_start", $"sampled_id")
+        .as[(Timestamp, Long)].collect()
+        .filter(_._1 == ts("10:00")).map(_._2).toSet
+      assert(sampled === Set(1L, 4L),
+        "exactly the rows with non-null (id, weight) participate")
+    } finally q.stop()
+  }
 }
