@@ -43,6 +43,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning for this
+    // bench process (r10 verdict nit): every unpartitioned window in
+    // the registry carries a named bounded-domain adjudication in
+    // PlanAudit.windowGlobalOk (x40/x78/x79/x82's rank<=20
+    // TakeOrderedAndProject frames, x41's ntile demo harness, x64's
+    // quantized score domain, x69's frequency histogram, x86's 256-row
+    // bucket-offset cumsum) and PlanAudit prints a hard WINDOW-GLOBAL!
+    // for any new unadjudicated one — so the per-query warning spam in
+    // the bench tail was noise crying wolf over already-reviewed
+    // bounded frames.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: a small set covering the main codegen paths
     // (parquet scan + hash aggregate, shuffle join, text/array
     // functions) absorbs JIT, codegen compilation and classloading so

@@ -381,6 +381,48 @@ object ScaleProbe {
         f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
       corpus.unpersist()
     }
+
+    // Containment join (the x84 shape, round-11): quotes and corpus
+    // both grow k×, but growth here is FRESH content (copy c prefixes
+    // every token with c<c>_ — a disjoint vocabulary per copy), the
+    // way a real corpus grows; the rotated-copy builder above would
+    // instead replicate every trigram k× and model a 100%-duplicated
+    // corpus. Claim under test: candidates come ONLY from the
+    // opening-trigram posting join, so candidates-per-quote stays FLAT
+    // as the corpus grows (posting list length per block key is set by
+    // content density, not corpus size) and total candidates, the only
+    // corpus-sized stage, stays corpus-linear — never all-pairs
+    // (quotes × docs would be k²).
+    ks.foreach { k =>
+      val corpus = (0 until k).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          when(lit(c) === 0, col("text")).otherwise(
+            regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val withTk = corpus.withColumn("tk", Text.tokens(col("text")))
+      val d = withTk.filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("tk")).as("tri"))
+      val q = withTk.filter(col("doc_id") % 2 === 0 && size(col("tk")) >= 30)
+        .select((col("doc_id") + 20000000L).as("quote_id"),
+          Text.wordShingles(expr("slice(tk, 1, 30)")).as("qtri"),
+          concat_ws(" ", element_at(col("tk"), 1),
+            element_at(col("tk"), 2), element_at(col("tk"), 3)).as("block"))
+      val nQuotes = q.count()
+      val t0 = System.nanoTime()
+      val cand = q.join(
+        d.select(col("doc_id"), explode(col("tri")).as("block")), "block")
+        .join(d, "doc_id").cache()
+      val nCand = cand.count()
+      val nMatch = cand
+        .filter(round(size(array_intersect(col("qtri"), col("tri")))
+          .cast("double") / size(col("qtri")).cast("double"), 4) >= 0.9)
+        .count()
+      println(f"SCALE-CONTAIN k=$k docs=${k * n0}%7d quotes=$nQuotes%6d " +
+        f"cand=$nCand%8d cand_per_quote=${nCand.toDouble / nQuotes}%7.1f " +
+        f"matches=$nMatch%6d t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      cand.unpersist()
+    }
     spark.stop()
   }
 }

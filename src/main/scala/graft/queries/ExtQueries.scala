@@ -39,6 +39,16 @@ object ExtQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The k∝corpus deployment discipline (round-10 verdict task #5):
+    * cells = max(1, ceil(n / 500)) — cell population stays ~500 as the
+    * corpus grows, so within-cell pair work is O(n·500), never the
+    * frozen-k O(n²/k) that made the sf1 demos ~100× the design's
+    * work. The count is ONE driver long (the KMeansLite bounded-state
+    * class); the oracle derives the same value via [[derivedKSql]].
+    */
+  def corpusK(n: Long): Int =
+    math.max(1, math.ceil(n / 500.0).toInt)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: corpus = documents ∪ identical copies (id+10000);
@@ -1682,12 +1692,14 @@ object ExtQueries {
     // label propagation as x23. Cosine is rounded to 6 decimals
     // before the τ compare so both engines gate identical pairs.
     "x58_semdedup" -> ((s, dir) => {
-      val k = 32 // cells scale with the corpus; pair work ∝ n²/k
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("v"), x => round(x * 1024) / 1024).as("v"))
       val corpus = spread(base.unionByName(planted))
+      // k∝corpus (round-11): cells scale with the data, pair work
+      // stays O(n·500) — see corpusK
+      val k = corpusK(corpus.count())
       val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
       val assigned = corpus.select(col("vec_id"), col("v"),
         KMeansLite.assign(col("v"), cents).as("cell"))
@@ -2397,7 +2409,9 @@ object ExtQueries {
     "x73_knn_graph" -> ((s, dir) => {
       val corpus = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      graft.ext.AnnIndex.knnGraph(corpus, k = 16, topK = 5, nProbe = 1)
+      // k∝corpus (round-11): the demo runs the deployment discipline
+      graft.ext.AnnIndex.knnGraph(corpus, k = corpusK(corpus.count()),
+        topK = 5, nProbe = 1)
         .orderBy(col("src_id"), col("rnk"))
     }),
 
@@ -2459,10 +2473,13 @@ object ExtQueries {
     "x75_incremental_knn" -> ((s, dir) => {
       val corpus = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val old = corpus.filter(col("vec_id") % 10 =!= 0)
+      // k∝corpus (round-11): cells derive from the OLD corpus — the
+      // side the frozen index was fit on, matching the oracle's
+      // fitWhere-filtered count
       graft.ext.AnnIndex.incrementalNeighbors(
-        corpus.filter(col("vec_id") % 10 =!= 0),
-        corpus.filter(col("vec_id") % 10 === 0),
-        k = 16, topK = 5)
+        old, corpus.filter(col("vec_id") % 10 === 0),
+        k = corpusK(old.count()), topK = 5)
         .orderBy(col("src_id"), col("rnk"))
     }),
 
@@ -2915,6 +2932,52 @@ object ExtQueries {
       graft.ext.Shards.assign(kept, col("doc_id"),
         docsPerShard = 100, seed = 42)
         .select(col("doc_id"), col("skey"), col("shard"), col("position"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // x72 WITHOUT the exact-recall audit leg — the DEPLOYMENT form of
+    // IVF+PQ ANN search (r10 verdict, missing #3): identical index
+    // build and ADC probe, but the brute-force exact top-k join that
+    // made x72's output a recall audit is gone, so this query's cost
+    // IS what serving pays. Same oracle machinery (ivfPqSql with
+    // audit=false) — the approx results themselves stay hash-checked.
+    // PLANS.md round-11 prices both forms at sf1 side by side.
+    "x87_ivfpq_serve" -> ((s, dir) => {
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      graft.ext.AnnIndex.ivfPqTopK(
+        base, m = 4, sub = 16, kc = 8, kq = 16,
+        nProbe = 2, topK = 5, nQ = 20)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("adc_d2"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // x76 WITHOUT the exact-membership audit join — the DEPLOYMENT
+    // form of Bloom decontamination (r10 verdict, missing #3): build
+    // the ≤ 2^16-position filter from the reference, probe every
+    // document's 5-grams, flag by hit ratio. The exact vocabulary
+    // join that priced x76's false positives is gone — production
+    // accepts the FP rate it audited once. Only the per-doc
+    // aggregation shuffles, keyed on doc_id.
+    "x88_bloom_serve" -> ((s, dir) => {
+      val j = 4
+      val grams = spread(t(s, dir, "documents"))
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          explode(Text.wordShingles(col("tk"), 5)).as("gram"))
+      val refVocab = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("gram")).distinct()
+      val bits = Bloom.build(refVocab, col("gram"), j)
+      Bloom.test(grams, col("gram"), bits, j)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L)))
+            .as("n_bloom"))
+        .withColumn("bloom_ratio", round(
+          col("n_bloom").cast("double") / col("n_grams").cast("double"), 4))
+        .withColumn("flagged", col("bloom_ratio") >= 0.5)
         .orderBy(col("doc_id"))
     }),
   )
@@ -4515,7 +4578,11 @@ object ExtQueries {
         |  rnk * 4 > n_src AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "x58_semdedup" -> semDedupSql(k = 32, dims = 64),
+    // x58/x73/x75 run the k∝corpus deployment discipline (cells =
+    // ceil(fit-rows / 500), derivedKSql == the engine's corpusK) —
+    // round-10 verdict task #5: the demos now scale their cell count
+    // with the data instead of freezing the sf0.01 constant.
+    "x58_semdedup" -> semDedupSql(derivedKSql("pts"), dims = 64),
 
     "x59_pq_adc" ->
       pqAdcSql(m = 4, sub = 16, k = 16, topK = 5, nQueries = 20),
@@ -4806,7 +4873,7 @@ object ExtQueries {
     "x73_knn_graph" -> {
       val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
         "for i in range(1, 65)])"
-      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+      s"""WITH ${kmeans1SqlK(derivedKSql("pts"), dims = 64)},
          |edges AS (
          |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
          |    CAST(floor($d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
@@ -4877,7 +4944,8 @@ object ExtQueries {
     "x75_incremental_knn" -> {
       val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
         "for i in range(1, 65)])"
-      s"""WITH ${kmeans1Sql(k = 16, dims = 64, fitWhere = "vec_id % 10 <> 0")},
+      s"""WITH ${kmeans1SqlK(derivedKSql("pts WHERE vec_id % 10 <> 0"),
+        dims = 64, fitWhere = "vec_id % 10 <> 0")},
          |touched AS (
          |  SELECT DISTINCT cell FROM asg WHERE vec_id % 10 = 0),
          |edges AS (
@@ -5218,6 +5286,52 @@ object ExtQueries {
         |SELECT doc_id, skey, rk // 100 AS shard, rk % 100 AS position
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // x87: x72's oracle with audit=false — the exact-recall CTEs and
+    // the exact_hit column are dropped; the served approx top-k stays
+    // hash-checked.
+    "x87_ivfpq_serve" ->
+      ivfPqSql(kc = 8, dims = 64, m = 4, sub = 16, kq = 16,
+        nProbe = 2, topK = 5, nQueries = 20, audit = false),
+
+    // x88: x76's oracle without the exact-membership leg — filter
+    // build, probes, verdicts, and the flag threshold all unchanged.
+    "x88_bloom_serve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |                          for i in range(1, len(tk) - 3)])) AS gram
+        |  FROM tok WHERE len(tk) >= 5),
+        |refv AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT DISTINCT substr(md5(CAST(r.i AS VARCHAR) || ':' || gram), 1, 4)
+        |    AS pos
+        |  FROM refv, range(1, 5) r(i)),
+        |probes AS (
+        |  SELECT g.doc_id, g.gram,
+        |    substr(md5(CAST(r.i AS VARCHAR) || ':' || g.gram), 1, 4) AS pos
+        |  FROM g, range(1, 5) r(i)),
+        |verdict AS (
+        |  SELECT p.doc_id, p.gram,
+        |    (CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      = 4) AS bloom_hit
+        |  FROM probes p LEFT JOIN bits b USING (pos)
+        |  GROUP BY p.doc_id, p.gram),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bloom
+        |  FROM verdict GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_bloom,
+        |  round(CAST(n_bloom AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+        |    AS bloom_ratio,
+        |  (round(CAST(n_bloom AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.5)
+        |    AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),
     // x81 (A-ES key), x19 (pack cumsum) — conditional window
@@ -5398,9 +5512,23 @@ object ExtQueries {
     * Empty (the default) emits byte-identical SQL to the pre-x75
     * builder, so the frozen x09/x16/x58/x72/x73 oracles are untouched.
     */
-  private def kmeans1Sql(k: Int, dims: Int, fitWhere: String = ""): String = {
+  private def kmeans1Sql(k: Int, dims: Int, fitWhere: String = ""): String =
+    kmeans1SqlK(k.toString, dims, fitWhere)
+
+  /** The deployment k∝corpus discipline (round-10 verdict task #5) as
+    * SQL: cells = max(1, ceil(fit-corpus-rows / 500)) — the same value
+    * [[corpusK]] derives on the engine side, stated as a scalar
+    * subquery so the oracle scales its cell count with the data
+    * exactly like the engine does.
+    */
+  private def derivedKSql(fitFrom: String): String =
+    s"(SELECT greatest(1, CAST(ceil(count(*) / 500.0) AS BIGINT)) FROM $fitFrom)"
+
+  private def kmeans1SqlK(kSql: String, dims: Int,
+      fitWhere: String = ""): String = {
     def d2(v: String, cv: String): String =
       s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
+    val k = kSql
     val w0 = if (fitWhere.isEmpty) "" else s" WHERE $fitWhere"
     val w1 = if (fitWhere.isEmpty) ""
       else s" WHERE ${fitWhere.replace("vec_id", "p.vec_id")}"
@@ -5533,7 +5661,8 @@ object ExtQueries {
     */
   private def ivfPqSql(
       kc: Int, dims: Int, m: Int, sub: Int, kq: Int,
-      nProbe: Int, topK: Int, nQueries: Int): String = {
+      nProbe: Int, topK: Int, nQueries: Int,
+      audit: Boolean = true): String = {
     def d2c(v: String, cv: String): String =
       s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
     def d2s(v: String, cv: String): String =
@@ -5609,7 +5738,7 @@ object ExtQueries {
        |  SELECT query_id, neighbor_id, adc_d2,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |                            ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rnk
-       |  FROM adc),
+       |  FROM adc)${if (audit) s""",
        |ex AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    round(${d2c("q.v", "b.v")}, 6) AS ed6
@@ -5624,7 +5753,9 @@ object ExtQueries {
        |  WHERE ernk <= $topK)
        |SELECT a.query_id, a.rnk, a.neighbor_id, a.adc_d2,
        |  (e.neighbor_id IS NOT NULL) AS exact_hit
-       |FROM approx a LEFT JOIN exact5 e USING (query_id, neighbor_id)
+       |FROM approx a LEFT JOIN exact5 e USING (query_id, neighbor_id)""" else s"""
+       |SELECT a.query_id, a.rnk, a.neighbor_id, a.adc_d2
+       |FROM approx a"""}
        |WHERE a.rnk <= $topK
        |ORDER BY a.query_id, a.rnk""".stripMargin
   }
@@ -5635,7 +5766,8 @@ object ExtQueries {
     * cell), within-cell cosine pairs at τ=0.99 on 6-decimal-rounded
     * cosine, then x23's recursive min-label reachability.
     */
-  private def semDedupSql(k: Int, dims: Int): String = {
+  private def semDedupSql(kSql: String, dims: Int): String = {
+    val k = kSql
     def d2(v: String, cv: String): String =
       s"list_sum([($v[i] - $cv[i]) * ($v[i] - $cv[i]) for i in range(1, ${dims + 1})])"
     s"""WITH RECURSIVE base AS (

@@ -95,7 +95,10 @@ class RoundEightSpec extends AnyFunSuite {
     val corpus = Tables(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
-    val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", 16, iters = 1)
+    // the registry entry runs the k∝corpus discipline since round 11 —
+    // re-derive cells at the same k or the comparison is meaningless
+    val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v",
+      ExtQueries.corpusK(corpus.count()), iters = 1)
     val cellOf = corpus
       .select($"vec_id", KMeansLite.assign($"v", cents).as("cell"))
       .as[(Long, Int)].collect().toMap

@@ -131,7 +131,10 @@ class RoundTenSpec extends AnyFunSuite {
   test("knnGraph nProbe=1 output is byte-identical to the x73 registry entry") {
     val viaRegistry = graft.queries.ExtQueries.queries("x73_knn_graph")(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSeq
-    val viaIndex = AnnIndex.knnGraph(base, k = 16, topK = 5, nProbe = 1)
+    // since round 11 the registry derives k from the corpus count
+    val viaIndex = AnnIndex.knnGraph(base,
+      k = graft.queries.ExtQueries.corpusK(base.count()), topK = 5,
+      nProbe = 1)
       .orderBy($"src_id", $"rnk").as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaRegistry == viaIndex)
   }
