@@ -166,4 +166,26 @@ object BpeMerge {
   def encode(df: DataFrame, pairs: Seq[DataFrame],
       allowIdentical: Boolean = false): DataFrame =
     pairs.foldLeft(df)((d, p) => applyPair(d, p, allowIdentical))
+
+  /** Resolve trained pair frames to plain (a, b) rules — k strings of
+    * driver state, the StreamBloom fold-once discipline. Each collect
+    * executes that round's (bounded) training subtree once.
+    */
+  def collectRules(pairs: Seq[DataFrame]): Seq[(String, String)] =
+    pairs.map { p =>
+      val r = p.collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+
+  /** Encode under a FROZEN rule list (literals, no joins at all) — the
+    * streaming-safe form: a pure narrow map a continuous query can run
+    * per arriving row with no state and no stream-static join.
+    */
+  def encodeFrozen(df: DataFrame, rules: Seq[(String, String)],
+      allowIdentical: Boolean = false): DataFrame =
+    rules.foldLeft(df) { case (d, (a, b)) =>
+      rewriteToks(
+        d.withColumn("ma", lit(a)).withColumn("mb", lit(b)),
+        allowIdentical).drop("ma", "mb")
+    }
 }
