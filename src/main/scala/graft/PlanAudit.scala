@@ -51,6 +51,11 @@ object PlanAudit {
       ("Shards.assign bucket-offset cumsum: the frame is the 256" +
         " two-hex-char bucket count rows at any corpus size; per-doc" +
         " ranks run under the keyed per-bucket window"),
+    "x89_quantile_histogram" ->
+      ("both cumulative windows ride HISTOGRAMS, never the corpus:" +
+        " the sketch grid is <= domain/64 rows and the exact leg <=" +
+        " distinct n_chars values, a length-capped domain at any" +
+        " corpus scale"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

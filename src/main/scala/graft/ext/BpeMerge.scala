@@ -151,9 +151,13 @@ object BpeMerge {
   def trainPairs(train: DataFrame, rounds: Int,
       allowIdentical: Boolean = false): Seq[DataFrame] = {
     var cur = train
-    (1 to rounds).map { _ =>
+    (1 to rounds).map { r =>
       val p = topPair(cur, allowIdentical)
-      cur = applyPair(cur, p, allowIdentical)
+      // checkpoint between rounds: round r's argmax is a SEPARATE
+      // dataframe from round r+1's, so without materialization every
+      // later round re-tokenizes and re-rewrites the training corpus
+      // from scratch inside its own subtree (round-11 RunOne finding)
+      if (r < rounds) cur = applyPair(cur, p, allowIdentical).localCheckpoint()
       p
     }
   }

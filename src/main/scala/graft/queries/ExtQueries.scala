@@ -717,20 +717,36 @@ object ExtQueries {
       val mutated = docs.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 4),
           lit(" zq")).as("text"))
-      val corpus = spread(docs.select(col("doc_id"), col("text"))
-          .unionByName(mutated))
+      // localCheckpoint (round-11): the aliased self-join's two sides
+      // are NOT identical subtrees (fresh exprIds per alias), so
+      // exchange reuse never fired and the corpus pipeline — two
+      // parquet scans, the md5 blocking key over every text — ran
+      // TWICE (.explain showed 4 scans). Materializing the 3-column
+      // blocked corpus once halves the heavy work; the join then
+      // sorts 100k-row checkpoint reads, not recomputed lineage. The
+      // projection to (doc_id, blk, tail) happens BEFORE any exchange
+      // — the old spread shipped every full text for three derived
+      // columns.
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(mutated)
         .withColumn("blk", md5(substring(col("text"), 1, 32)))
         .withColumn("tail",
           col("text").substr(greatest(length(col("text")) - 63, lit(1)),
             lit(64)))
         .select(col("doc_id"), col("blk"), col("tail"))
-      corpus.as("a").hint("merge") // exchange reuse: one corpus pass
+        .localCheckpoint()
+      corpus.as("a").hint("merge")
         .join(corpus.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.tail"), col("b.tail"), 10).cast("long")
             .as("edit_dist"))
         .filter(col("edit_dist") >= 0) // −1 = abandoned beyond the band
+        // materialize the (small) near-dup pair set before the output
+        // sort: orderBy's range sampler otherwise re-executes the
+        // whole join subtree a second time just to pick partition
+        // bounds (measured +1.1 s of the old 3.5 s at sf1)
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2906,6 +2922,11 @@ object ExtQueries {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           md5(array_join(col("toks"), " ")).as("tokens_md5"))
+        // the encode chain is narrow from the scan, so the output
+        // sort's range sampler would re-run tokenize + all three
+        // rewrites a second time just to pick partition bounds —
+        // materialize the 3-column fingerprints first (round-11)
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -2979,6 +3000,34 @@ object ExtQueries {
           col("n_bloom").cast("double") / col("n_grams").cast("double"), 4))
         .withColumn("flagged", col("bloom_ratio") >= 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Histogram quantile sketch (ext/Quantiles) — the rank/quantile
+    // member of the sketch suite (x37 KMV = distinct, x40 CMS =
+    // frequency, x77 HLL = constant-space distinct): "what document
+    // length sits at quantile q" WITHOUT a corpus-sized sort. State is
+    // one count per occupied fixed-width bin (domain-bounded,
+    // mergeable by addition — StreamQuantile is the streaming twin);
+    // the read-off picks the first bin whose cumulative count reaches
+    // t = ceil(q·N) and reports its upper edge — exact in RANK,
+    // bounded in VALUE (est − exact < binWidth, proven in
+    // RoundElevenSpec and visible here: the exact leg is the SAME
+    // read-off at binWidth 1, so the err column the oracle checks IS
+    // the bound). Quantile targets travel as exact ppm integers, so
+    // both engines compute identical ranks with zero float hazard.
+    "x89_quantile_histogram" -> ((s, dir) => {
+      import graft.ext.Quantiles
+      val qPpm = Seq(250000L, 500000L, 750000L, 900000L, 990000L)
+      val docs = t(s, dir, "documents")
+      val sk = Quantiles.quantiles(
+        Quantiles.histogram(docs, col("n_chars"), 64L), 64L, qPpm)
+      val ex = Quantiles.quantiles(
+        Quantiles.histogram(docs, col("n_chars"), 1L), 1L, qPpm)
+        .select(col("q_ppm"), col("est").as("exact"))
+      sk.join(ex, "q_ppm")
+        .select(col("q_ppm"), col("n_total"), col("t"), col("est"),
+          col("exact"), (col("est") - col("exact")).as("err"))
+        .orderBy(col("q_ppm"))
     }),
   )
 
@@ -5331,6 +5380,39 @@ object ExtQueries {
         |  (round(CAST(n_bloom AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.5)
         |    AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // x89: the same fixed-bin grid, cumulative pick, and ppm rank
+    // arithmetic; the exact leg is the identical read-off at bin
+    // width 1, so err is checked as a value, not a tolerance.
+    "x89_quantile_histogram" ->
+      """WITH h AS (
+        |  SELECT n_chars // 64 AS bin, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |hv AS (
+        |  SELECT n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+        |q AS (
+        |  SELECT CAST(unnest([250000, 500000, 750000, 900000, 990000])
+        |              AS BIGINT) AS q_ppm),
+        |c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT)
+        |        AS cum FROM h),
+        |cv AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT)
+        |         AS cum FROM hv),
+        |tq AS (
+        |  SELECT q_ppm, n_total,
+        |    (q_ppm * n_total + 999999) // 1000000 AS t
+        |  FROM q, tot),
+        |eb AS (
+        |  SELECT tq.q_ppm, tq.n_total, tq.t, min(c.bin) AS qbin
+        |  FROM tq JOIN c ON c.cum >= tq.t GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT tq.q_ppm, min(cv.v) AS exact
+        |  FROM tq JOIN cv ON cv.cum >= tq.t GROUP BY 1)
+        |SELECT eb.q_ppm, eb.n_total, eb.t,
+        |  (eb.qbin + 1) * 64 - 1 AS est, ex.exact,
+        |  (eb.qbin + 1) * 64 - 1 - ex.exact AS err
+        |FROM eb JOIN ex USING (q_ppm) ORDER BY q_ppm""".stripMargin,
 
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),

@@ -625,21 +625,36 @@ object RelationalQueries {
     // must then be this one). One pass over lineitem, one small join;
     // the DuckDB ORACLE runs the literal EXISTS/NOT-EXISTS text, so
     // the two formulations cross-check each other row for row.
+    //
+    // Round-11: the per-order distinct counts moved from two
+    // countDistincts — whose Expand doubled the 6M-row stream before
+    // its shuffle — to a two-level (order, supplier) → order
+    // aggregate; and since n_problem_supps == 1 pins the problem
+    // supplier uniquely, the per-order aggregate carries its id and
+    // flagged-line count along, so the second lineitem scan and the
+    // fact-sized re-join are gone entirely: ONE pass over lineitem,
+    // two keyed aggregates, then order-key and supplier joins on the
+    // already-small qualifying set.
     "q35_sole_problem_supplier" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
-      val perOrder = l.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_problem_supps"))
+      val isR = when(col("l_returnflag") === "R", 1L).otherwise(0L)
+      val pairAgg = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(isR).as("is_problem"), sum(isR).as("problem_lines"))
+      val perOrder = pairAgg.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supps"),
+          sum(col("is_problem")).as("n_problem_supps"),
+          max(when(col("is_problem") === 1, col("l_suppkey")))
+            .as("problem_supp"),
+          sum(col("problem_lines")).as("n_problem_lines"))
       val fOrders = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-      l.filter(col("l_returnflag") === "R")
-        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
-        .join(perOrder, "l_orderkey")
+      perOrder
         .filter(col("n_supps") > 1 && col("n_problem_supps") === 1)
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("problem_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_problem_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),

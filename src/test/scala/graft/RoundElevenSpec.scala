@@ -122,4 +122,32 @@ class RoundElevenSpec extends AnyFunSuite {
     assert(verdicts("alpha"), "duplicated member must still test positive")
     assert(verdicts("beta"))
   }
+
+  // --- x89: histogram quantile sketch ---------------------------------
+
+  test("x89: rank-exact, value error < binWidth, at every quantile") {
+    val out = ExtQueriesAccess.run(spark, dir, "x89_quantile_histogram")
+      .select(col("q_ppm"), col("est"), col("exact"), col("err"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 5)
+    out.foreach { case (q, est, exact, err) =>
+      assert(est >= exact && err === est - exact && err >= 0 && err < 64,
+        s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("x89: shard histograms merge by addition into the whole") {
+    import graft.ext.Quantiles
+    val docs = Tables(spark, dir, "documents")
+    val whole = Quantiles.histogram(docs, col("n_chars"), 64L)
+    val a = Quantiles.histogram(
+      docs.filter(col("doc_id") % 2 === 0), col("n_chars"), 64L)
+    val b = Quantiles.histogram(
+      docs.filter(col("doc_id") % 2 =!= 0), col("n_chars"), 64L)
+    val merged = a.unionByName(b)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    assert(merged.exceptAll(whole).count() === 0 &&
+      whole.exceptAll(merged).count() === 0,
+      "sum of shard grids must equal the union grid cell for cell")
+  }
 }
