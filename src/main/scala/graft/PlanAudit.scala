@@ -51,6 +51,11 @@ object PlanAudit {
       ("Shards.assign bucket-offset cumsum: the frame is the 256" +
         " two-hex-char bucket count rows at any corpus size; per-doc" +
         " ranks run under the keyed per-bucket window"),
+    "x91_auc" ->
+      ("Auc.auc bucket-offset cumsum: the frame is <= 257 score-range" +
+        " bucket rows at any corpus size; the per-score cumulative" +
+        " runs under the keyed per-bucket window (the x86 two-level" +
+        " rank)"),
     "x89_quantile_histogram" ->
       ("both cumulative windows ride HISTOGRAMS, never the corpus:" +
         " the sketch grid is <= domain/64 rows and the exact leg <=" +

@@ -3029,6 +3029,60 @@ object ExtQueries {
           col("exact"), (col("est") - col("exact")).as("err"))
         .orderBy(col("q_ppm"))
     }),
+
+    // Content-defined chunking (ext/Cdc) — the dedup grain x31's
+    // fixed-stride chunker can't provide: Rabin-style rolling-hash
+    // boundaries are a pure function of LOCAL content, so an inserted
+    // preamble shifts only the chunks up to the first post-edit
+    // boundary and every later chunk hash SURVIVES (the planted
+    // corpus here: even docs re-appear under id+30000 with an
+    // 18-char preamble — their tails dedup against the originals,
+    // which is exactly what fixed-stride chunking loses). Chunking is
+    // one narrow map (per-doc integer polynomial hashes, both engines
+    // bit-identical mod 1e9+7); only the 32-byte chunk-hash aggregate
+    // shuffles. n_shared_chunks counts a doc's chunks that appear in
+    // ≥2 distinct docs — the dedupable mass CDC exposes.
+    "x90_cdc_chunks" -> ((s, dir) => {
+      import graft.ext.Cdc
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(lit("INSERTED PREAMBLE "), col("text")).as("text")))
+      val ch = spread(corpus)
+        .select(col("doc_id"),
+          explode(Cdc.chunks(col("text"), 8)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .localCheckpoint() // feeds the per-doc count AND the share join
+      val perH = ch.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      ch.join(perH, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Distributed AUC (ext/Auc) — classifier evaluation as a first-
+    // class pipeline op: every quality / contamination / language
+    // classifier a curation stack trains needs its ROC area computed
+    // over millions of held-out rows, and the naive rank formula is a
+    // corpus-sized sort. Here: Mann–Whitney in integer doubled units
+    // over the distinct-score histogram, cumulative negatives via the
+    // x86 two-level bucketed rank (≤ 257-row global window). Demo
+    // task: score = squared-norm of the embedding in micro-units,
+    // positive = even label — a weak but nonzero signal, so the demo
+    // exercises ties, both classes, and a mid-range AUC; the operator
+    // takes ANY (score, label) pair.
+    "x91_auc" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(
+          floor(Similarity.norm2(toD(col("embedding"))) * 1e6 + 0.5)
+            .cast("long").as("s"),
+          (col("label") % 2 === 0).as("pos"))
+      graft.ext.Auc.auc(base, col("s"), col("pos"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -5413,6 +5467,77 @@ object ExtQueries {
         |  (eb.qbin + 1) * 64 - 1 AS est, ex.exact,
         |  (eb.qbin + 1) * 64 - 1 - ex.exact AS err
         |FROM eb JOIN ex USING (q_ppm) ORDER BY q_ppm""".stripMargin,
+
+    // x90: identical rolling polynomial (powers of 256 mod 1e9+7
+    // precomputed here so both engines share the exact constants),
+    // identical cut-point construction, md5 chunk hashes.
+    "x90_cdc_chunks" -> {
+      val w = 8
+      val M = java.math.BigInteger.valueOf(graft.ext.Cdc.M)
+      val pows = (0 until w).map(k =>
+        java.math.BigInteger.valueOf(graft.ext.Cdc.B)
+          .modPow(java.math.BigInteger.valueOf(w - 1 - k), M)
+          .longValueExact()).mkString("[", ", ", "]")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000, 'INSERTED PREAMBLE ' || text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |b AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    [i for i in range($w, length(text) + 1)
+         |     if (list_sum([CAST(ascii(substr(text, i - ${w - 1} + k, 1))
+         |                        AS BIGINT) * ($pows)[k + 1]
+         |                   for k in range(0, $w)]) % ${graft.ext.Cdc.M})
+         |        % ${graft.ext.Cdc.Mask} = 0] AS bnds
+         |  FROM corpus),
+         |cu AS (
+         |  SELECT doc_id, text,
+         |    list_sort(list_distinct(
+         |      list_append(list_prepend(CAST(0 AS BIGINT),
+         |        CAST(bnds AS BIGINT[])), CAST(n AS BIGINT)))) AS cuts
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(unnest([substr(text, CAST(cuts[i] + 1 AS INT),
+         |                       CAST(cuts[i + 1] - cuts[i] AS INT))
+         |                for i in range(1, len(cuts))])) AS h
+         |  FROM cu),
+         |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks
+         |FROM ch JOIN nd USING (h)
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+    },
+
+    // x91: the oracle states AUC the direct way — one ordered cumsum
+    // over the distinct-score histogram — which the engine reproduces
+    // through its two-level bucketed rank; u2 is exact integer, auc6
+    // one rounded division.
+    "x91_auc" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(list_sum([x * x
+        |           for x in CAST(embedding AS DOUBLE[])]) * 1000000.0
+        |           + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS p
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT s, CAST(sum(p) AS BIGINT) AS np,
+        |    CAST(sum(1 - p) AS BIGINT) AS nn
+        |  FROM pts GROUP BY s),
+        |c AS (
+        |  SELECT s, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb
+        |  FROM h)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+        |  round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
+        |        / CAST(2 * sum(np) * sum(nn) AS DOUBLE), 6) AS auc6
+        |FROM c""".stripMargin,
 
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),
