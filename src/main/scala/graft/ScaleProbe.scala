@@ -423,6 +423,64 @@ object ScaleProbe {
         f"matches=$nMatch%6d t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
       cand.unpersist()
     }
+
+    // BPE encode (the x85 shape, round-11): merge rules trained ONCE
+    // on the original docs, then applied to the k× corpus — encode
+    // cost must track the corpus linearly (it is k narrow rewrites),
+    // completely independent of training-corpus size.
+    val encRules = graft.ext.BpeMerge.collectRules(
+      graft.ext.BpeMerge.trainPairs(
+        docs.select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+        rounds = 3))
+    ks.foreach { k =>
+      val corpus = scaledDocs(k)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val t0 = System.nanoTime()
+      val nTok = graft.ext.BpeMerge.encodeFrozen(corpus, encRules)
+        .agg(sum(size(col("toks")))).head().getLong(0)
+      println(f"SCALE-BPEENC k=$k docs=${k * n0}%7d tokens_out=$nTok%9d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+
+    // Shard assignment (the x86 shape, round-11): the 2-level bucketed
+    // global rank must stay corpus-linear with its ONE bounded global
+    // window — the probe prints the bucket-offset row count actually
+    // windowed (≤ 256 at any k) beside the growing shard count.
+    ks.foreach { k =>
+      val corpus = scaledDocs(k).select(col("doc_id"))
+      val t0 = System.nanoTime()
+      val assigned = graft.ext.Shards.assign(corpus, col("doc_id"),
+        docsPerShard = 100, seed = 42).cache()
+      val nShards = assigned.agg(countDistinct(col("shard")))
+        .head().getLong(0)
+      val nBuckets = assigned.agg(
+        countDistinct(substring(col("skey"), 1, 2))).head().getLong(0)
+      println(f"SCALE-SHARD k=$k docs=${k * n0}%7d shards=$nShards%5d " +
+        f"offset_rows=$nBuckets%4d t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      assigned.unpersist()
+    }
+
+    // CDC chunking (the x90 shape, round-11): chunking is a narrow
+    // map — time must track the corpus linearly — and the dup-chunk
+    // mass the rotated near-dup copies create must GROW with k (the
+    // whole point of content-defined boundaries: cross-copy tails
+    // still align), while only the 32-byte-hash aggregate shuffles.
+    ks.foreach { k =>
+      val corpus = scaledDocs(k)
+      val t0 = System.nanoTime()
+      val ch = corpus.select(col("doc_id"),
+        explode(graft.ext.ContentChunks.chunks(col("text"), 8)).as("c"))
+        .select(col("doc_id"), md5(col("c")).as("h"))
+      val agg = ch.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("cc"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_hashes"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .head()
+      println(f"SCALE-CDC k=$k docs=${k * n0}%7d " +
+        f"hashes=${agg.getLong(0)}%8d dup_hashes=${agg.getLong(1)}%7d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * one narrow map, and only the chunk-hash aggregation downstream
   * shuffles (keyed on the 32-byte hash).
   */
-object Cdc {
+object ContentChunks {
   val B = 256L
   val M = 1000000007L
   val Mask = 64L

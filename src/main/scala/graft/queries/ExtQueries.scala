@@ -3043,7 +3043,7 @@ object ExtQueries {
     // shuffles. n_shared_chunks counts a doc's chunks that appear in
     // ≥2 distinct docs — the dedupable mass CDC exposes.
     "x90_cdc_chunks" -> ((s, dir) => {
-      import graft.ext.Cdc
+      import graft.ext.ContentChunks
       val docs = t(s, dir, "documents")
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
         docs.filter(col("doc_id") % 2 === 0)
@@ -3051,7 +3051,7 @@ object ExtQueries {
             concat(lit("INSERTED PREAMBLE "), col("text")).as("text")))
       val ch = spread(corpus)
         .select(col("doc_id"),
-          explode(Cdc.chunks(col("text"), 8)).as("chunk"))
+          explode(ContentChunks.chunks(col("text"), 8)).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h"))
         .localCheckpoint() // feeds the per-doc count AND the share join
       val perH = ch.groupBy(col("h"), col("doc_id"))
@@ -5473,9 +5473,9 @@ object ExtQueries {
     // identical cut-point construction, md5 chunk hashes.
     "x90_cdc_chunks" -> {
       val w = 8
-      val M = java.math.BigInteger.valueOf(graft.ext.Cdc.M)
+      val M = java.math.BigInteger.valueOf(graft.ext.ContentChunks.M)
       val pows = (0 until w).map(k =>
-        java.math.BigInteger.valueOf(graft.ext.Cdc.B)
+        java.math.BigInteger.valueOf(graft.ext.ContentChunks.B)
           .modPow(java.math.BigInteger.valueOf(w - 1 - k), M)
           .longValueExact()).mkString("[", ", ", "]")
       s"""WITH corpus AS (
@@ -5488,8 +5488,8 @@ object ExtQueries {
          |    [i for i in range($w, length(text) + 1)
          |     if (list_sum([CAST(ascii(substr(text, i - ${w - 1} + k, 1))
          |                        AS BIGINT) * ($pows)[k + 1]
-         |                   for k in range(0, $w)]) % ${graft.ext.Cdc.M})
-         |        % ${graft.ext.Cdc.Mask} = 0] AS bnds
+         |                   for k in range(0, $w)]) % ${graft.ext.ContentChunks.M})
+         |        % ${graft.ext.ContentChunks.Mask} = 0] AS bnds
          |  FROM corpus),
          |cu AS (
          |  SELECT doc_id, text,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Content-defined chunk boundaries in ONE O(len) pass — the native
-  * form of graft.ext.Cdc.boundariesHof, whose per-position w-term
+  * form of graft.ext.ContentChunks.boundariesHof, whose per-position w-term
   * polynomial re-fold is O(len·w) in interpreted HOF lambdas. Here the
   * window hash rolls: h_i = ((h_{i−1} − code_{i−w}·B^{w−1})·B +
   * code_i) mod M — algebraically identical mod M to the re-folded

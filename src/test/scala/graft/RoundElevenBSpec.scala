@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.Cdc
+import graft.ext.ContentChunks
 
 /** Round-11 second wave: content-defined chunking — the properties the
   * oracle can't state (reassembly identity, insertion robustness).
@@ -18,8 +18,8 @@ class RoundElevenBSpec extends AnyFunSuite {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val diff = docs
-      .withColumn("nat", Cdc.boundaries(col("text"), 8))
-      .withColumn("hof", Cdc.boundariesHof(col("text"), 8))
+      .withColumn("nat", ContentChunks.boundaries(col("text"), 8))
+      .withColumn("hof", ContentChunks.boundariesHof(col("text"), 8))
       .filter(col("nat") =!= col("hof"))
       .count()
     assert(diff === 0,
@@ -30,7 +30,7 @@ class RoundElevenBSpec extends AnyFunSuite {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val bad = docs
-      .withColumn("rebuilt", concat_ws("", Cdc.chunks(col("text"), 8)))
+      .withColumn("rebuilt", concat_ws("", ContentChunks.chunks(col("text"), 8)))
       .filter(col("rebuilt") =!= col("text") && length(col("text")) > 0)
       .count()
     assert(bad === 0, "concatenated chunks must equal the document")
@@ -42,13 +42,13 @@ class RoundElevenBSpec extends AnyFunSuite {
       .filter(col("n_chars") >= 200).limit(20)
       .select(col("doc_id"), col("text"))
     val orig = docs.select(col("doc_id"),
-      explode(Cdc.chunks(col("text"), 8)).as("c"))
+      explode(ContentChunks.chunks(col("text"), 8)).as("c"))
       .select(col("doc_id"), md5(col("c")).as("h"))
       .as[(Long, String)].collect().groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val shifted = docs.select(col("doc_id"),
       concat(lit("INSERTED PREAMBLE "), col("text")).as("text"))
-      .select(col("doc_id"), explode(Cdc.chunks(col("text"), 8)).as("c"))
+      .select(col("doc_id"), explode(ContentChunks.chunks(col("text"), 8)).as("c"))
       .select(col("doc_id"), md5(col("c")).as("h"))
       .as[(Long, String)].collect().groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
