@@ -29,14 +29,35 @@ object Auc {
 
   /** 1-row (n_pos, n_neg, u2, auc6) for an integer score column and a
     * boolean positive-class column.
+    *
+    * Null convention: rows with a NULL score or NULL label are DROPPED
+    * up front (the builtin-aggregate null-skip discipline the Stream*
+    * twins already follow) — before round 12 a null score silently
+    * vanished at the offsets join instead, understating n_pos/n_neg
+    * with no statement of intent.
+    *
+    * Overflow: u2 ≤ 2·n_pos·n_neg, so a single guard on the total pair
+    * count bounds every per-score product AND the running sum. DuckDB
+    * raises on int64 overflow while non-ANSI Spark wraps — the x78
+    * assert_true discipline makes both engines refuse together.
     */
   def auc(df: DataFrame, score: Column, positive: Column): DataFrame = {
     val h = df.select(score.as("s"), positive.cast("int").as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("p")).cast("long").as("np"),
         sum(lit(1) - col("p")).cast("long").as("nn"))
-    val bounds = h.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    // totals ride the same tiny broadcast as the bucket bounds; the
+    // guard (2·tp·tn ≤ Long.Max, checked with overflow-free sequential
+    // divides) evaluates before any np·(2·cnb+nn) product is summed
+    val bounds = h.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
     val bucketed = h.crossJoin(broadcast(bounds))
+      .filter(coalesce(assert_true(
+        col("tp") <= lit(Long.MaxValue) / greatest(col("tn"), lit(1L)) / 2L,
+        lit("Auc: 2*n_pos*n_neg would overflow long — " +
+          "partition the evaluation set at this scale")),
+        lit(true)))
       .withColumn("b", expr("(s - lo) div (((hi - lo) div 256) + 1)"))
     val wLocal = Window.partitionBy(col("b")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)

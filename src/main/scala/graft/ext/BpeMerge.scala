@@ -117,11 +117,21 @@ object BpeMerge {
   /** Apply one trained merge rule (a 1-row (ma, mb) frame) to every
     * document: 1-row broadcast + narrow rewrite. `tagCol` optionally
     * records the rule as a `<ma>_<mb>` column (training's merge_r).
+    *
+    * Empty-rule safety (round-12 advice): the broadcast rides a LEFT
+    * join, not a crossJoin, so a 0-row pair frame (a training round
+    * with no adjacent pairs left — all-single-token corpus, or rounds
+    * beyond the available merges) passes every document through
+    * UNCHANGED instead of silently emptying the corpus: with null
+    * (ma, mb) every dropped/head predicate in [[rewriteToks]] folds to
+    * false under its coalesce/three-valued-AND, so the rewrite is the
+    * identity (RoundTwelveSpec pins it). A 1-row pair plans exactly as
+    * the old crossJoin (BroadcastNestedLoopJoin on a 1-row build side).
     */
   def applyPair(df: DataFrame, pair: DataFrame,
       allowIdentical: Boolean = false,
       tagCol: Option[String] = None): DataFrame = {
-    val joined = df.crossJoin(broadcast(pair))
+    val joined = df.join(broadcast(pair), lit(true), "left")
     val tagged = tagCol.fold(joined)(c =>
       joined.withColumn(c, concat(col("ma"), lit("_"), col("mb"))))
     rewriteToks(tagged, allowIdentical).drop("ma", "mb")

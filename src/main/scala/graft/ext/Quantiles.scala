@@ -33,11 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** The (bin, cnt) histogram of `value div binWidth`. */
+  /** The (bin, cnt) histogram of `value div binWidth`. Integer `div`,
+    * not double division: the DuckDB oracle floors with `//` on
+    * integers, and a truncated IEEE quotient can differ from integer
+    * division for non-power-of-two widths or values near 2^53 — the
+    * repo-wide integer-div discipline (round-12 advice).
+    */
   def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame =
     df.select(value.cast("long").as("_v"))
       .filter(col("_v").isNotNull)
-      .select((col("_v") / binWidth).cast("long").as("bin"))
+      .select(expr(s"_v div $binWidth").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
 
   /** Quantile estimates from a (bin, cnt) histogram: one row per

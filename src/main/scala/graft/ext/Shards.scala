@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * window, and bucket offsets come from a 256-row cumsum (the one
   * "global" window in the plan — its frame is exactly 256 rows at ANY
   * corpus size; PlanAudit carries the adjudication). At 100 TB the
-  * bucket fan-out widens to 16^k buckets by taking k prefix chars —
-  * same plan, same 2-level rank.
+  * bucket fan-out widens to 16^k buckets by taking k prefix chars
+  * (`assign`'s `prefixLen`) — same plan, same 2-level rank, and the
+  * assignment itself is provably k-invariant (see [[assign]]).
   *
   * Incremental appends: shipped shards are immutable. `assign` takes a
   * `rankOffset` — pass `(maxShard + 1) * docsPerShard` of the already
@@ -38,18 +39,32 @@ object Shards {
   /** Assign (skey, shard, position) to every row: global 0-based rank
     * in (shuffle-key, key) order, then shard = rank div docsPerShard
     * and position = rank % docsPerShard.
+    *
+    * `prefixLen` (k) is the bucket fan-out knob — 16^k buckets from
+    * the first k hex chars of the shuffle key. The assignment is
+    * INVARIANT in k: global order is (skey, key), bucket order is
+    * skey-prefix order (a prefix of the global sort key), and within a
+    * bucket the window orders by the full (skey, key) again — so every
+    * k slices the same total order at different granularity and the
+    * ranks are bit-identical (RoundTwelveSpec pins k=1/2/3;
+    * SCALE-SHARDK probes it at growing corpus sizes). The offset
+    * cumsum — the one "global" window — is exactly 16^k rows at ANY
+    * corpus size; k=2's 256 suits local/test scale, k=3's 4096 a
+    * 100 TB run's executor count.
     */
   def assign(df: DataFrame, keyCol: Column, docsPerShard: Int,
-      seed: Int, rankOffset: Long = 0L): DataFrame = {
+      seed: Int, rankOffset: Long = 0L, prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      "prefixLen must be in [1, 8] (16^k bucket fan-out)")
     val wB = Window.partitionBy(col("_b"))
       .orderBy(col("skey"), col("_k"))
-    // 256-row bucket-offset cumsum — the bounded global window
+    // 16^prefixLen-row bucket-offset cumsum — the bounded global window
     val wOff = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = df
       .withColumn("_k", keyCol)
       .withColumn("skey", shuffleKey(keyCol, seed))
-      .withColumn("_b", substring(col("skey"), 1, 2))
+      .withColumn("_b", substring(col("skey"), 1, prefixLen))
       .withColumn("_lr", row_number().over(wB).cast("long"))
     val offsets = local.groupBy(col("_b"))
       .agg(count(lit(1)).as("_cnt"))

@@ -30,8 +30,11 @@ object StreamQuantile {
       extraKeys: String*): DataFrame =
     df.withWatermark(tsCol, watermark)
       .filter(col(valueCol).isNotNull)
-      .withColumn("bin",
-        (col(valueCol).cast("long") / binWidth).cast("long"))
+      // integer div, matching Quantiles.histogram's grid exactly (the
+      // cell-for-cell batch-equality claim depends on both twins
+      // binning with the same integer arithmetic)
+      .withColumn("_v", col(valueCol).cast("long"))
+      .withColumn("bin", expr(s"_v div $binWidth"))
       .groupBy(window(col(tsCol), windowLength) +:
         extraKeys.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
