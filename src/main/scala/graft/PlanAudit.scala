@@ -56,6 +56,10 @@ object PlanAudit {
         " bucket rows at any corpus size; the per-score cumulative" +
         " runs under the keyed per-bucket window (the x86 two-level" +
         " rank)"),
+    "x92_bpe_encode_serve" ->
+      ("BpeMerge.topPairs rank: row_number over the checkpointed" +
+        " orderBy.limit(3) rule table — the single-partition frame is" +
+        " exactly k=3 rows at any corpus size"),
     "x89_quantile_histogram" ->
       ("both cumulative windows ride HISTOGRAMS, never the corpus:" +
         " the sketch grid is <= domain/64 rows and the exact leg <=" +

@@ -75,6 +75,43 @@ object BpeMerge {
         split(col("ab"), sep).getItem(1).as("mb"))
   }
 
+  /** The top-k adjacent pairs of `df` in ONE aggregate pass, as a
+    * ranked (ma, mb, r) rule table — the serve-form stand-in for a
+    * PERSISTED vocabulary (x92): deployment encode never re-runs the
+    * sequential per-round argmaxes, it loads a merge table and applies
+    * the rules in order, so the table here is built by the cheapest
+    * exact one-pass ranking (count desc, packed-pair asc — the same
+    * tie order training uses). Note the rules are ranked by BASE-corpus
+    * counts, not re-counted after each merge like [[trainPairs]] —
+    * provenance is the vocabulary builder's concern; encode semantics
+    * (sequential application in rank order) are identical either way
+    * and that is the hot path being priced.
+    *
+    * Plan: one partial-aggregated shuffle on the packed pair, then
+    * TakeOrderedAndProject(k) → a k-row ranking window (bounded domain
+    * — PlanAudit adjudicates). localCheckpoint the result before
+    * splitting it into per-rank 1-row frames, or each split re-runs
+    * the aggregate.
+    */
+  def topPairs(df: DataFrame, k: Int,
+      allowIdentical: Boolean = false): DataFrame = {
+    val tk = col("toks")
+    val adjacent = zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (x, y) =>
+        if (allowIdentical) concat(x, lit(sep), y)
+        else when(x =!= y, concat(x, lit(sep), y)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("ab"))
+    df.select(explode(adjacent).as("ab"))
+      .filter(col("ab").isNotNull)
+      .groupBy(col("ab")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("ab")).limit(k)
+      .withColumn("r", row_number().over(w))
+      .select(split(col("ab"), sep).getItem(0).as("ma"),
+        split(col("ab"), sep).getItem(1).as("mb"), col("r"))
+  }
+
   /** Rewrite `toks` under the (ma, mb) columns riding on each row.
     * Shared by training (where the pair is the round's argmax) and
     * encode (where it is a trained rule).

@@ -3083,6 +3083,70 @@ object ExtQueries {
           (col("label") % 2 === 0).as("pos"))
       graft.ext.Auc.auc(base, col("s"), col("pos"))
     }),
+
+    // BPE ENCODE, SERVE FORM (r11 verdict task 1a — the x87/x88
+    // serve-twin discipline applied to x85): x85 registers train AND
+    // encode in one entry, so its cost carries training's sequential
+    // fixed latency (3 argmax jobs + 2 corpus checkpoints) that a
+    // deployed tokenizer pays ONCE per vocabulary, not per corpus.
+    // Here the rule table is built by BpeMerge.topPairs — ONE
+    // aggregate pass over the 10% sample producing the ranked merge
+    // table a deployment would load from disk — checkpointed (the
+    // "persisted table" materialization, a 3-row frame), then the
+    // encode hot path applies the rules in rank order corpus-wide:
+    // k 1-row broadcasts + narrow per-document rewrites, no shuffle,
+    // no state, corpus-linear. This entry's cost IS what per-corpus
+    // tokenization pays. The oracle recomputes the identical rule
+    // table and rewrites, md5-verifying every document's full token
+    // stream.
+    "x92_bpe_encode_serve" -> ((s, dir) => {
+      import graft.ext.BpeMerge
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val rules = BpeMerge.topPairs(
+        docs.filter(col("doc_id") % 10 === 0), k = 3).localCheckpoint()
+      val pairs = (1 to 3).map(i =>
+        rules.filter(col("r") === i).select(col("ma"), col("mb")))
+      BpeMerge.encode(docs, pairs)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("tokens_md5"))
+        // narrow from the scan — materialize the 3-column fingerprints
+        // before the output sort's range sampler (the x85 finding)
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-ORDER LAYOUT WRITE (r11 verdict task 1b): x41 registers the
+    // metric HARNESS — a global-ntile bucket model that quantifies
+    // scan pruning on a demo — but the deployment operation is the
+    // layout write itself: repartitionByRange(z) +
+    // sortWithinPartitions (ZOrder.scala's own guard note), which
+    // sorts each output file independently with NO global window.
+    // This entry registers that path: compute the interleaved key
+    // against broadcast bounds (all codegen'd integer arithmetic),
+    // range-exchange the corpus on it, sort within partitions —
+    // exactly the plan `OPTIMIZE ZORDER BY`-style layout jobs run,
+    // minus the format-common parquet encode. The oracle recomputes
+    // every row's z (bit-exact: same double-then-truncate normalize)
+    // and orders by it, so DuckDB pays its own full sort same-session.
+    "x93_zorder_write" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("od"))
+      val bounds = o.agg(
+        min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+        min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("nx",
+          ZOrder.normalize255(col("o_custkey"), col("cmin"), col("cmax")))
+        .withColumn("ny",
+          ZOrder.normalize255(col("od"), col("dmin"), col("dmax")))
+        .withColumn("z", ZOrder.interleave8(col("nx"), col("ny")))
+        .select(col("o_orderkey"), col("o_custkey"), col("od"), col("z"))
+        .repartitionByRange(col("z"), col("o_orderkey"))
+        .sortWithinPartitions(col("z"), col("o_orderkey"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -5538,6 +5602,82 @@ object ExtQueries {
         |  round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
         |        / CAST(2 * sum(np) * sum(nn) AS DOUBLE), 6) AS auc6
         |FROM c""".stripMargin,
+
+    // x92: the one-pass ranked rule table (count desc, packed-pair
+    // asc — training's tie order), then x85's rewrite template applied
+    // in rank order to the full corpus; the engines can only agree by
+    // computing identical token streams (md5-verified per document).
+    "x92_bpe_encode_serve" -> {
+      def rewrite(src: String, out: String, m: String): String =
+        s"""$out AS (
+           |  SELECT doc_id,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks
+           |  FROM $src, $m m)""".stripMargin
+      def rule(r: Int): String =
+        s"""m_$r AS (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM rk WHERE r = $r)""".stripMargin
+      s"""WITH t_0 AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |pc AS (
+         |  SELECT ab, count(*) AS c FROM (
+         |    SELECT unnest([toks[i] || chr(1) || toks[i+1]
+         |                   for i in range(1, len(toks))
+         |                   if toks[i] <> toks[i+1]]) AS ab
+         |    FROM t_0 WHERE doc_id % 10 = 0)
+         |  GROUP BY ab),
+         |rk AS (
+         |  SELECT ab, row_number() OVER (ORDER BY c DESC, ab) AS r
+         |  FROM pc),
+         |${rule(1)},
+         |${rule(2)},
+         |${rule(3)},
+         |${rewrite("t_0", "e_1", "m_1")},
+         |${rewrite("e_1", "e_2", "m_2")},
+         |${rewrite("e_2", "e_3", "m_3")}
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
+         |FROM e_3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // x93: every row's interleaved key recomputed bit-exactly (the
+    // x41 normalize/interleave arithmetic — floor-before-BIGINT
+    // because DuckDB's double→int cast rounds where Spark truncates),
+    // ordered by it so the oracle pays its own full layout sort in
+    // the same session.
+    "x93_zorder_write" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS od
+        |  FROM orders),
+        |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |             min(od) AS dmin, max(od) AS dmax FROM o),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey, od,
+        |    CASE WHEN cmax = cmin THEN 0
+        |         ELSE CAST(floor((o_custkey - cmin) * 255.0
+        |                         / (cmax - cmin)) AS BIGINT)
+        |    END AS nx,
+        |    CASE WHEN dmax = dmin THEN 0
+        |         ELSE CAST(floor((od - dmin) * 255.0
+        |                         / (dmax - dmin)) AS BIGINT)
+        |    END AS ny
+        |  FROM o, b)
+        |SELECT o_orderkey, o_custkey, od,
+        |  CAST(list_sum([(((nx >> i) & 1) << (2*i + 1))
+        |                 + (((ny >> i) & 1) << (2*i))
+        |                 for i in range(0, 8)]) AS BIGINT) AS z
+        |FROM n
+        |ORDER BY z, o_orderkey""".stripMargin,
 
     // x83: the composed gate, assembled from the same SQL pieces as
     // x71 (quality), x01 (dedup window), x76 (bloom bits + verdicts),
