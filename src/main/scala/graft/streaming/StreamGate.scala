@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The COMPOSED continuous ingest gate — x83's batch pipeline as one
+  * streaming query (r11 verdict, missing #2): documents flow through
+  *
+  *   dedup → decontaminate → BPE-encode → shard append
+  *
+  * in a single plan, proving the per-operator streaming gates
+  * actually compose instead of merely coexisting:
+  *
+  *  - [[StreamDedup.dedupStream]] — the ONLY stateful stage (bounded
+  *    watermarked state); first arrival of a content hash passes
+  *    through immediately.
+  *  - [[StreamBloom.flag]] — document-level membership probe of the
+  *    broadcast blocklist filter, a pure narrow map. (The n-gram
+  *    hit-RATIO form x88 serves needs a per-document aggregation,
+  *    which in append-mode streaming would add a second stateful
+  *    stage; the ingest gate uses the exact-document filter and
+  *    leaves ratio decontamination to the periodic batch pass —
+  *    the same split as dedup's cross-window escape hatch.)
+  *  - [[StreamBpe.encoded]] — frozen-rule tokenization, narrow.
+  *  - [[StreamShards.sink]] — manifest-committed immutable shard
+  *    append (exactly-once content under at-least-once delivery).
+  *
+  * Because the two middle stages are stateless narrow maps and the
+  * sink is a pure function of (batch, committed high-water mark), the
+  * gate's OUTPUT CONTENT is row-identical to running x83-style batch
+  * stages over the union of all micro-batches — regardless of how
+  * arrival is batched — with the one documented divergence class:
+  * (shard, position) values depend on batch boundaries (each batch
+  * appends past the previous high-water mark; a single batch packs the
+  * same rows densely). StreamGateSpec pins content identity across a
+  * 2-batch split, per-batch assignment identity, and replay
+  * idempotence.
+  */
+object StreamGate {
+
+  /** The stream-side transform: dedup → bloom gate → encode. Returns
+    * the kept, encoded stream (doc rows + toks/n_tokens/tokens_md5).
+    */
+  def transform(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String, bloomBytes: Array[Byte],
+      rules: Seq[(String, String)]): DataFrame =
+    StreamBpe.encoded(
+      StreamBloom.flag(
+        StreamDedup.dedupStream(docs, textCol, tsCol, watermark),
+        md5(col(textCol)), bloomBytes)
+        .filter(!col("bloom_hit"))
+        .drop("bloom_hit"),
+      textCol, rules)
+
+  /** Start the full gate: [[transform]] feeding the manifest-committed
+    * shard sink, one streaming query end to end.
+    */
+  def start(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String, bloomBytes: Array[Byte],
+      rules: Seq[(String, String)], keyCol: String, outDir: String,
+      docsPerShard: Int, seed: Int): StreamingQuery =
+    transform(docs, textCol, tsCol, watermark, bloomBytes, rules)
+      // the array column is working state; shards carry the fingerprint
+      .drop("toks")
+      .writeStream
+      .foreachBatch(StreamShards.sink(keyCol, outDir, docsPerShard, seed))
+      .outputMode("append")
+      .start()
+}
