@@ -56,7 +56,12 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
 
-    ks.foreach { k =>
+    // SPARK_GRAFT_PROBE_R12=1 skips the pre-round-12 sections so the
+    // round-12 receipt sections (SHARDK/AUCFLOOR/QTFLOOR/BPEDEPTH) can
+    // run standalone at large k without re-running the full battery.
+    val probeR12Only = sys.env.contains("SPARK_GRAFT_PROBE_R12")
+    if (!probeR12Only) {
+ks.foreach { k =>
       val corpus = scaledDocs(k)
 
       val sh = corpus.withColumn("t", Text.tokens(col("text")))
@@ -480,6 +485,102 @@ object ScaleProbe {
       println(f"SCALE-CDC k=$k docs=${k * n0}%7d " +
         f"hashes=${agg.getLong(0)}%8d dup_hashes=${agg.getLong(1)}%7d " +
         f"t=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+    } // end !probeR12Only
+
+    // Shard prefix-length invariance (round-12, r11 verdict task 5):
+    // the 16^k bucket fan-out claim, probed — prefixLen 2 (256
+    // buckets) and 3 (4096 buckets) must produce IDENTICAL
+    // (doc, shard, position) assignments at every corpus size (the
+    // union-distinct count equals the corpus count iff the two
+    // assignments agree row for row), with comparable time: the rank
+    // is the same two-level plan at either fan-out.
+    ks.foreach { k =>
+      val corpus = scaledDocs(k).select(col("doc_id")).cache()
+      val n = corpus.count()
+      def assigned(p: Int) = graft.ext.Shards.assign(
+        corpus, col("doc_id"), docsPerShard = 100, seed = 42,
+        rankOffset = 0L, prefixLen = p)
+        .select(col("doc_id"), col("shard"), col("position"))
+      val t2 = System.nanoTime()
+      val a2 = assigned(2).cache(); a2.count()
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val a3 = assigned(3).cache(); a3.count()
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      val agree = a2.unionByName(a3).distinct().count() == n
+      println(f"SCALE-SHARDK k=$k docs=$n%7d identical=$agree " +
+        f"t_k2=$dt2%6.2fs t_k3=$dt3%6.2fs")
+      require(agree, s"prefixLen 2 vs 3 assignment mismatch at k=$k")
+      corpus.unpersist(); a2.unpersist(); a3.unpersist()
+    }
+
+    // x91 AUC / x89 quantile-sketch floor receipts (round-12, r11
+    // verdict task 6): both operators are sub-second at sf1 and
+    // exempted from the >2× rule as scheduling-floor-dominated — this
+    // probe makes the exemption evidence. The scaled (score, label) /
+    // value inputs are WRITTEN to parquet first and both engines read
+    // the same file (scripts/floor_duck.py times DuckDB's recompute on
+    // it): engine time should stay ~flat across 1×/4×/16× (the floor),
+    // while a corpus-linear engine grows.
+    ks.foreach { k =>
+      val pts = (0 until k).map { c =>
+        Tables(spark, sfDir, "embeddings").select(
+          floor(graft.ext.Similarity.norm2(
+            graft.ext.Similarity.toDoubleArray(col("embedding")))
+            * 1e6 * (1.0 + c / 1000.0) + 0.5).cast("long").as("s"),
+          (col("label") % 2 === 0).as("pos"))
+      }.reduce(_ unionByName _)
+      val path = s"target/scale_auc_k$k"
+      pts.write.mode("overwrite").parquet(path)
+      val in = spark.read.parquet(path)
+      val t0 = System.nanoTime()
+      val r = graft.ext.Auc.auc(in, col("s"), col("pos")).head()
+      val dt = (System.nanoTime() - t0) / 1e9 // capture BEFORE the row count
+      println(f"SCALE-AUCFLOOR k=$k rows=${in.count()}%8d " +
+        f"auc=${r.getDouble(3)}%8.6f t=$dt%6.2fs")
+    }
+    ks.foreach { k =>
+      val vals = scaledDocs(k)
+        .select(length(col("text")).cast("long").as("n_chars"))
+      val path = s"target/scale_qtile_k$k"
+      vals.write.mode("overwrite").parquet(path)
+      val in = spark.read.parquet(path)
+      val qPpm = Seq(250000L, 500000L, 750000L, 900000L, 990000L)
+      val t0 = System.nanoTime()
+      val n = graft.ext.Quantiles.quantiles(
+        graft.ext.Quantiles.histogram(in, col("n_chars"), 64L), 64L, qPpm)
+        .count()
+      val dt = (System.nanoTime() - t0) / 1e9 // capture BEFORE the row count
+      println(f"SCALE-QTFLOOR k=$k rows=${in.count()}%8d qrows=$n " +
+        f"t=$dt%6.2fs")
+    }
+
+    // BPE training depth (round-12, r11 verdict task 2): per-round
+    // cost of the full-recount training loop out to production-ish
+    // depth — env-gated (SPARK_GRAFT_BPE_DEPTH=<rounds>) because a
+    // 50-100 round run is minutes. Flat per-round cost → a 30k-merge
+    // vocabulary costs rounds × per-round (the projection PLANS.md
+    // states); a GROWING per-round cost would mean re-execution is
+    // leaking through the per-round checkpoints.
+    val depthRounds = sys.env.getOrElse("SPARK_GRAFT_BPE_DEPTH", "0").toInt
+    if (depthRounds > 0) {
+      var cur = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint()
+      val times = (1 to depthRounds).map { r =>
+        val t0 = System.nanoTime()
+        val p = graft.ext.BpeMerge.topPair(cur)
+        cur = graft.ext.BpeMerge.applyPair(cur, p).localCheckpoint()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (r <= 3 || r % 10 == 0)
+          println(f"SCALE-BPEDEPTH round=$r%3d t=$dt%6.2fs")
+        dt
+      }
+      println(f"SCALE-BPEDEPTH rounds=$depthRounds " +
+        f"total=${times.sum}%7.1fs " +
+        f"first10avg=${times.take(10).sum / math.min(10, depthRounds)}%5.2fs " +
+        f"last10avg=${times.takeRight(10).sum / math.min(10, depthRounds)}%5.2fs")
     }
     spark.stop()
   }

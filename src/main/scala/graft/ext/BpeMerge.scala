@@ -53,6 +53,27 @@ import org.apache.spark.sql.functions._
   * Pairs are packed a + U+0001 + b (U+0001 sorts below every token
   * char, so packed-string order IS (a, b) tuple order in both
   * engines); count ties break to the packed-string minimum.
+  *
+  * TRAINING AT PRODUCTION DEPTH (round-12; SCALE-BPEDEPTH receipt in
+  * PLANS.md): per-round cost is FLAT to 80 rounds under the per-round
+  * checkpointing (no O(rounds²) leak), so a 30k-merge vocabulary is
+  * 30k × per-round — viable offline at moderate corpus sizes, but at
+  * 100 TB the dominant term becomes 30k full-corpus pair RECOUNTS.
+  * The design at that scale is INCREMENTAL pair-count maintenance:
+  * merging (a, b) → ab changes only the adjacencies that touch a
+  * merge site — for a site `… x a b y …` the deltas are
+  * (x,a) −1, (b,y) −1, (a,b) −1, (x,ab) +1, (ab,y) +1 — and the
+  * rewrite job already visits exactly the documents containing
+  * (a, b), so the deltas ride as a side output of the rewrite
+  * (flatMap per merge site) and fold by key into a persisted
+  * pair-count table; the next round's argmax reads the maintained
+  * table. Round cost becomes O(occurrences of the merged pair) +
+  * a small-table upsert, independent of corpus size — the
+  * distributed analogue of the pair-index fast trainer in Sennrich's
+  * reference implementation. Not implemented here: the full-recount
+  * loop is the oracle-checkable form and the registry's demos train
+  * 3 rounds; the encode path ([[encodeFrozen]]) is already
+  * depth-independent.
   */
 object BpeMerge {
   private val sep = "\u0001"

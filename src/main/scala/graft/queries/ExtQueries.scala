@@ -1712,13 +1712,21 @@ object ExtQueries {
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("v"), x => round(x * 1024) / 1024).as("v"))
-      val corpus = spread(base.unionByName(planted))
+      // checkpoint the corpus AND the cell-assigned corpus (round-12,
+      // the r11 verdict's x58 attribution task): without the second
+      // materialization, ProjectCollapse inlines the toD/quantize
+      // ARRAY TRANSFORMS into the self-join's output, so the pairing
+      // filter re-derived both 64-element arrays PER CANDIDATE PAIR
+      // (~20M times) instead of once per row — the whole 24 s of the
+      // 29.5 s sf1 wall clock. Materialized arrays drop the query to
+      // 4.2 s (stage table in PLANS.md); same values exactly.
+      val corpus = spread(base.unionByName(planted)).localCheckpoint()
       // k∝corpus (round-11): cells scale with the data, pair work
       // stays O(n·500) — see corpusK
       val k = corpusK(corpus.count())
       val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
       val assigned = corpus.select(col("vec_id"), col("v"),
-        KMeansLite.assign(col("v"), cents).as("cell"))
+        KMeansLite.assign(col("v"), cents).as("cell")).localCheckpoint()
       val edges = assigned
         .select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
         .join(assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -1728,7 +1736,7 @@ object ExtQueries {
           >= lit(0.99))
         .select(col("id_a"), col("id_b"))
       val comp = Components.connectedComponents(
-        corpus.select(col("vec_id")), "vec_id", edges, "id_a", "id_b")
+        assigned.select(col("vec_id")), "vec_id", edges, "id_a", "id_b")
       val sizes = comp.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, "cluster_id")
