@@ -556,6 +556,41 @@ ks.foreach { k =>
         f"t=$dt%6.2fs")
     }
 
+    // Native-vs-HOF frozen encode (round-12 stretch): encodeFrozen
+    // nests k rewrite layers into the plan, so its cost has a
+    // PER-RULE plan-machinery term that grows with depth; the native
+    // BpeEncodeRules expression holds the whole rule list in one
+    // expression. Same output (token totals asserted equal here,
+    // bit-equality in RoundTwelveSpec); the curve shows where the
+    // HOF form hits the depth wall and the native form keeps the
+    // per-rule cost flat.
+    {
+      val toksDf = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint()
+      val allRules = graft.ext.BpeMerge.topPairs(toksDf, 200)
+        .orderBy(col("r")).collect()
+        .map(row => (row.getString(0), row.getString(1))).toSeq
+      Seq(3, 40, 200).foreach { r =>
+        val rules = allRules.take(r)
+        val t0 = System.nanoTime()
+        val nN = graft.ext.BpeMerge.encodeNative(toksDf, rules)
+          .agg(sum(size(col("toks")))).head().getLong(0)
+        val dtN = (System.nanoTime() - t0) / 1e9
+        // the HOF leg only to depth 40 — past that its analysis cost
+        // alone is the wall the native form exists to remove
+        val (nF, dtF) = if (r <= 40) {
+          val t1 = System.nanoTime()
+          val n = graft.ext.BpeMerge.encodeFrozen(toksDf, rules)
+            .agg(sum(size(col("toks")))).head().getLong(0)
+          (n, (System.nanoTime() - t1) / 1e9)
+        } else (nN, -1.0)
+        require(nF == nN, s"native vs frozen token totals differ at r=$r")
+        println(f"SCALE-BPENATIVE rules=$r%3d native=$dtN%6.2fs " +
+          f"frozen=$dtF%6.2fs tokens=$nN%9d")
+      }
+    }
+
     // BPE training depth (round-12, r11 verdict task 2): per-round
     // cost of the full-recount training loop out to production-ish
     // depth — env-gated (SPARK_GRAFT_BPE_DEPTH=<rounds>) because a

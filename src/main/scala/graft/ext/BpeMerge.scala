@@ -260,4 +260,20 @@ object BpeMerge {
         d.withColumn("ma", lit(a)).withColumn("mb", lit(b)),
         allowIdentical).drop("ma", "mb")
     }
+
+  /** Encode under a frozen rule list via the NATIVE single-expression
+    * form ([[org.apache.spark.sql.graft.BpeEncodeRules]]) — identical
+    * output to [[encodeFrozen]] (RoundTwelveSpec pins bit-equality),
+    * but the plan holds ONE expression regardless of rule count where
+    * encodeFrozen nests k rewrite layers: the form that stays viable
+    * at production vocabulary depth (k ≈ 30k), per the CdcBoundaries
+    * precedent. SCALE-BPENATIVE carries the A/B receipt.
+    */
+  def encodeNative(df: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn("toks", GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.BpeEncodeRules(
+        GraftExpressionBridge.expression(col("toks")), rules)))
+  }
 }

@@ -23,13 +23,20 @@ object StreamBpe {
 
   /** Tokenize + encode `textCol` under the frozen rules; adds `toks`,
     * `n_tokens`, and `tokens_md5` (the x85 fingerprint columns).
+    *
+    * Round-12: encodes via the native [[BpeMerge.encodeNative]]
+    * single-expression form — bit-identical to the HOF chain
+    * (RoundTwelveSpec) but with NO per-rule plan layer, so a
+    * production-depth vocabulary (30k rules) stays viable on the
+    * stream (SCALE-BPENATIVE: the HOF chain pays ~0.12 s/rule of plan
+    * machinery; the native form is flat). The left-greedy run rule is
+    * applied uniformly — for a ≠ b rules (everything a trainer emits
+    * under either policy) it coincides with both merge policies.
     */
   def encoded(df: DataFrame, textCol: String,
-      rules: Seq[(String, String)],
-      allowIdentical: Boolean = false): DataFrame =
-    BpeMerge.encodeFrozen(
-      df.withColumn("toks", Text.tokens(col(textCol))),
-      rules, allowIdentical)
+      rules: Seq[(String, String)]): DataFrame =
+    BpeMerge.encodeNative(
+      df.withColumn("toks", Text.tokens(col(textCol))), rules)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("tokens_md5", md5(array_join(col("toks"), " ")))
 }

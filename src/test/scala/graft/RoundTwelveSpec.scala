@@ -80,6 +80,43 @@ class RoundTwelveSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 40)
   }
 
+  test("native BpeEncodeRules == encodeFrozen bit for bit") {
+    import graft.ext.Text
+    // real corpus, trained rules — both merge policies
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    for (allowIdentical <- Seq(false, true)) {
+      val rules = BpeMerge.collectRules(
+        BpeMerge.trainPairs(docs, rounds = 3, allowIdentical))
+      val frozen = BpeMerge.encodeFrozen(docs, rules, allowIdentical)
+        .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+      val native = BpeMerge.encodeNative(docs, rules)
+        .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+      assert(native === frozen, s"allowIdentical=$allowIdentical")
+    }
+    // deeper one-pass rule table (the serve-form vocabulary)
+    val deep = BpeMerge.topPairs(docs, 25).orderBy($"r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val fDeep = BpeMerge.encodeFrozen(docs, deep)
+      .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+    val nDeep = BpeMerge.encodeNative(docs, deep)
+      .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+    assert(nDeep === fDeep)
+    // identical-halves left-greedy run rule, hand-computed
+    val runs = Seq((1L, Seq("a", "a", "a", "a", "a")),
+      (2L, Seq("x", "a", "a", "x", "a"))).toDF("doc_id", "toks")
+    val got = BpeMerge.encodeNative(runs, Seq("a" -> "a"))
+      .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+    assert(got === Map(1L -> Seq("a_a", "a_a", "a"),
+      2L -> Seq("x", "a_a", "x", "a")))
+    // empty rule list is the identity
+    val idd = BpeMerge.encodeNative(runs, Nil)
+      .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+    assert(idd === Map(1L -> Seq("a", "a", "a", "a", "a"),
+      2L -> Seq("x", "a", "a", "x", "a")))
+  }
+
   test("BpeMerge.applyPair with an empty rule frame is the identity") {
     val docs = Seq(
       (1L, Seq("a", "b", "a", "b")),
