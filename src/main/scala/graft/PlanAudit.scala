@@ -56,6 +56,16 @@ object PlanAudit {
         " bucket rows at any corpus size; the per-score cumulative" +
         " runs under the keyed per-bucket window (the x86 two-level" +
         " rank)"),
+    "x95_length_bucket_pack" ->
+      ("naive leg rides Shards.assign's bucket-offset cumsum: the" +
+        " frame is the 256 two-hex-char bucket count rows at any" +
+        " corpus size (the x86 adjudication); the bucketed leg's" +
+        " window is KEYED by length bucket"),
+    "x94_bm25" ->
+      ("both windows are bounded ranks (top-5 df query terms, top-20" +
+        " docs): each hits LimitPushDownThroughWindow ->" +
+        " TakeOrderedAndProject(k) -> Window, k<=20 rows per frame at" +
+        " any corpus size (the x79 shape)"),
     "x92_bpe_encode_serve" ->
       ("BpeMerge.topPairs rank: row_number over the checkpointed" +
         " orderBy.limit(3) rule table — the single-partition frame is" +

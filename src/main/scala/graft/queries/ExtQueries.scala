@@ -3125,6 +3125,107 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 ranked retrieval (Robertson/Sparck Jones weighting in the
+    // Lucene "+1" idf form; k1 = 1.2, b = 0.75) — the scored member of
+    // the retrieval family (x79 = conjunctive boolean, x20 = TF-IDF
+    // top terms): rank every document against the corpus's top-5-df
+    // query term set. Scoring is engineered for cross-engine
+    // bit-identity: idf = round(ln((N−df+0.5)/(df+0.5)+1), 6) — the
+    // one libm call, quantized BEFORE use (the x32 discipline); the
+    // tf/length part is an EXACT INTEGER rational — with k1 = 6/5,
+    // b = 3/4: tf·(k1+1)/(tf + k1·(1−b+b·dl·N/T)) ==
+    // 44·tf·T / (20·tf·T + 6·T + 18·dl·N) — so the only doubles are
+    // one IEEE division of exact int64s and the idf product; per-term
+    // scores land as integer micro-units and SUM ASSOCIATIVELY.
+    // (int64 headroom: 44·tf·T needs tf·T < 2^57 — at 100 TB split
+    // the corpus or drop to the log-sum form, the x78 note.)
+    // Scale shape: postings/df/doclen are keyed aggregates; the query
+    // term set is a 5-row broadcast; scoring is one doc-keyed join +
+    // narrow arithmetic; rank ≤ 20 hits LimitPushDownThroughWindow
+    // (the x40/x79 TakeOrderedAndProject shape, adjudicated).
+    "x94_bm25" -> ((s, dir) => {
+      val postings = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // read 3×: df table, doc lengths, scoring
+      val doclen = postings.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+      val totals = doclen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val dfTbl = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val wTop = Window.orderBy(col("df").desc, col("w"))
+      val qterms = dfTbl.withColumn("trnk", row_number().over(wTop))
+        .filter(col("trnk") <= 5)
+        .select(col("w"), col("df"))
+      val wRank = Window.orderBy(col("score_e6").desc, col("doc_id"))
+      postings.join(broadcast(qterms), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf6", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0), 6))
+        .withColumn("num", col("tf") * 44L * col("total_dl"))
+        .withColumn("den", col("tf") * 20L * col("total_dl")
+          + col("total_dl") * 6L + col("dl") * 18L * col("n_docs"))
+        .withColumn("sc_e6", floor(col("idf6")
+          * (col("num").cast("double") / col("den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("sc_e6")).as("score_e6"))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("doc_id"), col("n_terms"), col("score_e6"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Length-bucketed batch packing — the training-efficiency step
+    // BEFORE the shard write: fixed-size batches pad every sequence
+    // to the batch max, so batching in random order wastes
+    // (max − len) tokens per row, while batching WITHIN 64-token
+    // length buckets keeps batch members near-equal length (the
+    // standard padding-waste reduction in LLM training loaders). The
+    // query prices both strategies on the same corpus with the same
+    // seeded order — n_batches, real vs padded token totals, waste in
+    // exact ppm — so the output IS the packing audit. Determinism:
+    // the "random" order is the x86 seeded md5 rank (no rand()); all
+    // arithmetic integer. Scale shape: the naive leg rides
+    // Shards.assign's two-level rank (256-row bounded global window,
+    // adjudicated); the bucketed leg needs NO global rank at all —
+    // batches never cross a length bucket, so a keyed per-bucket
+    // window suffices (and that is exactly why loaders bucket).
+    "x95_length_bucket_pack" -> ((s, dir) => {
+      val B = 32
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint() // shared by both strategy legs
+      val naive = graft.ext.Shards.assign(
+        docs, col("doc_id"), docsPerShard = B, seed = 42)
+        .select(col("doc_id"), col("n_tokens"), col("shard").as("batch"))
+      val wB = Window.partitionBy(col("lb"))
+        .orderBy(col("skey"), col("doc_id"))
+      val bucketed = docs
+        .withColumn("lb", expr("n_tokens div 64"))
+        .withColumn("skey", graft.ext.Shards.shuffleKey(col("doc_id"), 42))
+        .withColumn("rn", row_number().over(wB).cast("long"))
+        .withColumn("batch", expr(s"lb * 1000000 + (rn - 1) div $B"))
+        .select(col("doc_id"), col("n_tokens"), col("batch"))
+      def priced(df: DataFrame, strategy: String) = df
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("rl"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("rl")).as("real_tokens"),
+          sum(col("mx") * col("n")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens")
+            .as("waste_ppm"))
+      priced(naive, "seeded_order")
+        .unionByName(priced(bucketed, "length_bucketed"))
+        .orderBy(col("strategy"))
+    }),
+
     // Z-ORDER LAYOUT WRITE (r11 verdict task 1b): x41 registers the
     // metric HARNESS — a global-ntile bucket model that quantifies
     // scan pruning on a demo — but the deployment operation is the
@@ -5655,6 +5756,86 @@ object ExtQueries {
          |FROM e_3
          |ORDER BY doc_id""".stripMargin
     },
+
+    // x94: the same BM25 arithmetic stated directly — one rounded ln,
+    // the exact integer rational, per-term floor to micro-units
+    // BEFORE the sum so both engines add the same integers.
+    "x94_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dlen),
+        |dft AS (SELECT w, count(*) AS df FROM p GROUP BY 1),
+        |qt AS (
+        |  SELECT w, df FROM (
+        |    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS trnk
+        |    FROM dft)
+        |  WHERE trnk <= 5),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(
+        |      round(ln((t.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+        |      * (CAST(p.tf * 44 * t.total_dl AS DOUBLE)
+        |         / CAST(p.tf * 20 * t.total_dl + 6 * t.total_dl
+        |                + 18 * d.dl * t.n_docs AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS sc_e6
+        |  FROM p JOIN qt q USING (w) JOIN dlen d USING (doc_id), tot t),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |    CAST(sum(sc_e6) AS BIGINT) AS score_e6
+        |  FROM sc GROUP BY 1)
+        |SELECT rnk, doc_id, n_terms, score_e6 FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+        |           AS BIGINT) AS rnk, doc_id, n_terms, score_e6
+        |  FROM agg)
+        |WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
+
+    // x95: both strategies stated directly — the naive leg as ONE
+    // global seeded rank (which the engine reproduces through the
+    // x86 two-level bucketed form), the bucketed leg as the same
+    // keyed window both engines share.
+    "x95_length_bucket_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |nv AS (
+        |  SELECT doc_id, n_tokens,
+        |    (row_number() OVER (
+        |       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |     - 1) // 32 AS batch
+        |  FROM d),
+        |bk AS (
+        |  SELECT doc_id, n_tokens,
+        |    (n_tokens // 64) * 1000000 +
+        |    (row_number() OVER (PARTITION BY n_tokens // 64
+        |       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |     - 1) // 32 AS batch
+        |  FROM d),
+        |an AS (SELECT batch, count(*) AS n, max(n_tokens) AS mx,
+        |         sum(n_tokens) AS rl FROM nv GROUP BY 1),
+        |ab AS (SELECT batch, count(*) AS n, max(n_tokens) AS mx,
+        |         sum(n_tokens) AS rl FROM bk GROUP BY 1),
+        |s AS (
+        |  SELECT 'seeded_order' AS strategy,
+        |    CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(rl) AS BIGINT) AS real_tokens,
+        |    CAST(sum(mx * n) AS BIGINT) AS padded_tokens
+        |  FROM an
+        |  UNION ALL
+        |  SELECT 'length_bucketed',
+        |    CAST(count(*) AS BIGINT), CAST(sum(rl) AS BIGINT),
+        |    CAST(sum(mx * n) AS BIGINT)
+        |  FROM ab)
+        |SELECT strategy, n_batches, real_tokens, padded_tokens,
+        |  (padded_tokens - real_tokens) * 1000000 // padded_tokens
+        |    AS waste_ppm
+        |FROM s
+        |ORDER BY strategy""".stripMargin,
 
     // x93: every row's interleaved key recomputed bit-exactly (the
     // x41 normalize/interleave arithmetic — floor-before-BIGINT
