@@ -2019,12 +2019,24 @@ object ExtQueries {
     // adjudicates for x64. Degenerate all-one-score languages make the
     // boundary class the whole language, but that cost is inherent to
     // the rank-with-tie-break SEMANTICS, not this plan.
+    //
+    // Round-12 (sf1 A/B, 4.62 → 1.93 s): toks is localCheckpoint'd —
+    // it fed vocab, the corpus total AND the per-doc score join, so
+    // the explode ran 3×; the corpus total is now a vocab-sized
+    // sum(c), not a token-table read (2.28 → 1.93); the small perDoc
+    // checkpoint collapses the histogram/bucket-join double read.
+    // Tried and rejected: forced broadcast(vocab) (flat — AQE already
+    // broadcasts it) and vocab-grain log computation (4.6 s — the
+    // crossJoin under the build side defeats the broadcast).
     "x66_ccnet_buckets" -> ((s, dir) => {
       val toks = spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(Text.tokens(col("text"))).as("token"))
+        .localCheckpoint() // read 2x: vocab, per-doc score join
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      val total = toks.agg(count(lit(1)).as("total"))
+      // corpus token total = sum of vocab counts — a vocab-sized agg,
+      // not a third read of the token table
+      val total = vocab.agg(sum(col("c")).as("total"))
       val perDoc = toks
         .join(vocab, "token")
         .crossJoin(broadcast(total))
@@ -2036,6 +2048,7 @@ object ExtQueries {
         .withColumn("avg_logp",
           round(col("sum_e6").cast("double")
             / (col("n_tokens") * 1000000L).cast("double"), 6))
+        .localCheckpoint() // feeds the histogram AND the bucket join
       // bounded-domain histogram: one row per (lang, distinct score)
       val wH = Window.partitionBy(col("lang"))
       val hist = perDoc.groupBy(col("lang"), col("avg_logp"))
