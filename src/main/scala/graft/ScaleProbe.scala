@@ -617,6 +617,66 @@ ks.foreach { k =>
         f"first10avg=${times.take(10).sum / math.min(10, depthRounds)}%5.2fs " +
         f"last10avg=${times.takeRight(10).sum / math.min(10, depthRounds)}%5.2fs")
     }
+
+    // FAST-TRAINER corpus-independence (round-12; the trainFast
+    // receipt): k EXACT-COPY corpora (ids shifted, text identical —
+    // the duplicated/boilerplate mass a web corpus actually has), the
+    // recount loop vs the incremental type-table trainer at the same
+    // depth, rule equality asserted. The recount loop re-aggregates
+    // k× the token volume EVERY round; the fast trainer pays the k×
+    // volume once (the typeTable aggregate) and then each round
+    // touches only the vocabulary-bounded type/pair tables — per-k
+    // cost should be ~flat for fast, ~linear-in-k for recount.
+    // Env-gated (SPARK_GRAFT_BPE_FAST=<rounds>).
+    // Methodology note (measured): holding the k× tokenized corpus
+    // as in-memory checkpoint blocks inflates EVERY subsequent
+    // timing at k=16 (block-manager/GC pressure — the fast loop's
+    // own inputs are bit-identical across k, yet measured 3× slower
+    // under the resident corpus), so the corpus goes to PARQUET and
+    // both trainers read from disk — which is also what a 100 TB
+    // vocabulary build actually does. Run one k per JVM for clean
+    // pairing.
+    val fastRounds = sys.env.getOrElse("SPARK_GRAFT_BPE_FAST", "0").toInt
+    if (fastRounds > 0) {
+      ks.foreach { k =>
+        val dir = s"/tmp/probe_bpefast_k$k"
+        val synth = sys.env.contains("SPARK_GRAFT_BPEFAST_SYNTH")
+        (0 until (if (synth) 1 else k)).map(c =>
+          docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .write.mode("overwrite").parquet(dir)
+        val toksDf = spark.read.parquet(dir).select(col("toks"))
+        // the ONE corpus-shaped job (typeTable aggregate) timed apart
+        // from the round loop: in production it amortizes over the
+        // full 30k-round vocabulary build
+        val t1 = System.nanoTime()
+        val types = (if (synth)
+          graft.ext.BpeMerge.typeTable(toksDf)
+            .withColumn("w", col("w") * k)
+        else graft.ext.BpeMerge.typeTable(toksDf)).localCheckpoint()
+        val dtTypes = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val fast = graft.ext.BpeMerge.collectRules(
+          graft.ext.BpeMerge.trainFast(types, fastRounds))
+        val dtFast = (System.nanoTime() - t2) / 1e9
+        val t0 = System.nanoTime()
+        val slow = graft.ext.BpeMerge.collectRules(
+          graft.ext.BpeMerge.trainPairs(toksDf, fastRounds))
+        val dtSlow = (System.nanoTime() - t0) / 1e9
+        require(fast == slow,
+          s"fast/recount rule sequences diverge at k=$k")
+        val nTypes = types.count()
+        println(f"SCALE-BPEFAST k=$k%2d docs=${k * n0}%7d " +
+          f"types=$nTypes%7d rounds=$fastRounds " +
+          f"typeagg=$dtTypes%6.2fs " +
+          f"recount=$dtSlow%7.2fs fastrounds=$dtFast%7.2fs " +
+          f"perround_recount=${dtSlow / fastRounds}%5.2fs " +
+          f"perround_fast=${dtFast / fastRounds}%5.2fs")
+      }
+    }
     spark.stop()
   }
 }

@@ -3239,6 +3239,41 @@ object ExtQueries {
         .orderBy(col("strategy"))
     }),
 
+    // BPE FAST TRAINER corpus-wide (round-12; implements the
+    // "incremental pair-count maintenance" design the r11 verdict
+    // left as missing #1): one corpus-shaped aggregate collapses the
+    // train split to its TYPE TABLE (distinct toks array ×
+    // multiplicity — vocabulary-bounded under Heaps' law), then every
+    // round runs on bounded state only: argmax off the MAINTAINED
+    // pair-count table, a narrow rewrite of just the types containing
+    // the merged pair, and an exact old-minus-new adjacency-histogram
+    // diff folded back into the counts. No per-round corpus recount
+    // anywhere. The DuckDB oracle states the full RECOUNT loop (the
+    // x85 template, one round deeper), so a green hash proves the
+    // maintained counts reproduce the recount argmax sequence —
+    // tie-breaks included — through the md5 of every document's full
+    // encoded token stream. Scale shape: training state is bounded by
+    // the content vocabulary (a duplicated corpus grows the weights,
+    // never the table — SCALE-BPEFAST measures per-round cost ~flat
+    // from sf0.1 to sf1 while the recount loop scales with the
+    // corpus); encode is the x85 narrow broadcast chain.
+    "x96_bpe_fast_train" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val rules = graft.ext.BpeMerge.trainFast(
+        graft.ext.BpeMerge.typeTable(
+          docs.filter(col("doc_id") % 10 === 0).select(col("toks"))),
+        rounds = 4)
+      graft.ext.BpeMerge.encode(docs, rules)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("tokens_md5"))
+        // narrow chain from the scan — materialize the 3-column
+        // fingerprints before the output sort (the x85 discipline)
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-ORDER LAYOUT WRITE (r11 verdict task 1b): x41 registers the
     // metric HARNESS — a global-ntile bucket model that quantifies
     // scan pruning on a demo — but the deployment operation is the
@@ -5849,6 +5884,54 @@ object ExtQueries {
         |    AS waste_ppm
         |FROM s
         |ORDER BY strategy""".stripMargin,
+
+    // x96: the oracle is the RECOUNT loop (x85's template, one round
+    // deeper) — DuckDB re-derives each round's argmax from a full
+    // pair recount of the rewritten corpus; the engine's maintained
+    // pair-count table must reproduce the same rule sequence or every
+    // downstream token stream md5 diverges.
+    "x96_bpe_fast_train" -> {
+      def rewrite(src: String, out: String, m: String): String =
+        s"""$out AS (
+           |  SELECT doc_id,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks
+           |  FROM $src, $m m)""".stripMargin
+      def pair(src: String, cur: Int): String =
+        s"""p_$cur AS (
+           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
+           |                 for i in range(1, len(toks))
+           |                 if toks[i] <> toks[i+1]]) AS ab
+           |  FROM $src),
+           |m_$cur AS (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
+           |  ORDER BY c DESC, ab LIMIT 1)""".stripMargin
+      s"""WITH t_0 AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |tr_0 AS (SELECT doc_id, toks FROM t_0 WHERE doc_id % 10 = 0),
+         |${pair("tr_0", 1)},
+         |${rewrite("tr_0", "tr_1", "m_1")},
+         |${pair("tr_1", 2)},
+         |${rewrite("tr_1", "tr_2", "m_2")},
+         |${pair("tr_2", 3)},
+         |${rewrite("tr_2", "tr_3", "m_3")},
+         |${pair("tr_3", 4)},
+         |${rewrite("t_0", "e_1", "m_1")},
+         |${rewrite("e_1", "e_2", "m_2")},
+         |${rewrite("e_2", "e_3", "m_3")},
+         |${rewrite("e_3", "e_4", "m_4")}
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
+         |FROM e_4
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // x93: every row's interleaved key recomputed bit-exactly (the
     // x41 normalize/interleave arithmetic — floor-before-BIGINT

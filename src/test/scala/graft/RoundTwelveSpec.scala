@@ -137,4 +137,67 @@ class RoundTwelveSpec extends AnyFunSuite {
       .select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
     assert(enc === Map(1L -> Seq("x"), 2L -> Seq("y")))
   }
+
+  test("trainFast rule sequence == recount trainPairs (both policies)") {
+    import graft.ext.Text
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    for (allowIdentical <- Seq(false, true)) {
+      val slow = BpeMerge.collectRules(
+        BpeMerge.trainPairs(docs, rounds = 8, allowIdentical))
+      val fast = BpeMerge.collectRules(
+        BpeMerge.trainFast(BpeMerge.typeTable(docs.select($"toks")),
+          rounds = 8, allowIdentical))
+      assert(fast === slow, s"allowIdentical=$allowIdentical")
+    }
+  }
+
+  test("trainFast: counts invariant, tie order, weights, exhaustion") {
+    // maintained counts == a fresh recount of the maintained types,
+    // after enough rounds for several delta folds
+    val corpus = Seq(
+      Seq("a", "b", "c", "a", "b"), Seq("b", "c", "a", "b", "c"),
+      Seq("a", "a", "a", "b"), Seq("c", "c", "b", "a", "b", "c"),
+      Seq("a", "b"), Seq("a", "b"), Seq("b", "c", "b", "c"))
+      .toDF("toks")
+    for (allowIdentical <- Seq(false, true)) {
+      val (_, types, counts) = BpeMerge.trainFastState(
+        BpeMerge.typeTable(corpus), rounds = 5, allowIdentical)
+      val maintained = counts.as[(String, Long)].collect().toMap
+      val recounted = BpeMerge.pairCounts(types, allowIdentical)
+        .as[(String, Long)].collect().toMap
+      assert(maintained === recounted, s"allowIdentical=$allowIdentical")
+    }
+
+    // count ties break to the packed-string minimum in BOTH trainers:
+    // (a,b) and (b,a) each occur twice; "ab" < "ba"
+    val tied = Seq(Seq("a", "b"), Seq("a", "b"),
+      Seq("b", "a"), Seq("b", "a")).toDF("toks")
+    val tiedDocs = tied.withColumn("doc_id", monotonically_increasing_id())
+    val slowTied = BpeMerge.collectRules(
+      BpeMerge.trainPairs(tiedDocs, rounds = 1))
+    val fastTied = BpeMerge.collectRules(
+      BpeMerge.trainFast(BpeMerge.typeTable(tied), rounds = 1))
+    assert(slowTied === Seq(("a", "b")))
+    assert(fastTied === slowTied)
+
+    // the type table carries multiplicities, not copies
+    val tt = BpeMerge.typeTable(
+      Seq(Seq("x", "y"), Seq("x", "y"), Seq("x", "y"), Seq("y", "x"))
+        .toDF("toks")).as[(Seq[String], Long)].collect().toMap
+    assert(tt === Map(Seq("x", "y") -> 3L, Seq("y", "x") -> 1L))
+
+    // an exhausting corpus: rules past the available merges are 0-row
+    // in both trainers and encode() under them is still the identity
+    val tiny = Seq(Seq("p", "q")).toDF("toks")
+    val tinyDocs = tiny.withColumn("doc_id", lit(1L))
+    val fastRules = BpeMerge.trainFast(
+      BpeMerge.typeTable(tiny), rounds = 3)
+    val slowRules = BpeMerge.trainPairs(tinyDocs, rounds = 3)
+    assert(fastRules.map(_.count()) === slowRules.map(_.count()))
+    val enc2 = BpeMerge.encode(tinyDocs, fastRules)
+      .select($"toks").as[Seq[String]].collect().toSeq
+    assert(enc2 === Seq(Seq("p_q")))
+  }
 }
