@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashSignature, SquaredDistance, WordShingles}
+import org.apache.spark.sql.graft.{ArrayIntersectSize, CosineSimilarity, DotProduct, MinHashSignature, SquaredDistance, WordShingles}
 import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native expressions as SQL
@@ -73,5 +73,12 @@ object GraftExtensions {
           "dot_product(a, b) - dot product of two array<double> vectors"),
         args => { arity(args, 2, "dot_product")
           DotProduct(args.head, args(1)) }),
+      (FunctionIdentifier("array_intersect_size"),
+        new ExpressionInfo(classOf[ArrayIntersectSize].getName,
+          "array_intersect_size",
+          "array_intersect_size(a, b) - size(array_intersect(a, b)) " +
+            "over array<string> without materializing the intersection"),
+        args => { arity(args, 2, "array_intersect_size")
+          ArrayIntersectSize(args.head, args(1)) }),
     )
 }

@@ -85,10 +85,31 @@ object Dedup {
   /** Exact Jaccard over two (distinct) shingle arrays. |A∪B| is computed
     * as |A|+|B|−|A∩B| — one hash probe pass instead of also
     * materializing the union array.
+    *
+    * Round-12: |A∩B| comes from the native ArrayIntersectSize
+    * expression (9th native) — size(array_intersect(a, b)) builds a
+    * per-pair hash set, ALLOCATES the intersection ArrayData, then
+    * takes its length and throws the array away; at millions of
+    * candidate pairs (x12 blocked all-pairs, the LSH verifiers) the
+    * discarded allocation is the cost. Same distinct-common count,
+    * bit-equal (RoundTwelveSpec pins it against the built-in on real
+    * shingles and null/dup fixtures).
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = intersectSize(a, b)
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Native distinct-common-element count of two array<string>
+    * columns — `size(array_intersect(a, b))` without the discarded
+    * intersection array.
+    */
+  def intersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.ArrayIntersectSize(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
   }
 
   /** Banded-LSH candidate pairs: explode each doc to its (bandIdx,

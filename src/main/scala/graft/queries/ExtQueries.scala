@@ -2155,7 +2155,7 @@ object ExtQueries {
         .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
         .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          graft.ext.Dedup.intersectSize(col("sa"), col("sb")))
         .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("inter").cast("double")
@@ -2908,7 +2908,7 @@ object ExtQueries {
         .join(docs, "doc_id")
         .withColumn("n_q", size(col("qtri")).cast("long"))
         .withColumn("n_common",
-          size(array_intersect(col("qtri"), col("tri"))).cast("long"))
+          graft.ext.Dedup.intersectSize(col("qtri"), col("tri")))
         .withColumn("containment",
           round(col("n_common").cast("double") / col("n_q").cast("double"), 4))
         .filter(col("containment") >= 0.9)

@@ -200,4 +200,46 @@ class RoundTwelveSpec extends AnyFunSuite {
       .select($"toks").as[Seq[String]].collect().toSeq
     assert(enc2 === Seq(Seq("p_q")))
   }
+
+  test("native ArrayIntersectSize == size(array_intersect) bit for bit") {
+    import graft.ext.{Dedup, Text}
+    // real shingle arrays, every cross pair of 60 docs
+    val sh = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+      .withColumn("t", Text.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      .localCheckpoint()
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        Dedup.intersectSize(col("a.s"), col("b.s")).as("native"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+          .as("builtin"))
+    assert(pairs.filter(col("native") =!= col("builtin")).count() === 0)
+    assert(pairs.count() > 1000)
+
+    // edge fixtures: duplicates in either side count once; a null
+    // element present in BOTH sides counts once; empty and disjoint
+    val f = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "b", "a", "z")),
+      (Seq[String]("a", null, "c"), Seq[String](null, "c", null)),
+      (Seq[String](null, "x"), Seq("y", "z")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "a"), Seq("a", "a", "a")),
+      (Seq("p", "q"), Seq("r", "s"))).toDF("x", "y")
+    val got = f.select(
+        Dedup.intersectSize($"x", $"y").as("native"),
+        size(array_intersect($"x", $"y")).cast("long").as("builtin"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, b) => assert(n === b) }
+    // null ARRAY input -> null, matching size(array_intersect) under
+    // the non-legacy sizeOfNull default
+    val nn = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
+      .toDF("x", "y")
+      .select(Dedup.intersectSize($"x", $"y").as("n"),
+        size(array_intersect($"x", $"y")).cast("long").as("b"))
+      .collect()(0)
+    assert(nn.isNullAt(0) && nn.isNullAt(1))
+  }
 }
