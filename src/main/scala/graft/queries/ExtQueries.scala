@@ -3274,6 +3274,109 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HYBRID RETRIEVAL — BM25 (sparse) + exact cosine (dense) fused
+    // with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009):
+    // the serving shape every retrieval deployment actually runs —
+    // two independent rankers, one rank-based fusion that needs no
+    // score calibration. Queries = the first 8 corpus docs (their own
+    // tokens as the sparse query, their own embedding as the dense
+    // query). Determinism: BM25 per-term scores in the x94 integer
+    // micro-unit recipe (idf round(·,6) before use, exact int64
+    // rational, per-term floor), cosine in the x03 floor(·1e6+0.5)
+    // units, and RRF itself in exact integer units — 10^9 div
+    // (60 + rank), integer division in BOTH engines, so the fused
+    // ordering never touches a float. Scale shape: corpus-side work
+    // is three keyed postings aggregates (shared with x94's plan) +
+    // one 8-row broadcast term set + an 8-row broadcast dense scan;
+    // per-query candidate lists are truncated to 50 BEFORE the
+    // fusion join, so the fuse is Q×50-bounded however big the
+    // corpus. At production query counts the dense leg rides the
+    // x87 IVF serve join instead of the brute scan — same fusion.
+    "x97_hybrid_rrf" -> ((s, dir) => {
+      // NO spread() and NO corpus-wide (doc_id, w) postings aggregate:
+      // doc length is size(tokens) — a narrow map off the tokenized
+      // checkpoint — and only the ≤40 query terms ever need tf/df, so
+      // the one corpus-shaped shuffle is explode → broadcast-join on
+      // the term set → a MATCHED-ROWS-ONLY aggregate, never a
+      // vocabulary-wide one. Measured par with the x94-shaped
+      // postings-checkpoint form at sf1 (2.59 vs 2.52 s, rep noise)
+      // but strictly less shuffle mass at corpus scale, so this form
+      // stays; tokenize-once checkpoint beats re-deriving toks in
+      // each leg (2.59 vs 3.29 s). Per-stage at sf1: tokenize
+      // checkpoint 1.31 s, + matched-term aggregate ≈ flat (1.29), +
+      // dense leg 0.4, scoring windows + fusion the rest (~0.9).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint() // tokenize ONCE: read by doclen, qtf, cand
+      val doclen = docs
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val totals = doclen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val wQt = Window.partitionBy(col("query_id"))
+        .orderBy(col("tf").desc, col("w"))
+      val qtf = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          explode(col("toks")).as("w"))
+        .groupBy(col("query_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .withColumn("trnk", row_number().over(wQt))
+        .filter(col("trnk") <= 5)
+        .select(col("query_id"), col("w"))
+      // candidate postings: tf of every (query term, doc) pair — the
+      // only corpus-shaped shuffle in the sparse leg, already
+      // term-filtered below the exchange; df falls out of it
+      val cand = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+        .join(broadcast(qtf.select(col("w")).distinct()), "w")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // read 2×: df table, scoring
+      val dfTbl = cand.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = qtf.join(broadcast(dfTbl), "w")
+        .select(col("query_id"), col("w"), col("df"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val sparse = cand.join(broadcast(qterms), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf6", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0), 6))
+        .withColumn("num", col("tf") * 44L * col("total_dl"))
+        .withColumn("den", col("tf") * 20L * col("total_dl")
+          + col("total_dl") * 6L + col("dl") * 18L * col("n_docs"))
+        .withColumn("sc_e6", floor(col("idf6")
+          * (col("num").cast("double") / col("den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sc_e6")).as("score_e6"))
+        .withColumn("r_sparse", row_number().over(wS).cast("long"))
+        .filter(col("r_sparse") <= 50)
+        .select(col("query_id"), col("doc_id"), col("r_sparse"))
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), toD(col("embedding")).as("qv"))
+      val wD = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_e6").desc, col("doc_id"))
+      val dense = e
+        .select(col("vec_id").as("doc_id"), toD(col("embedding")).as("cv"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos_e6",
+          floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5))
+        .withColumn("r_dense", row_number().over(wD).cast("long"))
+        .filter(col("r_dense") <= 50)
+        .select(col("query_id"), col("doc_id"), col("r_dense"))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000 div (60 + r_sparse)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + r_dense)"), lit(0L)))
+        .withColumn("rnk", row_number().over(wF).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"),
+          coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+          coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Z-ORDER LAYOUT WRITE (r11 verdict task 1b): x41 registers the
     // metric HARNESS — a global-ntile bucket model that quantifies
     // scan pruning on a demo — but the deployment operation is the
@@ -5840,6 +5943,76 @@ object ExtQueries {
         |  FROM agg)
         |WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin,
+
+    // x97: both legs stated in their proven recipes (x94's BM25
+    // integer micro-units, x03's cosine floor units), the fusion as
+    // the same exact-integer 10^9 // (60 + rank) RRF — DuckDB's `//`
+    // and Spark's `div` are both integer division on BIGINT, so a
+    // green hash proves the fused ORDERING, not just the scores.
+    "x97_hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dlen),
+         |dft AS (SELECT w, count(*) AS df FROM p GROUP BY 1),
+         |qt AS (
+         |  SELECT query_id, w, df FROM (
+         |    SELECT doc_id AS query_id, w,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY tf DESC, w) AS trnk
+         |    FROM p WHERE doc_id < 8) q JOIN dft USING (w)
+         |  WHERE trnk <= 5),
+         |sc AS (
+         |  SELECT q.query_id, p.doc_id,
+         |    CAST(floor(
+         |      round(ln((t.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+         |      * (CAST(p.tf * 44 * t.total_dl AS DOUBLE)
+         |         / CAST(p.tf * 20 * t.total_dl + 6 * t.total_dl
+         |                + 18 * d.dl * t.n_docs AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS sc_e6
+         |  FROM p JOIN qt q USING (w) JOIN dlen d USING (doc_id), tot t),
+         |sr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS r_sparse
+         |  FROM (SELECT query_id, doc_id,
+         |          CAST(sum(sc_e6) AS BIGINT) AS score_e6
+         |        FROM sc GROUP BY 1, 2)),
+         |sl AS (SELECT query_id, doc_id, r_sparse FROM sr
+         |       WHERE r_sparse <= 50),
+         |qv AS (SELECT vec_id AS query_id,
+         |         CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < 8),
+         |cvt AS (SELECT vec_id AS doc_id,
+         |          CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |ds AS (
+         |  SELECT query_id, doc_id,
+         |    floor(${cosineSql("qv", "cv")} * 1000000 + 0.5) AS cos_e6
+         |  FROM cvt, qv),
+         |dr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS r_dense
+         |  FROM ds),
+         |dl2 AS (SELECT query_id, doc_id, r_dense FROM dr
+         |        WHERE r_dense <= 50),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(coalesce(1000000000 // (60 + r_sparse), 0)
+         |       + coalesce(1000000000 // (60 + r_dense), 0) AS BIGINT)
+         |      AS rrf,
+         |    CAST(coalesce(r_sparse, 0) AS BIGINT) AS r_sparse,
+         |    CAST(coalesce(r_dense, 0) AS BIGINT) AS r_dense
+         |  FROM sl FULL JOIN dl2 USING (query_id, doc_id))
+         |SELECT query_id, rnk, doc_id, rrf, r_sparse, r_dense FROM (
+         |  SELECT query_id, doc_id, rrf, r_sparse, r_dense,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     // x95: both strategies stated directly — the naive leg as ONE
     // global seeded rank (which the engine reproduces through the

@@ -242,4 +242,41 @@ class RoundTwelveSpec extends AnyFunSuite {
       .collect()(0)
     assert(nn.isNullAt(0) && nn.isNullAt(1))
   }
+
+  test("x97 hybrid RRF: exact-integer fusion invariants") {
+    val out = graft.queries.ExtQueries
+      .queries("x97_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // 8 queries × top-10, every query fully served
+    assert(out.length === 80)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 8 && byQ.values.forall(_.length === 10))
+    out.foreach { r =>
+      val (rrf, rs, rd) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      // the emitted rrf is exactly the integer-division formula over
+      // the emitted leg ranks (0 = absent from that leg's top-50)
+      val expect = (if (rs > 0) 1000000000L / (60 + rs) else 0L) +
+        (if (rd > 0) 1000000000L / (60 + rd) else 0L)
+      assert(rrf === expect, s"row $r")
+      assert(rs >= 0 && rs <= 50 && rd >= 0 && rd <= 50)
+      assert(rs > 0 || rd > 0)
+    }
+    // per query: rnk follows (rrf desc, doc_id asc); the query doc
+    // itself is its own dense rank 1 (cosine 1.0) and fuses into the
+    // top-10. NOT asserted: self tops the SPARSE leg — BM25 length
+    // normalization can rank a shorter doc above the query doc for
+    // the query's own terms, which is correct behavior.
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to 10L))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) > b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getLong(2) < b.getLong(2)))
+      }
+      val self = sorted.filter(_.getLong(2) == q)
+      assert(self.length === 1, s"query $q: self doc not in top-10")
+      assert(self.head.getLong(5) === 1L,
+        s"query $q: self doc not dense rank 1")
+    }
+  }
 }
