@@ -556,6 +556,58 @@ ks.foreach { k =>
         f"t=$dt%6.2fs")
     }
 
+    // Hybrid-retrieval serve (round-12, the X136/X137 shape): index a
+    // k× corpus once, then serve the SAME 8 queries against every
+    // index size. Receipts per k: output stays exactly 8×top-10
+    // (leg truncation before the fuse), the sparse leg's candidate
+    // mass (matched postings rows for the query term set) grows with
+    // the corpus while the FUSED row count does not, and serve time
+    // tracks the candidate mass, never the index size. Indexes land
+    // on parquet per k (the BPEFAST probe lesson: in-memory
+    // checkpoint blocks inflate every later section's timings).
+    ks.foreach { k =>
+      val idx = s"target/scale_hybrid_k$k"
+      val sd = scaledDocs(k)
+      val se = (0 until k).map { c =>
+        Tables(spark, sfDir, "embeddings")
+          .select((col("vec_id") + c * 1000000L).as("doc_id"),
+            transform(
+              graft.ext.Similarity.toDoubleArray(col("embedding")),
+              x => x * (1.0 + c / 1000.0)).as("v"))
+      }.reduce(_ unionByName _)
+      val cents: Seq[Seq[Double]] = se.filter(col("doc_id") < 4)
+        .orderBy(col("doc_id")).select(col("v")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      graft.streaming.StreamRetrieve.buildIndex(sd, se, cents, idx)
+      val wQt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("tf").desc, col("w"))
+      val queries = sd.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("query_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .withColumn("trnk", row_number().over(wQt))
+        .filter(col("trnk") <= 5)
+        .groupBy(col("query_id"))
+        .agg(collect_list(col("w")).as("qterms"))
+        .join(se.select(col("doc_id").as("query_id"), col("v").as("qv")),
+          "query_id")
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val out = graft.streaming.StreamRetrieve.serveBatch(
+        spark, queries, idx, cents, nProbe = 2, legK = 50, topK = 10)
+        .cache()
+      val nOut = out.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nCand = spark.read.parquet(s"$idx/postings")
+        .join(broadcast(queries
+          .select(explode(col("qterms")).as("w")).distinct()), "w")
+        .count()
+      println(f"SCALE-HYBRID k=$k docs=${k * n0}%7d fused_out=$nOut%4d " +
+        f"sparse_cand=$nCand%8d t=$dt%6.2fs")
+      require(nOut == 80L, s"fused output not 8x10 at k=$k")
+      out.unpersist()
+    }
+
     // Native-vs-HOF frozen encode (round-12 stretch): encodeFrozen
     // nests k rewrite layers into the plan, so its cost has a
     // PER-RULE plan-machinery term that grows with depth; the native
