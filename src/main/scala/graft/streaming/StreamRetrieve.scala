@@ -45,6 +45,24 @@ import graft.ext.{KMeansLite, Similarity, Text}
   */
 object StreamRetrieve {
 
+  /** The df table is hash-bucketed on the term so [[updateIndex]] can
+    * rewrite exactly the buckets a batch touches (the StreamKnn /
+    * K4 dynamic-overwrite discipline) instead of the whole
+    * vocabulary.
+    */
+  val DfBuckets = 64
+
+  private[graft] def dfBucket(w: org.apache.spark.sql.Column) =
+    pmod(xxhash64(w), lit(DfBuckets.toLong)).cast("int")
+
+  /** The df buckets a document batch would touch (≤ [[DfBuckets]]
+    * values — the bounded-collect class).
+    */
+  private[graft] def dfBucketsOf(docs: DataFrame): Set[Int] =
+    docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .select(dfBucket(col("w")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
   /** Build the serving index once, offline. `docs` = (doc_id, text);
     * `vecs` = (doc_id, v: array&lt;double&gt;).
     */
@@ -61,7 +79,8 @@ object StreamRetrieve {
       .write.mode("overwrite").parquet(s"$dir/doclen")
     spark.read.parquet(s"$dir/postings")
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
+      .withColumn("b", dfBucket(col("w")))
+      .write.partitionBy("b").mode("overwrite").parquet(s"$dir/df")
     spark.read.parquet(s"$dir/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
@@ -70,9 +89,82 @@ object StreamRetrieve {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vecs")
   }
 
+  /** Fold a batch of NEW documents into the persisted index — the
+    * freshness path a real deployment needs between full rebuilds.
+    * Per-batch work is batch-shaped everywhere:
+    *  - postings / doclen / vecs APPEND (vecs into their frozen-cell
+    *    partitions — multiple files per partition is the normal
+    *    parquet layout);
+    *  - stats is maintained incrementally: the old 1-row table plus
+    *    the batch's (count, token-sum) delta — never a corpus re-agg;
+    *  - df merges the batch's per-term deltas into EXACTLY the hash
+    *    buckets the batch touches, via dynamic partition overwrite;
+    *    untouched buckets keep their files (at most [[DfBuckets]]
+    *    partitions rewritten, each vocabulary/64-bounded).
+    *
+    * Doc ids must be NEW (appending a doc_id twice double-counts it,
+    * as in any postings index — upstream dedup is x01/StreamDedup's
+    * job). This is an OFFLINE maintenance step like DailyTable's
+    * backfill: it is NOT replay-idempotent on its own, so a streaming
+    * caller wraps it behind a committed-batch manifest (the X124
+    * StreamShards discipline) rather than calling it from a bare
+    * foreachBatch.
+    */
+  def updateIndex(docs: DataFrame, vecs: DataFrame,
+      cents: Seq[Seq[Double]], dir: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val newPost = toks
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read 2×: append + df delta
+    // stats delta BEFORE the appends (exact: batch docs are new)
+    val old = spark.read.parquet(s"$dir/stats").head()
+    // coalesce: an empty update batch is a no-op, not a null sum
+    val add = toks.agg(count(lit(1)),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L))).head()
+    newPost.write.mode("append").parquet(s"$dir/postings")
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/doclen")
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0),
+        old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val delta = newPost.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .withColumn("b", dfBucket(col("w")))
+      .localCheckpoint()
+    val touched = delta.select(col("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ DfBuckets rows
+    spark.read.parquet(s"$dir/df")
+      .filter(col("b").isin(touched: _*))
+      .unionByName(delta)
+      .groupBy(col("w"), col("b")).agg(sum(col("df")).as("df"))
+      .select(col("w"), col("df"), col("b"))
+      // materialize BEFORE the write: the merge reads the same path
+      // the dynamic overwrite replaces (touched-bucket state, ≤ 1/64
+      // of the vocabulary — bounded like every checkpoint in the repo)
+      .localCheckpoint()
+      .write.partitionBy("b")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/df")
+    vecs.select(col("doc_id"), col("v"),
+        KMeansLite.assign(col("v"), cents).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/vecs")
+  }
+
   /** Score one batch of queries — (query_id, qterms: array&lt;string&gt;,
     * qv: array&lt;double&gt;) — against the persisted index. Works on a
     * batch frame; [[serve]] calls it per micro-batch.
+    *
+    * Null convention: a null/empty qterms (or a qv that is null)
+    * degrades that LEG to zero candidates — explode/posexplode of
+    * null emits no rows — so the query scores single-leg; a query
+    * null on both legs is absent from the output. The degradation is
+    * a pure function of the row, so it is identical in batch and
+    * stream (the law StreamRetrieveSpec pins).
     */
   def serveBatch(spark: SparkSession, queries: DataFrame, dir: String,
       cents: Seq[Seq[Double]], nProbe: Int, legK: Int,

@@ -96,4 +96,83 @@ class StreamRetrieveSpec extends AnyFunSuite {
         s"query $qid: dense candidate $docId outside probed cells")
     }
   }
+
+  test("incremental index maintenance == full rebuild; untouched df buckets preserved") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        Similarity.toDoubleArray(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cents: Seq[Seq[Double]] = vecs.filter(col("doc_id") < 4)
+      .orderBy(col("doc_id")).select(col("v"))
+      .as[Seq[Double]].collect().toSeq
+
+    // incremental: seed on docs < 300, then fold in two batches
+    val inc = java.nio.file.Files
+      .createTempDirectory("retrieve_idx_inc").toString
+    StreamRetrieve.buildIndex(
+      docs.filter(col("doc_id") < 300), vecs.filter(col("doc_id") < 300),
+      cents, inc)
+    Seq((300L, 400L), (400L, 100000L)).foreach { case (lo, hi) =>
+      StreamRetrieve.updateIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        vecs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        cents, inc)
+    }
+
+    // full rebuild over everything
+    val full = java.nio.file.Files
+      .createTempDirectory("retrieve_idx_full").toString
+    StreamRetrieve.buildIndex(docs, vecs, cents, full)
+
+    // state equality table by table
+    def tbl(dir: String, name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(tbl(inc, "postings", Seq("w", "doc_id", "tf"))
+      === tbl(full, "postings", Seq("w", "doc_id", "tf")))
+    assert(tbl(inc, "doclen", Seq("doc_id", "dl"))
+      === tbl(full, "doclen", Seq("doc_id", "dl")))
+    assert(tbl(inc, "stats", Seq("n_docs", "total_dl"))
+      === tbl(full, "stats", Seq("n_docs", "total_dl")))
+    assert(tbl(inc, "df", Seq("w", "df", "b"))
+      === tbl(full, "df", Seq("w", "df", "b")))
+    assert(tbl(inc, "vecs", Seq("doc_id", "cell"))
+      === tbl(full, "vecs", Seq("doc_id", "cell")))
+
+    // the serve output over the incrementally-maintained index is
+    // identical to the rebuilt one
+    val queries = Seq((0L, Seq("the", "of", "a"), cents(0)))
+      .toDF("query_id", "qterms", "qv")
+    val a = StreamRetrieve.serveBatch(spark, queries, inc, cents, 2, 20, 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = StreamRetrieve.serveBatch(spark, queries, full, cents, 2, 20, 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+
+    // touched-bucket surgery: a TINY update (one 3-term doc) must
+    // rewrite only the ≤3 df buckets its terms hash to — every other
+    // bucket's rows stay identical (the dynamic overwrite replaced
+    // only touched partitions)
+    val preDfRows = spark.read.parquet(s"$inc/df")
+      .as[(String, Long, Int)].collect().toSet
+    val tinyDocs = Seq((900000L, "zxq1 zxq2 zxq3")).toDF("doc_id", "text")
+    val tinyVecs = Seq((900000L, cents(0))).toDF("doc_id", "v")
+    StreamRetrieve.updateIndex(tinyDocs, tinyVecs, cents, inc)
+    val touched = StreamRetrieve.dfBucketsOf(tinyDocs)
+    assert(touched.size <= 3)
+    val postDfRows = spark.read.parquet(s"$inc/df")
+      .as[(String, Long, Int)].collect().toSet
+    assert(postDfRows.filterNot(r => touched.contains(r._3))
+      === preDfRows.filterNot(r => touched.contains(r._3)))
+    // the touched buckets gained exactly the three new terms at df=1
+    val newBuckets = Seq("zxq1", "zxq2", "zxq3").toDF("w")
+      .select(col("w"), StreamRetrieve.dfBucket(col("w")).as("b"))
+      .as[(String, Int)].collect().toMap
+    assert((postDfRows -- preDfRows)
+      === Set(("zxq1", 1L, newBuckets("zxq1")),
+        ("zxq2", 1L, newBuckets("zxq2")),
+        ("zxq3", 1L, newBuckets("zxq3"))))
+  }
 }
