@@ -643,6 +643,70 @@ ks.foreach { k =>
       }
     }
 
+    // x98 weighted-MinHash candidate-suppression curve — env-gated
+    // (SPARK_GRAFT_PROBE_WMH=1). Corpus per k: k×n0 docs with
+    // DISJOINT content (every token prefixed with the copy tag, so
+    // cross-copy shingles never collide) ∪ a truncated copy of each,
+    // stamped with the x98 footer. True candidate = a doc and its own
+    // stamped copy; everything else sharing only the footer is
+    // spurious. At the same 16-hash/4-band budget, the raw signature
+    // lets the footer hijack minima — spurious band candidates grow
+    // QUADRATICALLY in the stamped count. The df-cut (idfWeight's 0
+    // tier) deletes the footer from the weighted signature, so
+    // footer-only pairs share NOTHING and spurW is the md5-collision
+    // rate, i.e. 0 — at every k, with no correlation caveat.
+    //
+    // MEASURED NEGATIVE RESULT kept on record (PLANS.md round-12):
+    // the first cut of this probe demoted the footer to weight 1
+    // instead of deleting it, expecting per-band collision J_repl⁴ ≈
+    // 60× below raw. The measurement came back INVERTED (spurW 6×
+    // spurR) because per-pair J^rows analysis silently assumes
+    // independent minima: a corpus-wide shared subset has CONSTANT
+    // element hashes, so one unlucky-small footer hash captures the
+    // signature entry of most stamped docs at once (distinct-value
+    // counts per hash dropped to 29/500 on two of 16 hashes). Which
+    // leg suffers more is pure hash-luck; the only scale-safe fix is
+    // removing the shared subset from the signature — weight 0.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_WMH")) {
+      val boiler = graft.queries.ExtQueries.Boilerplate
+      ks.foreach { k =>
+        val tagged = (0 until k).map { c =>
+          docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+            array_join(transform(Text.tokens(col("text")),
+              t => concat(lit(s"k$c"), t)), " ").as("text"))
+        }.reduce(_ unionByName _)
+        val toks = Text.tokens(col("text"))
+        val stamped = tagged.select(
+          (col("doc_id") + 50000000L).as("doc_id"),
+          concat(array_join(slice(toks, lit(1), size(toks) - 3), " "),
+            lit(" " + boiler)).as("text"))
+        val corpus = tagged.unionByName(stamped)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val sh = corpus.withColumn("t", Text.tokens(col("text")))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+          .localCheckpoint() // one tokenize pass shared by both legs
+        def split(pairs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val c = pairs.cache()
+          val true_ = c.filter(col("id_b") - col("id_a") === 50000000L).count()
+          val all = c.count()
+          c.unpersist()
+          (true_, all - true_)
+        }
+        val t0 = System.nanoTime()
+        val ws = Dedup.weightedShingles(sh, "doc_id", "s").localCheckpoint()
+        val (trueW, spurW) = split(Dedup.bandedPairs(ws, "id", "exp", 16, 4))
+        val dtW = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (trueR, spurR) = split(Dedup.bandedPairs(sh, "doc_id", "s", 16, 4))
+        val dtR = (System.nanoTime() - t1) / 1e9
+        val supp = spurR.toDouble / math.max(spurW, 1L)
+        println(f"SCALE-WMH k=$k docs=${2 * k * n0}%7d " +
+          f"trueW=$trueW%5d spurW=$spurW%7d tW=$dtW%6.2fs " +
+          f"trueR=$trueR%5d spurR=$spurR%7d tR=$dtR%6.2fs supp=$supp%6.1f")
+      }
+    }
+
     // BPE training depth (round-12, r11 verdict task 2): per-round
     // cost of the full-recount training loop out to production-ish
     // depth — env-gated (SPARK_GRAFT_BPE_DEPTH=<rounds>) because a

@@ -230,4 +230,103 @@ object Dedup {
       .distinct()
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Integer idf weight ladder for weighted MinHash: rare shingles
+    * count more, ubiquitous (boilerplate) shingles count ZERO. The
+    * ladder is exact-integer on the corpus df, so both engines derive
+    * identical weights — no float idf anywhere.
+    *
+    * The 0 tier (df &gt; ubiquityCap) is load-bearing for the BANDING,
+    * not just the verdict. Measured finding (PLANS.md round-12
+    * SCALE-WMH): demoting a corpus-wide footer to weight 1 does NOT
+    * fix LSH candidate generation — the footer's element hashes are
+    * GLOBAL CONSTANTS, so whichever hash draws a small footer minimum
+    * captures the signature entry of most stamped docs simultaneously;
+    * collision events correlate across the corpus and the per-pair
+    * J^rows analysis fails (both directions: one probe run measured
+    * the weight-1 leg 6× WORSE than raw, pure hash-luck). Weight 0
+    * removes the shared subset from the signature entirely, so
+    * footer-only pairs share nothing, their band-collision probability
+    * is exactly the md5 collision rate, and the correlation argument
+    * is moot.
+    */
+  def idfWeight(df: Column, ubiquityCap: Long = 64L): Column =
+    when(df === 1, 4).when(df <= 3, 3).when(df <= 8, 2)
+      .when(df <= ubiquityCap, 1).otherwise(0)
+
+  /** Per-doc weighted shingle expansion (integer-weight consistent
+    * sampling, the classic reduction of weighted MinHash: replicate
+    * each element w times — Gollapudi &amp; Chitrapura 2006): element s
+    * with weight w becomes s~1 … s~w, so plain MinHash over the
+    * expanded set IS weighted MinHash, and plain set intersection of
+    * two expanded sets has size Σ min(w_a(s), w_b(s)) — exact weighted
+    * overlap through the same native [[intersectSize]] probe.
+    *
+    * Weights come from the corpus df of each shingle via
+    * [[idfWeight]]: one corpus-shaped aggregate (vocabulary-bounded
+    * output, partial-agg friendly) + one equi-join keyed on the
+    * shingle — both shapes that scale; expansion is ≤4× the shingle
+    * mass. Returns (id, s, exp).
+    */
+  def weightedShingles(docs: DataFrame, idCol: String,
+      shinglesCol: String, ubiquityCap: Long = 64L): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("sh"))
+    val dfTbl = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val expanded = ex.join(dfTbl, "sh")
+      .withColumn("w", idfWeight(col("df"), ubiquityCap))
+      // the df-cut: ubiquitous shingles leave the expanded set (and a
+      // doc that is ALL boilerplate leaves the weighted universe — it
+      // has nothing rare to match on, documented inner-join semantics)
+      .filter(col("w") > 0)
+      .withColumn("e", transform(sequence(lit(1), col("w")),
+        i => concat(col("sh"), lit("~"), i.cast("string"))))
+      .groupBy(col("id")).agg(flatten(collect_list(col("e"))).as("exp"))
+    docs.select(col(idCol).as("id"), col(shinglesCol).as("s"))
+      .join(expanded, "id")
+  }
+
+  /** idf-weighted near-dup pairs: banded LSH over the weighted
+    * signature, then exact weighted AND unweighted Jaccard on the
+    * candidates, in integer ppm (`1000000·Σmin div Σmax` — integer
+    * division in both engines, hash-provable).
+    *
+    * Why weight: with unweighted MinHash, a boilerplate footer shared
+    * by every document both inflates the verified Jaccard of unrelated
+    * pairs and — worse at scale — captures signature minima corpus-wide
+    * (the constants correlate; see [[idfWeight]]), so boilerplate-only
+    * pairs band-collide at QUADRATIC candidate mass in the number of
+    * stamped docs. The df-cut removes the shared subset from the
+    * signature (spurious candidates → md5-collision rate, measured 0
+    * in SCALE-WMH) and the graded ladder weights the verified Jaccard
+    * toward rare content.
+    */
+  def weightedNearDupPairs(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      thresholdPpm: Long = 250000L, ubiquityCap: Long = 64L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val keyed = weightedShingles(docs, idCol, shinglesCol, ubiquityCap)
+      .withColumn("sig", minhashSignature(col("exp"), numHashes))
+      .select(col("id"), col("s"), col("exp"),
+        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+          .as(Seq("band_idx", "band_hash")))
+    val wmin = intersectSize(col("a.exp"), col("b.exp")).cast("long")
+    val inter = intersectSize(col("a.s"), col("b.s")).cast("long")
+    keyed.as("a").hint("merge")
+      .join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        wmin.as("wmin"),
+        (size(col("a.exp")) + size(col("b.exp"))).cast("long")
+          .minus(wmin).as("wuni"),
+        inter.as("inter"),
+        (size(col("a.s")) + size(col("b.s"))).cast("long")
+          .minus(inter).as("uni"))
+      .distinct()
+      .withColumn("jw_ppm", expr("1000000 * wmin div wuni"))
+      .withColumn("j_ppm", expr("1000000 * inter div uni"))
+      .filter(col("jw_ppm") >= thresholdPpm)
+  }
 }

@@ -3407,7 +3407,173 @@ object ExtQueries {
         .repartitionByRange(col("z"), col("o_orderkey"))
         .sortWithinPartitions(col("z"), col("o_orderkey"))
     }),
+
+    // idf-WEIGHTED MinHash near-dup (integer-weight consistent
+    // sampling + df-cut): corpus = documents ∪ near-dup copies (last 3
+    // tokens dropped, a 24-token boilerplate footer appended — the
+    // mirror-site shape that breaks UNWEIGHTED MinHash: the footer is
+    // identical across all 500 copies, so its constant hashes hijack
+    // signature minima corpus-wide and unrelated copy↔copy pairs
+    // band-collide at quadratic mass). Weights are the exact-integer
+    // df ladder (df=1→4 … df>64→0: the 0 tier deletes the footer from
+    // the signature — see Dedup.idfWeight for why demotion-to-1 is NOT
+    // enough), weighted MinHash = plain MinHash over the w-replicated
+    // shingle set, and verification emits BOTH weighted and raw
+    // Jaccard in integer ppm via the native intersect-size.
+    "x98_weighted_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(
+          array_join(slice(toks, lit(1), size(toks) - 3), " "),
+          lit(" " + ExtQueries.Boilerplate)).as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      Dedup.weightedNearDupPairs(sh, "doc_id", "s",
+          numHashes = 16, bands = 4, thresholdPpm = 250000L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // DATA-RECIPE EXECUTOR — the LLM pretraining mixture pattern
+    // (GPT-3 Table 2.2 / LLaMA sampling proportions): per-source
+    // TOKEN budgets from temperature weights w ∝ share^0.7 (x51 takes
+    // doc-count quotas; a recipe is token-denominated), sources whose
+    // budget exceeds their size get REPEATED (epochs: the "Wikipedia
+    // ×4" pattern), and the final partial epoch realizes as a
+    // seeded-md5-order prefix cut at the exact cumulative-token
+    // boundary. All integer, overflow-conscious by construction:
+    // pow() runs on the BOUNDED ppm share (never the raw token count,
+    // so w_e6 ≤ 1.6e10 at any corpus size), shares normalize to ppm
+    // before multiplying, and budget×share uses the exact split
+    // multiply (b div 1e6)·s + ((b mod 1e6)·s) div 1e6 — every
+    // intermediate < 2^63 for corpora to ~9e18 tokens. Output is one
+    // row per (source, epoch): realized docs/tokens plus an exact
+    // integer fingerprint of the selected doc set (Σid, Σid²), so the
+    // hash compare pins the SELECTION, not just the counts. Scale
+    // shape: two corpus passes (token count, selection), a
+    // sources-sized plan table broadcast back, the partial-epoch
+    // cumsum under a per-source KEYED window, and the repeated-epoch
+    // explode is bounded by the token budget itself.
+    "x99_data_recipe" -> ((s, dir) => {
+      // deterministic per-source skew (size classes 1..10): the flat
+      // synthetic source sizes would make every ratio ~0.5 and no
+      // source would ever repeat; real recipes exist precisely because
+      // source sizes span orders of magnitude
+      // (sources here are doc_id % 20, so the class key must use
+      // doc_id div 20 — the within-source index — to actually thin)
+      val docs = t(s, dir, "documents")
+        .filter(expr(
+          "(doc_id div 20) % 10 < 1 + cast(substring(source, 4) as int) % 10"))
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("src_toks"))
+      val totals = bySrc.agg(sum(col("src_toks")).as("corpus_toks"))
+      val plan = bySrc.crossJoin(broadcast(totals))
+        .withColumn("ppm",
+          greatest(expr("(src_toks * 1000000) div corpus_toks"), lit(1L)))
+        .withColumn("w_e6",
+          round(round(pow(col("ppm").cast("double"), 0.7), 6) * 1e6)
+            .cast("long"))
+      val sharePlan = plan
+        .crossJoin(broadcast(plan.agg(sum(col("w_e6")).as("total_w"))))
+        .withColumn("share_ppm", expr("(w_e6 * 1000000) div total_w"))
+        .withColumn("budget", col("corpus_toks"))
+        .withColumn("target_toks", expr(
+          "(budget div 1000000) * share_ppm" +
+            " + ((budget % 1000000) * share_ppm) div 1000000"))
+        .withColumn("repeat_factor",
+          expr("(target_toks + src_toks - 1) div src_toks"))
+        .withColumn("remainder",
+          expr("target_toks - (repeat_factor - 1) * src_toks"))
+        .select(col("source"), col("src_toks"), col("share_ppm"),
+          col("target_toks"), col("repeat_factor"), col("remainder"))
+        .localCheckpoint() // sources-sized
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val partial = docs
+        .join(broadcast(sharePlan
+          .select(col("source"), col("repeat_factor"), col("remainder"))),
+          "source")
+        .withColumn("rk",
+          md5(concat(col("doc_id").cast("string"), lit("#42"))))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_toks")).over(wCum), lit(0L)))
+        .filter(col("cum_before") < col("remainder"))
+        .select(col("source"), col("repeat_factor").as("epoch"),
+          col("doc_id"), col("n_toks"))
+      val full = docs
+        .join(broadcast(sharePlan.filter(col("repeat_factor") > 1)
+          .select(col("source"), col("repeat_factor"))), "source")
+        .select(col("source"),
+          explode(sequence(lit(1L), col("repeat_factor") - 1)).as("epoch"),
+          col("doc_id"), col("n_toks"))
+      full.unionByName(partial)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("doc_id")).as("fp_sum"),
+          sum(col("doc_id") * col("doc_id")).as("fp_sq"))
+        .orderBy(col("source"), col("epoch"))
+    }),
+
+    // HARD-NEGATIVE MINING for embedding-model training (the ANCE /
+    // RocketQA denoising rule): for each anchor, positive = its
+    // nearest neighbor; negatives = later neighbors whose similarity
+    // sits at least a margin BELOW the positive's — near-ties are
+    // likely unlabeled positives (the published false-negative
+    // hazard), so they are dropped, not mined. Output = training
+    // triplets (query, pos, neg) with exact-integer scores: cosines
+    // in the x03 floor-e6 units, the margin an integer subtraction,
+    // both rank windows KEYED by query. The candidate pool truncates
+    // to top-50 BEFORE mining (bounded per anchor at any corpus
+    // size); at production corpus the pool swaps to the x87 IVF
+    // serve join — same mining logic downstream.
+    "x100_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), toD(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("cand_id"), toD(col("embedding")).as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_e6").desc, col("cand_id"))
+      val ranked = c.crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("cos_e6",
+          floor(Similarity.cosine(col("qv"), col("cv")) * 1000000 + 0.5))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("query_id"), col("cand_id"), col("cos_e6"), col("rnk"))
+        .localCheckpoint() // 16×50 rows, read twice: positives + mining
+      val pos = ranked.filter(col("rnk") === 1)
+        .select(col("query_id"), col("cand_id").as("pos_id"),
+          col("cos_e6").as("pos_e6"))
+      val wN = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_e6").desc, col("cand_id"))
+      ranked.filter(col("rnk") > 1)
+        .join(broadcast(pos), "query_id")
+        .filter(col("cos_e6") <= col("pos_e6") - 50000L)
+        .withColumn("neg_rnk", row_number().over(wN).cast("long"))
+        .filter(col("neg_rnk") <= 5)
+        .select(col("query_id"), col("pos_id"), col("pos_e6"),
+          col("neg_rnk"), col("cand_id").as("neg_id"),
+          col("cos_e6").as("neg_e6"))
+        .orderBy(col("query_id"), col("neg_rnk"))
+    }),
   )
+
+  /** Fixed 24-token boilerplate footer for the x98 corpus — the
+    * shared-across-every-copy text that weighting must demote.
+    */
+  val Boilerplate: String =
+    "all rights reserved terms of service apply contact us for more " +
+      "information subscribe to our newsletter for weekly updates see " +
+      "privacy policy and cookie settings"
 
   // ---------------------------------------------------------------- oracles
 
@@ -6250,6 +6416,161 @@ object ExtQueries {
          |    - CAST(floor(tok_offset / 512) AS BIGINT) + 1 END AS n_chunks
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    "x98_weighted_minhash" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    array_to_string(
+         |      (string_split_regex(text, '\\s+'))
+         |        [1:len(string_split_regex(text, '\\s+')) - 3], ' ')
+         |      || ' $Boilerplate'
+         |  FROM documents),
+         |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |        FROM corpus),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                   for i in range(1, len(t) - 1)]) AS s
+         |  FROM tok WHERE len(t) >= 3),
+         |ex AS (SELECT doc_id, unnest(s) AS w FROM sh),
+         |dfq AS (SELECT w, count(*) AS df FROM ex GROUP BY w),
+         |wts AS (
+         |  SELECT ex.doc_id, ex.w,
+         |    CASE WHEN df = 1 THEN 4 WHEN df <= 3 THEN 3
+         |         WHEN df <= 8 THEN 2 WHEN df <= 64 THEN 1
+         |         ELSE 0 END AS wt
+         |  FROM ex JOIN dfq USING (w)),
+         |expd AS (
+         |  SELECT doc_id,
+         |    flatten(list([w || '~' || CAST(i AS VARCHAR)
+         |                  for i in range(1, wt + 1)])) AS exp
+         |  FROM wts WHERE wt > 0 GROUP BY doc_id),
+         |sig AS (
+         |  SELECT e.doc_id, s.s, e.exp,
+         |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+         |                      CAST(1 + 8 * (h % 4) AS INT), 8)
+         |               for x in e.exp])
+         |     for h in range(0, 16)] AS g
+         |  FROM expd e JOIN sh s USING (doc_id)),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(g[4*b+1] || g[4*b+2] || g[4*b+3] || g[4*b+4]) AS bh
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(ea.exp, eb.exp)) AS wmin,
+         |    len(ea.exp) + len(eb.exp)
+         |      - len(list_intersect(ea.exp, eb.exp)) AS wuni,
+         |    len(list_intersect(sa.s, sb.s)) AS inter,
+         |    len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+         |  FROM cand
+         |  JOIN expd ea ON ea.doc_id = doc_a
+         |  JOIN expd eb ON eb.doc_id = doc_b
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, wmin, wuni, inter, uni,
+         |  1000000 * wmin // wuni AS jw_ppm,
+         |  1000000 * inter // uni AS j_ppm
+         |FROM v WHERE 1000000 * wmin // wuni >= 250000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x99_data_recipe" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |  WHERE (doc_id // 20) % 10 < 1 + CAST(substr(source, 4) AS INT) % 10),
+        |s AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(src_toks) AS BIGINT) AS corpus_toks FROM s),
+        |wts AS (
+        |  SELECT source, src_toks,
+        |    CAST(round(round(pow(CAST(greatest(
+        |      (src_toks * 1000000) // corpus_toks, 1) AS DOUBLE), 0.7), 6)
+        |      * 1e6) AS BIGINT) AS w_e6,
+        |    corpus_toks
+        |  FROM s, t),
+        |tw AS (SELECT CAST(sum(w_e6) AS BIGINT) AS total_w FROM wts),
+        |p AS (
+        |  SELECT source, src_toks,
+        |    (w_e6 * 1000000) // total_w AS share_ppm,
+        |    corpus_toks AS budget
+        |  FROM wts, tw),
+        |p2 AS (
+        |  SELECT source, src_toks, share_ppm,
+        |    (budget // 1000000) * share_ppm
+        |      + ((budget % 1000000) * share_ppm) // 1000000 AS target_toks
+        |  FROM p),
+        |p3 AS (
+        |  SELECT source, src_toks, share_ppm, target_toks,
+        |    (target_toks + src_toks - 1) // src_toks AS repeat_factor,
+        |    target_toks
+        |      - ((target_toks + src_toks - 1) // src_toks - 1) * src_toks
+        |      AS remainder
+        |  FROM p2),
+        |cum AS (
+        |  SELECT d.source, d.doc_id, d.n_toks, p3.repeat_factor,
+        |    p3.remainder,
+        |    coalesce(sum(d.n_toks) OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '#42')
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d JOIN p3 USING (source)),
+        |sel AS (
+        |  SELECT source, repeat_factor AS epoch, doc_id, n_toks
+        |  FROM cum WHERE cum_before < remainder
+        |  UNION ALL
+        |  SELECT d.source,
+        |    unnest(range(1, p3.repeat_factor)) AS epoch,
+        |    d.doc_id, d.n_toks
+        |  FROM d JOIN p3 USING (source))
+        |SELECT source, epoch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS fp_sum,
+        |  CAST(sum(doc_id * doc_id) AS BIGINT) AS fp_sq
+        |FROM sel GROUP BY source, epoch
+        |ORDER BY source, epoch""".stripMargin,
+
+    "x100_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 16),
+         |c AS (
+         |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(floor(${cosineSql("qv", "cv")} * 1000000 + 0.5) AS BIGINT)
+         |      AS cos_e6
+         |  FROM c, q WHERE cand_id <> query_id),
+         |r AS (
+         |  SELECT query_id, cand_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM sc),
+         |top AS (SELECT * FROM r WHERE rnk <= 50),
+         |pos AS (
+         |  SELECT query_id, cand_id AS pos_id, cos_e6 AS pos_e6
+         |  FROM top WHERE rnk = 1),
+         |neg AS (
+         |  SELECT t.query_id, p.pos_id, p.pos_e6,
+         |    t.cand_id AS neg_id, t.cos_e6 AS neg_e6,
+         |    CAST(row_number() OVER (PARTITION BY t.query_id
+         |      ORDER BY t.cos_e6 DESC, t.cand_id) AS BIGINT) AS neg_rnk
+         |  FROM top t JOIN pos p USING (query_id)
+         |  WHERE t.rnk > 1 AND t.cos_e6 <= p.pos_e6 - 50000)
+         |SELECT query_id, pos_id, pos_e6, neg_rnk, neg_id, neg_e6
+         |FROM neg WHERE neg_rnk <= 5
+         |ORDER BY query_id, neg_rnk""".stripMargin,
   )
 
   /** Unrolled deterministic power-iteration oracle ([[graft.ext
