@@ -153,11 +153,26 @@ object Bench {
     val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct)}")
+    // Compact values at 2 decimals and no "detail" field: at 145
+    // registered queries the 3-decimal line crossed the ~1925-byte
+    // tail budget (2000-char driver capture minus sbt's trailing
+    // [success] line) — the opening `{` would truncate away and the
+    // round would record "parsed": null, the exact rounds-1-6 failure
+    // this emission path exists to prevent. 10 ms precision is far
+    // inside the documented 2-8× rep-to-rep noise band; full 3-decimal
+    // values stay in target/bench.json. Budget check: 145 entries ×
+    // ~12 B + header ≈ 1.87 KB, asserted below so growth past the
+    // window fails loudly here instead of silently at the driver.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$shortQs,"n_failed":${failed.size},"sf":${jstr(sfDir)},"detail":${jstr(out)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$shortQs,"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    require(line.length <= 1880,
+      s"bench stdout line ${line.length} B exceeds the ~1925 B driver " +
+        "tail window (minus margin) — shrink the encoding before the " +
+        "driver records parsed:null")
     // Stop Spark BEFORE the raw write so any shutdown chatter cannot
     // land after the JSON line and push it out of the tail window.
     spark.stop()
