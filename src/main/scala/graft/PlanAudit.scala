@@ -30,6 +30,11 @@ object PlanAudit {
     "x64_token_budget_select" ->
       ("score domain <= 1e6+1 rows by ppm quantization; boundary window" +
         " sees ONE score class"),
+    "x102_quality_accept" ->
+      ("two-level rank offset window: score_ppm is value-bounded in" +
+        " [0, 1e6] and bucketed div 4096, so the single-partition" +
+        " frame is <=245 offset rows at any corpus size (the x86/x91" +
+        " shape); per-doc ranking runs under the KEYED bucket window"),
     "x69_zipf_slope" ->
       ("frequency histogram: distinct counts D <= sqrt(2N) (sum of D" +
         " distinct positive counts >= D(D+1)/2), ~4.5e6 rows at N=1e13"),

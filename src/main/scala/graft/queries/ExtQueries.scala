@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Cms, Components, Dedup, Drift, Hll, KMeansLite, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
+import graft.ext.{Bloom, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -3565,6 +3565,97 @@ object ExtQueries {
           col("cos_e6").as("neg_e6"))
         .orderBy(col("query_id"), col("neg_rnk"))
     }),
+
+    // MODEL-BASED QUALITY FILTERING — multinomial Naive Bayes (the
+    // GPT-3 / PaLM quality-classifier pattern: train a cheap linear
+    // classifier on a curated positive set, score the corpus, gate on
+    // the log-odds sign). Train on the doc_id%3==0 split, score the
+    // HELD-OUT docs. The synthetic corpus has class-independent token
+    // frequencies, so the fixture plants the signal the classifier
+    // must LEARN from counts, never told: even-id English docs swap
+    // two common tokens for class-specific variants ('data'→'datum',
+    // 'table'→'tbl') — the learned llr table has to discover the
+    // variants as positive indicators and their originals as negative
+    // ones (NbQualitySpec pins exactly that, plus hand-computed model
+    // weights on a fixture). Model weights are the x44 quantized-ln
+    // integer lift, so the LEARNED MODEL and every score hash-prove
+    // cross-engine. Scale shape: ext/NaiveBayes — one corpus explode
+    // into a vocabulary-bounded count aggregate (map-side combine, the
+    // x96 type-table posture), the vocabulary-sized model joined back
+    // onto the held-out token stream, one per-doc hash agg.
+    "x101_nb_quality" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("t0", Text.tokens(col("text")))
+        .withColumn("t",
+          when((col("label") === 1L) && (col("doc_id") % 2 === 0),
+            expr("transform(t0, x -> CASE WHEN x = 'data' THEN 'datum' " +
+              "WHEN x = 'table' THEN 'tbl' ELSE x END)"))
+            .otherwise(col("t0")))
+        .select(col("doc_id"), col("label"), col("t"))
+      val trainSet = docs.filter(col("doc_id") % 3 === 0)
+      val holdout = docs.filter(col("doc_id") % 3 =!= 0)
+      val (model, consts) = NaiveBayes.train(trainSet, "t", "label")
+      NaiveBayes.score(holdout, Seq("doc_id", "label"), "t", model, consts)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CLASSIFIER-GATED ACCEPTANCE SAMPLING — the GPT-3 document-
+    // retention rule (Appendix A: keep iff score > 1 − Pareto(α=9)
+    // draw), determinized: low-quality docs still survive occasionally
+    // (distribution coverage) while high-quality docs almost surely
+    // stay; expected retention ≈ (1 − 2⁻⁸)/8 ≈ 12.4% of the corpus.
+    // Quality score = distinct-token ratio in ppm (the x57 metric;
+    // at production the x101 classifier score drops in unchanged),
+    // normalized to a ppm PERCENTILE RANK via the x86/x91 two-level
+    // rank — score_ppm is value-bounded in [0, 1e6], so 4096-wide
+    // buckets cap the offset table at ≤245 rows and nothing
+    // corpus-sized ever crosses one partition. The Pareto draw is
+    // md5-seeded and quantized (round(pow(·), 6) BEFORE the integer
+    // lift — the x99 pow discipline), so the kept SET is
+    // hash-provable. Output is row-per-doc with the full audit trail
+    // (u, draw, rank) — the sampling decision is replayable.
+    "x102_quality_accept" -> ((s, dir) => {
+      val scored = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("n_toks", size(col("t")).cast("long"))
+        .filter(col("n_toks") > 0)
+        .withColumn("score_ppm",
+          expr("CAST(size(array_distinct(t)) AS BIGINT) * 1000000" +
+            " div n_toks"))
+        .select(col("doc_id"), col("score_ppm"))
+        .withColumn("b", expr("score_ppm div 4096"))
+      val totals = scored.agg(count(lit(1)).as("n_total"))
+      val offs = scored.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val wO = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = offs
+        .withColumn("off", coalesce(sum(col("cnt")).over(wO), lit(0L)))
+        .select(col("b"), col("off"))
+      val wB = Window.partitionBy(col("b"))
+        .orderBy(col("score_ppm"), col("doc_id"))
+      scored
+        .join(broadcast(offsets), "b")
+        .crossJoin(broadcast(totals))
+        .withColumn("rnk", col("off") + row_number().over(wB).cast("long"))
+        .withColumn("rank_ppm",
+          expr("((rnk - 1) * 1000000) div greatest(n_total - 1, 1)"))
+        .withColumn("u_ppm",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || " +
+            "'#acc'), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+        // the exponent must be a SCALA double (-1.0/9.0): in Spark SQL
+        // text that literal division is DECIMAL(.,6) arithmetic, and a
+        // -0.111111 exponent undershoots every draw by ~1.3e-7
+        // relative — enough to flip the 6th decimal on 14% of rows
+        .withColumn("pareto_e6",
+          round(round(
+            pow(lit(1.0) - col("u_ppm").cast("double") / 1000000.0,
+              -1.0 / 9.0) - lit(1.0), 6) * 1e6).cast("long"))
+        .withColumn("keep", col("rank_ppm") + col("pareto_e6") > 1000000L)
+        .select(col("doc_id"), col("score_ppm"), col("rnk"),
+          col("rank_ppm"), col("u_ppm"), col("pareto_e6"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -6571,6 +6662,102 @@ object ExtQueries {
          |SELECT query_id, pos_id, pos_e6, neg_rnk, neg_id, neg_e6
          |FROM neg WHERE neg_rnk <= 5
          |ORDER BY query_id, neg_rnk""".stripMargin,
+
+    // x101: the same split / planted-swap / add-one-smoothed counts /
+    // quantized-ln model; the hash compare therefore pins the LEARNED
+    // WEIGHTS (through every holdout doc's integer score), not just
+    // the predictions.
+    "x101_nb_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS label,
+        |    CASE WHEN lang = 'en' AND doc_id % 2 = 0
+        |      THEN list_transform(string_split_regex(text, '\s+'),
+        |        x -> CASE WHEN x = 'data' THEN 'datum'
+        |                  WHEN x = 'table' THEN 'tbl' ELSE x END)
+        |      ELSE string_split_regex(text, '\s+') END AS t
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+        |ho AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |tok AS (SELECT label, unnest(t) AS token FROM tr),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(label) AS c_pos, sum(1 - label) AS c_neg
+        |  FROM tok GROUP BY token),
+        |tot AS (
+        |  SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+        |    count(*) AS v
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT
+        |    CAST(round(round(ln((sum(label) + 1.0)
+        |      / (sum(1 - label) + 1.0)), 6) * 1e6) AS BIGINT)
+        |      AS prior_e6
+        |  FROM tr),
+        |model AS (
+        |  SELECT token,
+        |    CAST(round(round(ln((c_pos + 1.0) * (n_neg + v)
+        |      / ((c_neg + 1.0) * (n_pos + v))), 6) * 1e6) AS BIGINT)
+        |      AS llr_e6
+        |  FROM cnt, tot),
+        |unseen AS (
+        |  SELECT CAST(round(round(ln(CAST(n_neg + v AS DOUBLE)
+        |      / CAST(n_pos + v AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |      AS unseen_e6
+        |  FROM tot),
+        |htok AS (SELECT doc_id, label, unnest(t) AS token FROM ho),
+        |sc AS (
+        |  SELECT h.doc_id, h.label,
+        |    CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(coalesce(m.llr_e6, u.unseen_e6)) AS BIGINT) AS s
+        |  FROM htok h LEFT JOIN model m USING (token), unseen u
+        |  GROUP BY h.doc_id, h.label)
+        |SELECT doc_id, label, n_toks,
+        |  CAST(p.prior_e6 + s AS BIGINT) AS score_e6,
+        |  (p.prior_e6 + s) > 0 AS pred
+        |FROM sc, pri p
+        |ORDER BY doc_id""".stripMargin,
+
+    // x102: same distinct-ratio score, a plain global rank (the oracle
+    // may sort the corpus; the engine's two-level rank must agree),
+    // the same 8-hex md5 uniform and quantized Pareto draw.
+    "x102_quality_accept" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+        |      // CAST(len(t) AS BIGINT) AS score_ppm
+        |  FROM d WHERE len(t) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM s),
+        |r AS (
+        |  SELECT doc_id, score_ppm,
+        |    CAST(row_number() OVER (ORDER BY score_ppm, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM s),
+        |u AS (
+        |  SELECT doc_id, score_ppm, rnk,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR) || '#acc'),
+        |                       i, 1)) - 1)
+        |                    * CAST(pow(16, 8 - i) AS BIGINT)
+        |                    for i in range(1, 9)]) AS BIGINT) % 1000000
+        |      AS u_ppm
+        |  FROM r),
+        |g AS (
+        |  SELECT doc_id, score_ppm, rnk,
+        |    ((rnk - 1) * 1000000) // greatest(n_total - 1, 1)
+        |      AS rank_ppm,
+        |    u_ppm,
+        |    CAST(round(round(pow(1.0 - CAST(u_ppm AS DOUBLE) / 1000000.0,
+        |      -1.0/9.0) - 1.0, 6) * 1e6) AS BIGINT) AS pareto_e6
+        |  FROM u, n)
+        |SELECT doc_id, score_ppm, rnk, rank_ppm, u_ppm, pareto_e6,
+        |  (rank_ppm + pareto_e6) > 1000000 AS keep
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Unrolled deterministic power-iteration oracle ([[graft.ext
