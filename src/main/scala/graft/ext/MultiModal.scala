@@ -108,10 +108,13 @@ object MultiModal {
     * `thumb`. Uncompressed RIFF/AVI payloads take the REAL video path:
     * decoded frames, mean Rec.709 luma ACROSS frames as `brightness`,
     * the true frame count as `n_frames`, and an every-2nd-frame
-    * temporal sample re-encoded as valid AVI in `thumb`. Anything all
-    * three decoders reject (codec-requiring formats, malformed
-    * payloads) falls back to the documented stub — a bad payload must
-    * degrade, never fail the task.
+    * temporal sample re-encoded as valid AVI in `thumb`. PNG payloads
+    * (8-bit gray/RGB/RGBA, non-interlaced) take the same image path
+    * through the pure-JVM [[Png]] codec — a genuinely COMPRESSED
+    * format decoded for real, thumb re-encoded as PNG. Anything all
+    * four decoders reject (remaining codec-requiring formats,
+    * malformed payloads) falls back to the documented stub — a bad
+    * payload must degrade, never fail the task.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -124,21 +127,30 @@ object MultiModal {
               math.max(1, img.width / 2), math.max(1, img.height / 2))
             MediaFeatures(r.doc_id, r.content.length.toLong,
               checksum(r.content), Ppm.meanLuma(img), 1, Ppm.encode(thumb))
-          case None => Wav.decode(r.content) match {
-            case Some(clip) =>
+          case None => Png.decode(r.content) match {
+            // PNG: the COMPRESSED image path (pure-JVM inflate) — same
+            // raster operators as P6, thumbnail re-encoded as PNG
+            case Some(img) =>
+              val thumb = Ppm.resize(img,
+                math.max(1, img.width / 2), math.max(1, img.height / 2))
               MediaFeatures(r.doc_id, r.content.length.toLong,
-                checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
-                clip.channels, Wav.encode(Wav.downsample(clip, 2)))
-            case None => Avi.decode(r.content) match {
-              case Some(vid) =>
+                checksum(r.content), Ppm.meanLuma(img), 1, Png.encode(thumb))
+            case None => Wav.decode(r.content) match {
+              case Some(clip) =>
                 MediaFeatures(r.doc_id, r.content.length.toLong,
-                  checksum(r.content), Avi.meanLuma(vid), vid.nFrames,
-                  Avi.encode(Avi.frameSample(vid, 2)))
-              case None =>
-                val (ck, brightness) = decodeStub(r.content)
-                val frames = 1 + (r.content.length % 4) // stub "frame sample" count
-                MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
-                  frames, resizeStub(r.content, 4))
+                  checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
+                  clip.channels, Wav.encode(Wav.downsample(clip, 2)))
+              case None => Avi.decode(r.content) match {
+                case Some(vid) =>
+                  MediaFeatures(r.doc_id, r.content.length.toLong,
+                    checksum(r.content), Avi.meanLuma(vid), vid.nFrames,
+                    Avi.encode(Avi.frameSample(vid, 2)))
+                case None =>
+                  val (ck, brightness) = decodeStub(r.content)
+                  val frames = 1 + (r.content.length % 4) // stub "frame sample" count
+                  MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
+                    frames, resizeStub(r.content, 4))
+              }
             }
           }
         }
