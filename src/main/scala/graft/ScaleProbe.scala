@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Text}
+import graft.ext.{Components, Dedup, NaiveBayes, Text}
 
 /** Scaling probe (dev utility): multiply the documents corpus k× (id-
   * shifted copies with a per-copy token rotation so copies are NOT
@@ -640,6 +640,39 @@ ks.foreach { k =>
         require(nF == nN, s"native vs frozen token totals differ at r=$r")
         println(f"SCALE-BPENATIVE rules=$r%3d native=$dtN%6.2fs " +
           f"frozen=$dtF%6.2fs tokens=$nN%9d")
+      }
+    }
+
+    // x101 Naive Bayes training-state/serve curve — env-gated
+    // (SPARK_GRAFT_PROBE_NB=1). The two claims that matter at 100 TB,
+    // measured: (1) TRAINING STATE IS VOCABULARY-BOUNDED — the k×
+    // corpus (token-rotated copies: more text, same type inventory,
+    // the Heaps-plateau regime a saturated natural corpus reaches)
+    // trains through a model whose row count stays CONSTANT while the
+    // corpus-shaped count pass grows with k; (2) SERVING IS LINEAR
+    // WITH CONSTANT MODEL — the frozen narrow-map scorer re-scores
+    // the k× corpus with the same map literal, no per-k model cost.
+    // Labels are id-parity (cost curve only — model content is
+    // irrelevant to the shape).
+    if (sys.env.contains("SPARK_GRAFT_PROBE_NB")) {
+      ks.foreach { k =>
+        val corpus = scaledDocs(k)
+          .withColumn("label", (col("doc_id") % 2 === 0).cast("long"))
+          .withColumn("t", Text.tokens(col("text")))
+          .select(col("doc_id"), col("label"), col("t"))
+          .localCheckpoint() // tokenize once, off both timed paths
+        val t0 = System.nanoTime()
+        val (model, consts) = NaiveBayes.train(corpus, "t", "label")
+        val frozen = graft.streaming.StreamNb.freeze(model, consts)
+        val dtTrain = (System.nanoTime() - t0) / 1e9
+        val vocab = frozen.llr.size
+        val t1 = System.nanoTime()
+        val nPos = graft.streaming.StreamNb.score(corpus, col("t"), frozen)
+          .agg(sum(when(col("pred"), 1L).otherwise(0L)).as("p"))
+          .head().getLong(0)
+        val dtScore = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-NB k=$k docs=${k * n0}%7d vocab=$vocab%6d " +
+          f"train=$dtTrain%6.2fs score=$dtScore%6.2fs npos=$nPos")
       }
     }
 

@@ -3656,6 +3656,43 @@ object ExtQueries {
           col("rank_ppm"), col("u_ppm"), col("pareto_e6"), col("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // TOKENIZER FERTILITY AUDIT — per-language tokens-per-character
+    // under a frozen BPE vocabulary (the published tokenizer-fairness
+    // question: a vocabulary trained on one language mix "charges"
+    // other languages more tokens per character, inflating their
+    // effective sequence length and training cost). Rules trained on
+    // the 10% sample (x92's serve recipe verbatim), applied
+    // corpus-wide, then ONE language-keyed aggregate: fertility =
+    // encoded tokens per character and compression vs the whitespace
+    // baseline, both in exact integer ppm. Scale shape: the x92
+    // encode (3 bounded rule broadcasts + narrow rewrites) + a
+    // languages-sized aggregate — nothing new shuffles.
+    "x103_tokenizer_fertility" -> ((s, dir) => {
+      import graft.ext.BpeMerge
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("n_chars"))
+      val rules = BpeMerge.topPairs(
+        docs.filter(col("doc_id") % 10 === 0), k = 3).localCheckpoint()
+      val pairs = (1 to 3).map(i =>
+        rules.filter(col("r") === i).select(col("ma"), col("mb")))
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("ws_tokens"))
+      BpeMerge.encode(docs, pairs)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("bpe_tokens"))
+        .join(base, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(bpe_tokens * 1000000) div chars"))
+        .withColumn("compression_ppm",
+          expr("(bpe_tokens * 1000000) div ws_tokens"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -6758,6 +6795,65 @@ object ExtQueries {
         |  (rank_ppm + pareto_e6) > 1000000 AS keep
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // x103: the x92 train/encode template (same sample, same 3 rules,
+    // same rewrite chain), then the per-language fertility aggregate
+    // in the same integer ppm.
+    "x103_tokenizer_fertility" -> {
+      def rewrite(src: String, out: String, m: String): String =
+        s"""$out AS (
+           |  SELECT doc_id,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks
+           |  FROM $src, $m m)""".stripMargin
+      def rule(r: Int): String =
+        s"""m_$r AS (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM rk WHERE r = $r)""".stripMargin
+      s"""WITH t_0 AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |pc AS (
+         |  SELECT ab, count(*) AS c FROM (
+         |    SELECT unnest([toks[i] || chr(1) || toks[i+1]
+         |                   for i in range(1, len(toks))
+         |                   if toks[i] <> toks[i+1]]) AS ab
+         |    FROM t_0 WHERE doc_id % 10 = 0)
+         |  GROUP BY ab),
+         |rk AS (
+         |  SELECT ab, row_number() OVER (ORDER BY c DESC, ab) AS r
+         |  FROM pc),
+         |${rule(1)},
+         |${rule(2)},
+         |${rule(3)},
+         |${rewrite("t_0", "e_1", "m_1")},
+         |${rewrite("e_1", "e_2", "m_2")},
+         |${rewrite("e_2", "e_3", "m_3")},
+         |base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(toks) AS BIGINT) AS ws_tokens
+         |  FROM t_0),
+         |agg AS (
+         |  SELECT b.lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(b.n_chars) AS BIGINT) AS chars,
+         |    CAST(sum(b.ws_tokens) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(len(e.toks)) AS BIGINT) AS bpe_tokens
+         |  FROM e_3 e JOIN base b USING (doc_id)
+         |  GROUP BY b.lang)
+         |SELECT lang, n_docs, chars, ws_tokens, bpe_tokens,
+         |  (bpe_tokens * 1000000) // chars AS fertility_ppm,
+         |  (bpe_tokens * 1000000) // ws_tokens AS compression_ppm
+         |FROM agg
+         |ORDER BY lang""".stripMargin
+    },
   )
 
   /** Unrolled deterministic power-iteration oracle ([[graft.ext
