@@ -53,6 +53,31 @@ object StreamGate {
         .drop("bloom_hit"),
       textCol, rules)
 
+  /** The gate with the model-based quality stage at the head (x83's
+    * stage-1 position): NB quality score → frozen-CDF Pareto
+    * acceptance → dedup → decontaminate → encode. Both added stages
+    * are pure narrow maps ([[StreamNb]]/[[StreamAccept]]), so the
+    * composition's properties are unchanged — ONE stateful stage,
+    * content identity across batching — and the quality gate being a
+    * deterministic row-level filter at the head means the output
+    * equals [[transform]] run over the accepted subset (the property
+    * StreamGateSpec pins through the batch twin).
+    */
+  def transformQuality(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, nb: StreamNb.Frozen,
+      cdf: StreamAccept.FrozenCdf, bloomBytes: Array[Byte],
+      rules: Seq[(String, String)]): DataFrame = {
+    val kept = StreamAccept.gate(
+      StreamNb.score(
+        docs.withColumn("__qt", graft.ext.Text.tokens(col(textCol))),
+        col("__qt"), nb),
+      col(idCol), col("score_e6"), cdf)
+      .filter(col("keep"))
+      .drop("__qt", "n_toks", "score_e6", "pred", "rank_ppm", "u_ppm",
+        "pareto_e6", "keep")
+    transform(kept, textCol, tsCol, watermark, bloomBytes, rules)
+  }
+
   /** Start the full gate: [[transform]] feeding the manifest-committed
     * shard sink, one streaming query end to end.
     */

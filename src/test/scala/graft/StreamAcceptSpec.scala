@@ -86,6 +86,65 @@ class StreamAcceptSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality-headed full gate == batch chain over the union") {
+    // the six-stage composition: NB score → CDF accept → dedup →
+    // bloom → encode, streamed in two batches, against the batch twin
+    val base = Tables(spark, dir, "documents")
+      .withColumn("t", Text.tokens(col("text")))
+      .select(col("doc_id"), col("text"), col("t"))
+    val (model, consts) = NaiveBayes.train(
+      base.filter(col("doc_id") % 3 === 0)
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("long")),
+      "t", "label")
+    val nb = StreamNb.freeze(model, consts)
+    val cdf = StreamAccept.freeze(
+      StreamNb.score(base.filter(col("doc_id") % 3 === 0), col("t"), nb),
+      col("score_e6"))
+    val holdout = base.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val blockTexts = holdout.orderBy(col("doc_id")).limit(2)
+      .select(col("text")).as[String].collect().toSeq
+    val bytes = graft.streaming.StreamBloom.filterBytes(
+      blockTexts.toDF("text"), md5(col("text")), 100L, 0.001)
+    val rules = Seq("the" -> "a")
+    val sample = holdout.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (b1, b2) = sample.splitAt(sample.length / 2)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    val q = graft.streaming.StreamGate.transformQuality(
+        stream, "doc_id", "text", "ts", "1 hour", nb, cdf, bytes, rules)
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("toks_md5"))
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: same frozen gate as a row filter, first-arrival
+    // dedup (= min doc_id: batches arrived in id order), blocklist,
+    // frozen encode
+    val accepted = StreamAccept.gate(
+        StreamNb.score(holdout.withColumn("t", Text.tokens(col("text"))),
+          col("t"), nb),
+        col("doc_id"), col("score_e6"), cdf)
+      .filter(col("keep"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val expect = graft.ext.BpeMerge.encodeFrozen(
+        accepted.withColumn("rn", row_number().over(wD))
+          .filter(col("rn") === 1)
+          .filter(!col("text").isin(blockTexts: _*))
+          .withColumn("toks", Text.tokens(col("text"))), rules)
+      .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("m"))
+      .as[(Long, String)].collect().toSet
+    val got = spark.table("qgate_out").as[(Long, String)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < sample.size) // the gate binds
+  }
+
   test("serving composition: NB score then acceptance gate, one stream") {
     val docs = Tables(spark, dir, "documents")
       .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
