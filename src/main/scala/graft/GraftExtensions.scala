@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{ArrayIntersectSize, CosineSimilarity, DotProduct, MinHashSignature, SquaredDistance, WordShingles}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.graft.{ArrayIntersectSize, CosineSimilarity, DotProduct, MinHashSignature, SquaredDistance, UnicodeNormalize, WordShingles}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so the engine's extension surface is reachable from the
@@ -43,6 +44,13 @@ object GraftExtensions {
   private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
     require(args.length == n, s"$fn takes exactly $n arguments, got ${args.length}")
 
+  private def strArg(args: Seq[Expression], pos: Int, fn: String): String =
+    args(pos) match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a STRING literal, got $other")
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"),
@@ -80,5 +88,12 @@ object GraftExtensions {
             "over array<string> without materializing the intersection"),
         args => { arity(args, 2, "array_intersect_size")
           ArrayIntersectSize(args.head, args(1)) }),
+      (FunctionIdentifier("unicode_normalize"),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName,
+          "unicode_normalize",
+          "unicode_normalize(s, form) - Unicode-normalize a string; form " +
+            "must be a STRING literal in {'NFC','NFD','NFKC','NFKD'}"),
+        args => { arity(args, 2, "unicode_normalize")
+          UnicodeNormalize(args.head, strArg(args, 1, "unicode_normalize")) }),
     )
 }

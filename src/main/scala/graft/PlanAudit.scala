@@ -30,6 +30,13 @@ object PlanAudit {
     "x64_token_budget_select" ->
       ("score domain <= 1e6+1 rows by ppm quantization; boundary window" +
         " sees ONE score class"),
+    "x106_bradley_terry" ->
+      ("leaderboard rank over the ITEM catalog (compared" +
+        " models/annotators/sources, a bounded entity set orders of" +
+        " magnitude below corpus scale); the corpus-shaped judgment" +
+        " stream is aggregated into the items^2-bounded pair table" +
+        " before any window, so the single-partition frame is" +
+        " items-sized at any judgment volume"),
     "x102_quality_accept" ->
       ("two-level rank offset window: score_ppm is value-bounded in" +
         " [0, 1e6] and bucketed div 4096, so the single-partition" +

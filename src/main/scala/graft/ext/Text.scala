@@ -38,6 +38,17 @@ object Text {
       org.apache.spark.sql.graft.WordShingles(
         org.apache.spark.sql.GraftExpressionBridge.expression(toks), n))
 
+  /** Unicode normalization (UAX #15) via the native expression
+    * ([[org.apache.spark.sql.graft.UnicodeNormalize]]) — Spark ships no
+    * built-in; web text mixes composed and decomposed grapheme forms,
+    * which fractionates exact dedup and token counts unless normalized
+    * first. `form` ∈ {NFC, NFD, NFKC, NFKD}.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.UnicodeNormalize(
+        org.apache.spark.sql.GraftExpressionBridge.expression(text), form))
+
   /** Pure-HOF reference formulation of [[wordShingles]] — kept for the
     * ExtSpec equivalence assertion.
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
+import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -3693,6 +3693,227 @@ object ExtQueries {
           expr("(bpe_tokens * 1000000) div ws_tokens"))
         .orderBy(col("lang"))
     }),
+
+    // UNICODE NORMALIZATION + FORMAT-CHAR CLEANUP — the first step of
+    // every published text pipeline: web text mixes composed and
+    // decomposed grapheme forms ("é" vs "e"+U+0301) and carries
+    // invisible format characters (ZWSP, soft hyphen), which
+    // fractionate exact dedup, shingles and token counts. Spark has no
+    // built-in normalizer, so this is the 10th native expression
+    // (UnicodeNormalize — JDK UAX #15, byte-identical to DuckDB's
+    // utf8proc nfc_normalize). The corpus is ASCII, so the fixture
+    // DIRTIES it first with the decomposed/format forms the operator
+    // must repair (every 'a' → 'a'+COMBINING ACUTE, every 'e' →
+    // 'e'+ZWSP), identically in both engines. Scale shape: a pure
+    // narrow map — no shuffle, no state; the only exchange is the
+    // output sort.
+    "x104_unicode_normalize" -> ((s, dir) => {
+      val dirty = spread(t(s, dir, "documents"))
+        .withColumn("dirty", regexp_replace(
+          regexp_replace(col("text"), "a", "a\u0301"), "e", "e\u200B"))
+      dirty
+        .withColumn("nfc", Text.unicodeNormalize(col("dirty"), "NFC"))
+        .withColumn("clean",
+          regexp_replace(col("nfc"), "[\u200B\u00AD]", ""))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("n_dirty"),
+          length(col("nfc")).cast("long").as("n_nfc"),
+          length(col("clean")).cast("long").as("n_clean"),
+          (length(col("dirty")) - length(col("nfc"))).cast("long")
+            .as("n_composed"),
+          md5(col("clean").cast("binary")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CLASSIFIER CALIBRATION (ECE) — the reliability diagram + expected
+    // calibration error of the x101 quality classifier (Guo et al.
+    // 2017's evaluation: a filter gating on p>τ needs p to MEAN its
+    // confidence). Same train/score split and planted fixture as x101;
+    // scores map to probabilities via a quantized sigmoid (round(·,6)
+    // BEFORE the integer lift — the x44 libm discipline), then 10
+    // equal-width probability bins. All calibration arithmetic is
+    // EXACT integer: per-bin gap n_b·|acc−conf| in e6 units is
+    // |n_pos·1e6 − Σp_e6| (two integer sums), and ECE_e6 = Σ gaps div
+    // N — no float means, so the hash pins the entire diagram. Scale
+    // shape: x101's vocabulary-bounded train + linear score, then ONE
+    // 10-row aggregate; the ECE constant rides a 1-row broadcast (the
+    // standing BNLJ scalar shape).
+    "x105_calibration_ece" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("t0", Text.tokens(col("text")))
+        .withColumn("t",
+          when((col("label") === 1L) && (col("doc_id") % 2 === 0),
+            expr("transform(t0, x -> CASE WHEN x = 'data' THEN 'datum' " +
+              "WHEN x = 'table' THEN 'tbl' ELSE x END)"))
+            .otherwise(col("t0")))
+        .select(col("doc_id"), col("label"), col("t"))
+      val trainSet = docs.filter(col("doc_id") % 3 === 0)
+      val holdout = docs.filter(col("doc_id") % 3 =!= 0)
+      val (model, consts) = NaiveBayes.train(trainSet, "t", "label")
+      val bins = NaiveBayes
+        .score(holdout, Seq("doc_id", "label"), "t", model, consts)
+        .withColumn("p_e6", round(round(
+          lit(1.0) / (lit(1.0) + exp(-col("score_e6").cast("double") / 1e6)),
+          6) * 1e6).cast("long"))
+        .withColumn("bin", least(expr("p_e6 div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          sum(col("p_e6")).as("sum_p_e6"))
+        .withColumn("gap_e6n",
+          abs(col("n_pos") * 1000000L - col("sum_p_e6")))
+      val tot = bins.agg(sum(col("n")).as("n_total"),
+        sum(col("gap_e6n")).as("gap_total"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("sum_p_e6 div n").as("conf_e6"),
+          expr("(n_pos * 1000000) div n").as("acc_e6"),
+          col("gap_e6n"),
+          expr("gap_total div n_total").as("ece_e6"))
+        .orderBy(col("bin"))
+    }),
+
+    // PAIRWISE PREFERENCE AGGREGATION — Bradley–Terry strengths via
+    // Hunter (2004)'s MM iteration, the aggregation step of RLHF /
+    // preference-data curation (turn noisy pairwise "A beats B"
+    // judgments into per-item strengths and a leaderboard). The
+    // fixture synthesizes one judgment per document over 100 items
+    // with planted strengths (p(a wins) = (a+1)/(a+b+2), decided by an
+    // md5 uniform as an exact integer comparison — no float draw), so
+    // the MM rounds must RECOVER the planted ordering from outcomes
+    // alone (BradleyTerrySpec pins the rank correlation). All MM
+    // arithmetic is exact integer in e6/e12 units: per-pair denom
+    // contributions are integer divs and per-item sums are order-free
+    // integer sums, so the learned strengths hash-prove cross-engine
+    // with NO libm anywhere (stronger than the round(·,6) discipline).
+    // A +1-win ghost game vs a strength-1 opponent is the standard MAP
+    // regularization keeping zero-win items finite, and a strength
+    // floor of 1 (= 1e-6) makes the e12 divisions total. Scale shape:
+    // ONE corpus-shaped aggregate into the items²-bounded pair table
+    // (map-side combined — the corpus shuffle carries pair counts,
+    // never judgments), then every MM round touches only the pair
+    // table + item-sized broadcasts (the x70 bounded-iteration
+    // posture); the corpus is never re-read. BT is invariant to
+    // scaling all (n_ij, W_i) by a common factor, so at judgment
+    // counts beyond the e12 guard the pair table is divided down,
+    // never re-derived.
+    "x106_bradley_terry" -> ((s, dir) => {
+      val games = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          (col("doc_id") % 100).as("ia"),
+          ((col("doc_id") * 31 + 7) % 100).as("ib"))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("u_ppm",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || '#bt'), " +
+            "1, 8), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("a_wins",
+          col("u_ppm") * (col("ia") + col("ib") + 2) <
+            (col("ia") + 1) * 1000000L)
+      val pairs = games
+        .withColumn("lo", least(col("ia"), col("ib")))
+        .withColumn("hi", greatest(col("ia"), col("ib")))
+        .withColumn("lo_win",
+          when(col("a_wins") === (col("ia") === col("lo")), 1L)
+            .otherwise(0L))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"), sum(col("lo_win")).as("w_lo"))
+      val wRank = Window.orderBy(col("s_e6").desc, col("item"))
+      BradleyTerry.fit(pairs, iters = 3)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .select(col("item"), col("games"), col("wins"), col("s_e6"),
+          col("rnk"))
+        .orderBy(col("item"))
+    }),
+
+    // DIALOGUE CONTEXT PACKING — per-user sliding (context, target)
+    // training pairs from the event stream: the chat-data prep step
+    // that turns interaction logs into next-action prediction examples
+    // (context = up to 4 preceding events in time order, target = the
+    // current one). One shuffle keyed on user_id serves BOTH window
+    // functions (same partition + order → one sort); the context
+    // list is a bounded ROWS frame, so state per row is ≤ 4 elements
+    // at any corpus size — nothing global, nothing unbounded. The
+    // streaming twin (StreamContext) assembles the same pairs
+    // incrementally with mapGroupsWithState.
+    "x107_context_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-4, -1)
+      spread(t(s, dir, "events"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("ctx", collect_list(col("event_type")).over(frame))
+        .filter(col("seq") > 1)
+        .select(col("user_id"), col("seq"), col("event_id"),
+          array_join(col("ctx"), " ").as("context"),
+          col("event_type").as("target"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
+
+    // RETRIEVAL EVALUATION (MRR / recall@k) — the self-retrieval eval
+    // of a sparse index: each query is a held-out document's 3 RAREST
+    // terms (lowest df — the discriminative ones), the gold answer is
+    // the document itself, and the x94 BM25 integer scorer ranks the
+    // inverted-index candidates. Reported per query: gold rank,
+    // reciprocal rank (exact ppm), hit@1/5/10, plus corpus MRR as the
+    // 1-row broadcast constant (the standing BNLJ scalar shape). Scale
+    // shape: candidates come ONLY from the postings⋈query-terms
+    // equi-join (rare terms → short postings lists — the classic
+    // inverted-index bound); per-query ranking is a KEYED window; no
+    // global window, no cross join beyond the 1-row totals.
+    "x108_retrieval_eval" -> ((s, dir) => {
+      val postings = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // read 3×: df table, doc lengths, scoring
+      val doclen = postings.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+      val totals = doclen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val dfTbl = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("w"))
+      val qterms = postings.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("qid"), col("w"))
+        .join(dfTbl, "w")
+        .withColumn("trnk", row_number().over(wQ))
+        .filter(col("trnk") <= 3)
+        .select(col("qid"), col("w"), col("df"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val ranked = postings.join(qterms, "w")
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf6", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0), 6))
+        .withColumn("num", col("tf") * 44L * col("total_dl"))
+        .withColumn("den", col("tf") * 20L * col("total_dl")
+          + col("total_dl") * 6L + col("dl") * 18L * col("n_docs"))
+        .withColumn("sc_e6", floor(col("idf6")
+          * (col("num").cast("double") / col("den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("sc_e6")).as("score_e6"))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+      val perQ = ranked
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_cands"),
+          min(when(col("doc_id") === col("qid"), col("rnk")))
+            .as("gold_rank"))
+        .withColumn("rr_ppm", when(col("gold_rank") <= 10,
+          expr("1000000 div gold_rank")).otherwise(lit(0L)))
+        .withColumn("hit1", (col("gold_rank") === 1L).cast("long"))
+        .withColumn("hit5", (col("gold_rank") <= 5L).cast("long"))
+        .withColumn("hit10", (col("gold_rank") <= 10L).cast("long"))
+      val agg = perQ.agg(count(lit(1)).as("n_queries"),
+        sum(col("rr_ppm")).as("rr_sum"))
+      perQ.crossJoin(broadcast(agg))
+        .select(col("qid"), col("n_cands"), col("gold_rank"),
+          col("rr_ppm"), col("hit1"), col("hit5"), col("hit10"),
+          expr("rr_sum div n_queries").as("mrr_ppm"))
+        .orderBy(col("qid"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -6854,7 +7075,256 @@ object ExtQueries {
          |FROM agg
          |ORDER BY lang""".stripMargin
     },
+
+    // x104: the same dirtying (chr(769) = U+0301 combining acute,
+    // chr(8203) = U+200B ZWSP, chr(173) = U+00AD soft hyphen), DuckDB's
+    // utf8proc nfc_normalize vs the engine's JDK normalizer -- both UAX
+    // #15, so the normalized bytes (and their md5) agree exactly.
+    // DuckDB regexp_replace needs the explicit 'g' flag (the x26
+    // lesson); len() counts code points in both engines.
+    "x104_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, 'a', 'a' || chr(769), 'g'),
+        |                   'e', 'e' || chr(8203), 'g') AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+        |c AS (
+        |  SELECT doc_id, dirty, nfc,
+        |    regexp_replace(nfc,
+        |      '[' || chr(8203) || chr(173) || ']', '', 'g') AS clean
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(len(dirty) AS BIGINT) AS n_dirty,
+        |  CAST(len(nfc) AS BIGINT) AS n_nfc,
+        |  CAST(len(clean) AS BIGINT) AS n_clean,
+        |  CAST(len(dirty) - len(nfc) AS BIGINT) AS n_composed,
+        |  md5(clean) AS clean_hash
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    // x105: x101's model verbatim, then the quantized sigmoid, 10
+    // equal-width bins, and the exact-integer ECE (gap and total are
+    // integer sums; the only float is the round(.,6)-quantized sigmoid
+    // itself).
+    "x105_calibration_ece" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS label,
+        |    CASE WHEN lang = 'en' AND doc_id % 2 = 0
+        |      THEN list_transform(string_split_regex(text, '\s+'),
+        |        x -> CASE WHEN x = 'data' THEN 'datum'
+        |                  WHEN x = 'table' THEN 'tbl' ELSE x END)
+        |      ELSE string_split_regex(text, '\s+') END AS t
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+        |ho AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |tok AS (SELECT label, unnest(t) AS token FROM tr),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(label) AS c_pos, sum(1 - label) AS c_neg
+        |  FROM tok GROUP BY token),
+        |tot AS (
+        |  SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+        |    count(*) AS v
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT
+        |    CAST(round(round(ln((sum(label) + 1.0)
+        |      / (sum(1 - label) + 1.0)), 6) * 1e6) AS BIGINT)
+        |      AS prior_e6
+        |  FROM tr),
+        |model AS (
+        |  SELECT token,
+        |    CAST(round(round(ln((c_pos + 1.0) * (n_neg + v)
+        |      / ((c_neg + 1.0) * (n_pos + v))), 6) * 1e6) AS BIGINT)
+        |      AS llr_e6
+        |  FROM cnt, tot),
+        |unseen AS (
+        |  SELECT CAST(round(round(ln(CAST(n_neg + v AS DOUBLE)
+        |      / CAST(n_pos + v AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |      AS unseen_e6
+        |  FROM tot),
+        |htok AS (SELECT doc_id, label, unnest(t) AS token FROM ho),
+        |sc AS (
+        |  SELECT h.doc_id, h.label,
+        |    CAST(p.prior_e6 + sum(coalesce(m.llr_e6, u.unseen_e6))
+        |      AS BIGINT) AS score_e6
+        |  FROM htok h LEFT JOIN model m USING (token), unseen u, pri p
+        |  GROUP BY h.doc_id, h.label, p.prior_e6),
+        |prob AS (
+        |  SELECT doc_id, label,
+        |    CAST(round(round(1.0 / (1.0
+        |      + exp(-CAST(score_e6 AS DOUBLE) / 1000000.0)), 6) * 1e6)
+        |      AS BIGINT) AS p_e6
+        |  FROM sc),
+        |bins AS (
+        |  SELECT least(p_e6 // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_e6) AS BIGINT) AS sum_p_e6
+        |  FROM prob GROUP BY 1),
+        |g AS (
+        |  SELECT bin, n, n_pos, sum_p_e6,
+        |    abs(n_pos * 1000000 - sum_p_e6) AS gap_e6n
+        |  FROM bins),
+        |tt AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(gap_e6n) AS BIGINT) AS gap_total FROM g)
+        |SELECT bin, n, n_pos,
+        |  sum_p_e6 // n AS conf_e6,
+        |  (n_pos * 1000000) // n AS acc_e6,
+        |  gap_e6n,
+        |  gap_total // n_total AS ece_e6
+        |FROM g, tt
+        |ORDER BY bin""".stripMargin,
+
+    // x106: same md5-uniform judgments, pair aggregation, and the
+    // unrolled integer MM rounds ([[bradleyTerrySql]]) -- every round
+    // is integer div + integer sums, so the hash pins the learned
+    // strengths through all rounds.
+    "x106_bradley_terry" -> bradleyTerrySql(3),
+
+    // x107: same keyed window; DuckDB's windowed list() preserves
+    // frame order like Spark's collect_list over an ordered ROWS
+    // frame; seq > 1 sidesteps the empty-frame NULL-vs-[] mismatch.
+    "x107_context_windows" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS seq,
+        |    list(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+        |  FROM events)
+        |SELECT user_id, seq, event_id,
+        |  array_to_string(ctx, ' ') AS context,
+        |  event_type AS target
+        |FROM w WHERE seq > 1
+        |ORDER BY user_id, seq""".stripMargin,
+
+    // x108: the x94 integer BM25 scorer over per-query rarest-term
+    // candidates; metrics are exact integer ppm.
+    "x108_retrieval_eval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dlen),
+        |dft AS (SELECT w, count(*) AS df FROM p GROUP BY 1),
+        |qt AS (
+        |  SELECT qid, w, df FROM (
+        |    SELECT p.doc_id AS qid, p.w, d.df,
+        |      row_number() OVER (PARTITION BY p.doc_id
+        |        ORDER BY d.df, p.w) AS trnk
+        |    FROM p JOIN dft d USING (w)
+        |    WHERE p.doc_id % 25 = 0)
+        |  WHERE trnk <= 3),
+        |sc AS (
+        |  SELECT q.qid, p.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      round(ln((t.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+        |      * (CAST(p.tf * 44 * t.total_dl AS DOUBLE)
+        |         / CAST(p.tf * 20 * t.total_dl + 6 * t.total_dl
+        |                + 18 * d.dl * t.n_docs AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+        |  FROM p JOIN qt q USING (w) JOIN dlen d USING (doc_id), tot t
+        |  GROUP BY q.qid, p.doc_id),
+        |r AS (
+        |  SELECT qid, doc_id, score_e6,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM sc),
+        |perq AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_cands,
+        |    CAST(min(CASE WHEN doc_id = qid THEN rnk END) AS BIGINT)
+        |      AS gold_rank
+        |  FROM r GROUP BY qid),
+        |m AS (
+        |  SELECT qid, n_cands, gold_rank,
+        |    CAST(CASE WHEN gold_rank <= 10 THEN 1000000 // gold_rank
+        |              ELSE 0 END AS BIGINT) AS rr_ppm,
+        |    CAST(gold_rank = 1 AS BIGINT) AS hit1,
+        |    CAST(gold_rank <= 5 AS BIGINT) AS hit5,
+        |    CAST(gold_rank <= 10 AS BIGINT) AS hit10
+        |  FROM perq),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    CAST(sum(rr_ppm) AS BIGINT) AS rr_sum FROM m)
+        |SELECT qid, n_cands, gold_rank, rr_ppm, hit1, hit5, hit10,
+        |  rr_sum // n_queries AS mrr_ppm
+        |FROM m, a
+        |ORDER BY qid""".stripMargin,
   )
+
+  /** Unrolled integer Bradley-Terry MM oracle mirroring
+    * x106_bradley_terry: the same md5-uniform judgments, pair
+    * aggregation, e12 integer denominators (order-free integer sums),
+    * ghost-game regularization and strength floor -- every round's
+    * strengths are bit-identical across engines by construction.
+    */
+  private def bradleyTerrySql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d_$k AS (
+         |  SELECT item, CAST(sum(d) AS BIGINT) AS dsum FROM (
+         |    SELECT p.lo AS item,
+         |      (p.n * 1000000000000) // (a.s_e6 + b.s_e6) AS d
+         |    FROM pairs p
+         |    JOIN s_${k - 1} a ON a.item = p.lo
+         |    JOIN s_${k - 1} b ON b.item = p.hi
+         |    UNION ALL
+         |    SELECT p.hi,
+         |      (p.n * 1000000000000) // (a.s_e6 + b.s_e6)
+         |    FROM pairs p
+         |    JOIN s_${k - 1} a ON a.item = p.lo
+         |    JOIN s_${k - 1} b ON b.item = p.hi)
+         |  GROUP BY item),
+         |s_$k AS (
+         |  SELECT i.item,
+         |    greatest(((i.wins + 1) * 1000000000000) //
+         |      (coalesce(d.dsum, 0)
+         |       + (2000000000000 // (s.s_e6 + 1000000))), 1) AS s_e6
+         |  FROM items i
+         |  LEFT JOIN d_$k d ON d.item = i.item
+         |  JOIN s_${k - 1} s ON s.item = i.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT doc_id, doc_id % 100 AS ia, (doc_id * 31 + 7) % 100 AS ib,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |                     substr(md5(CAST(doc_id AS VARCHAR) || '#bt'),
+       |                       i, 1)) - 1)
+       |                    * CAST(pow(16, 8 - i) AS BIGINT)
+       |                    for i in range(1, 9)]) AS BIGINT) % 1000000
+       |      AS u_ppm
+       |  FROM documents
+       |  WHERE doc_id % 100 <> (doc_id * 31 + 7) % 100),
+       |w AS (
+       |  SELECT least(ia, ib) AS lo, greatest(ia, ib) AS hi,
+       |    CASE WHEN (u_ppm * (ia + ib + 2) < (ia + 1) * 1000000)
+       |              = (ia = least(ia, ib)) THEN 1 ELSE 0 END AS lo_win
+       |  FROM g),
+       |pairs AS (
+       |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lo_win) AS BIGINT) AS w_lo
+       |  FROM w GROUP BY lo, hi),
+       |items AS (
+       |  SELECT item, CAST(sum(w) AS BIGINT) AS wins,
+       |    CAST(sum(n) AS BIGINT) AS games
+       |  FROM (
+       |    SELECT lo AS item, w_lo AS w, n FROM pairs
+       |    UNION ALL
+       |    SELECT hi, n - w_lo, n FROM pairs)
+       |  GROUP BY item),
+       |s_0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s_e6 FROM items),
+       |$rounds
+       |SELECT i.item, i.games, i.wins, s.s_e6,
+       |  CAST(row_number() OVER (ORDER BY s.s_e6 DESC, i.item) AS BIGINT)
+       |    AS rnk
+       |FROM items i JOIN s_$iters s ON s.item = i.item
+       |ORDER BY i.item""".stripMargin
+  }
 
   /** Unrolled deterministic power-iteration oracle ([[graft.ext
     * .PowerIter]] arithmetic as CTEs): v_0 = 1/√dims; per round,
