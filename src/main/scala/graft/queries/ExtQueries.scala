@@ -3852,9 +3852,13 @@ object ExtQueries {
     }),
 
     // RETRIEVAL EVALUATION (MRR / recall@k) — the self-retrieval eval
-    // of a sparse index: each query is a held-out document's 3 RAREST
-    // terms (lowest df — the discriminative ones), the gold answer is
-    // the document itself, and the x94 BM25 integer scorer ranks the
+    // of a sparse index: each query of a FIXED 20-doc eval set (the
+    // x03/x72 bounded-query-set convention — an eval set is
+    // curator-sized, never corpus-proportional; a %-of-corpus set was
+    // measured at 85 s/100M candidate pairs at sf1 on this
+    // shared-vocabulary corpus) is the doc's 3 RAREST terms (lowest
+    // df — the discriminative ones), the gold answer is the document
+    // itself, and the x94 BM25 integer scorer ranks the
     // inverted-index candidates. Reported per query: gold rank,
     // reciprocal rank (exact ppm), hit@1/5/10, plus corpus MRR as the
     // 1-row broadcast constant (the standing BNLJ scalar shape). Scale
@@ -3863,17 +3867,29 @@ object ExtQueries {
     // inverted-index bound); per-query ranking is a KEYED window; no
     // global window, no cross join beyond the 1-row totals.
     "x108_retrieval_eval" -> ((s, dir) => {
-      val postings = spread(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
+      // ONE exchange keyed on doc_id up front: the (doc_id, w) tf
+      // aggregate AND doclen both group on doc_id-prefixed keys, so
+      // the exploded token stream never crosses the wire (hash keys
+      // subset of grouping keys - the x70 recipe). sf1 A/B receipts
+      // (PLANS.md round-12 session 3): checkpoint-dropped 3.15 s vs
+      // 2.44 s kept; this repartition flat at sf1 (40-token docs) but
+      // strictly better at real document lengths, where the exploded
+      // stream dwarfs the doc stream. Remaining 2.4 s is the x97
+      // floor class: corpus checkpoint + ~4 scheduled job launches.
+      val postings = docs
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // read 3×: df table, doc lengths, scoring
+        .localCheckpoint() // read 3x: df table, doc lengths, scoring
       val doclen = postings.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("dl"))
       val totals = doclen.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_dl"))
       val dfTbl = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("w"))
-      val qterms = postings.filter(col("doc_id") % 25 === 0)
+      val qterms = postings.filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"), col("w"))
         .join(dfTbl, "w")
         .withColumn("trnk", row_number().over(wQ))
@@ -7220,7 +7236,7 @@ object ExtQueries {
         |      row_number() OVER (PARTITION BY p.doc_id
         |        ORDER BY d.df, p.w) AS trnk
         |    FROM p JOIN dft d USING (w)
-        |    WHERE p.doc_id % 25 = 0)
+        |    WHERE p.doc_id < 20)
         |  WHERE trnk <= 3),
         |sc AS (
         |  SELECT q.qid, p.doc_id,
