@@ -3930,6 +3930,82 @@ object ExtQueries {
           expr("rr_sum div n_queries").as("mrr_ppm"))
         .orderBy(col("qid"))
     }),
+
+    // DIFFERENTIALLY-PRIVATE CORPUS STATISTICS — the privacy-preserving
+    // dataset-card numbers (Dwork et al.'s Laplace mechanism,
+    // determinized): per-source doc counts and mean doc length
+    // released under a total ε=1 budget split ε/2 + ε/2, with the
+    // standard clip-then-noise recipe — per-doc length contribution
+    // clipped at 256 (sensitivity bound), count sensitivity 1, so
+    // b_count = 2 and b_sum = 512. The Laplace draw is the md5-seeded
+    // inverse CDF −b·sgn(v)·ln(1−2|v|) with the ln round(·,6)-quantized
+    // (the x44 libm discipline; the CDF argument is an exact ppm
+    // rational, clamped ≥ 1 ppm so the transform is total), u values
+    // emitted per row — the x102 replayable-audit convention. The
+    // released mean uses non-negative clamps so both engines' integer
+    // division agrees (Spark div truncates, DuckDB // floors — equal
+    // only on non-negatives; a dataset card reports non-negative
+    // means anyway). Scale shape: ONE sources-bounded aggregate
+    // (map-side combined) + narrow per-group noise arithmetic —
+    // nothing corpus-sized past the first agg.
+    "x109_dp_stats" -> ((s, dir) => {
+      def uPpm(tag: String): Column =
+        expr(s"CAST(conv(substring(md5(source || '$tag'), 1, 8), 16, 10)" +
+          " AS BIGINT) % 1000000")
+      def lap(u: Column, b: Double): Column = {
+        val v = u - 500000L
+        val arg = greatest(lit(1000000L) - abs(v) * 2L, lit(1L))
+        val q = round(log(arg.cast("double") / 1e6), 6)
+        round(signum(v.cast("double")) * lit(-b) * q).cast("long")
+      }
+      spread(t(s, dir, "documents"))
+        .withColumn("clip", least(col("n_chars"), lit(256L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("clip")).as("clip_sum"))
+        .withColumn("u1_ppm", uPpm("#dpc"))
+        .withColumn("u2_ppm", uPpm("#dps"))
+        .withColumn("dp_n_docs", col("n_docs") + lap(col("u1_ppm"), 2.0))
+        .withColumn("dp_sum", col("clip_sum") + lap(col("u2_ppm"), 512.0))
+        .withColumn("dp_mean_ppm",
+          expr("(greatest(dp_sum, CAST(0 AS BIGINT)) * 1000000) div " +
+            "greatest(dp_n_docs, CAST(1 AS BIGINT))"))
+        .select(col("source"), col("n_docs"), col("clip_sum"),
+          col("u1_ppm"), col("u2_ppm"), col("dp_n_docs"), col("dp_sum"),
+          col("dp_mean_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // RENDEZVOUS (HRW) SHARDING — elastic data placement: every doc
+    // hashes a weight against each shard id and lands on the argmax,
+    // so growing the shard set from 8 to 9 moves ONLY the docs the new
+    // shard wins (expected 1/9 of the corpus — the minimal-movement
+    // property consistent hashing exists for; RoundTwelveBSpec pins
+    // moved ⟺ shard9 = 8 exactly and the fraction band). Weights are
+    // the first 15 md5 hex digits as an integer (60 bits — tie-free in
+    // practice, shard-id tiebreak stated anyway). Scale shape: the
+    // shard spine is a bounded broadcast (9 rows — the standing
+    // bounded-BNLJ class), per-doc argmax runs under doc-keyed
+    // windows; nothing grows past corpus × |shards|.
+    "x110_rendezvous_sharding" -> ((s, dir) => {
+      val shards = s.range(9).select(col("id").as("shard"))
+      val base = spread(t(s, dir, "documents")).select(col("doc_id"))
+        .crossJoin(broadcast(shards))
+        .withColumn("w",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || '#rv'" +
+            " || CAST(shard AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      val wD = Window.partitionBy(col("doc_id"))
+        .orderBy(col("w").desc, col("shard"))
+      val s9 = base.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("shard").as("shard9"))
+      val s8 = base.filter(col("shard") < 8)
+        .withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("shard").as("shard8"))
+      s8.join(s9, "doc_id")
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -7273,6 +7349,77 @@ object ExtQueries {
         |  rr_sum // n_queries AS mrr_ppm
         |FROM m, a
         |ORDER BY qid""".stripMargin,
+
+    // x109: same clip/aggregate, the same md5 uniforms and the same
+    // quantized inverse-CDF Laplace draws; non-negative clamps make
+    // the released mean's integer division engine-identical.
+    "x109_dp_stats" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(least(n_chars, 256)) AS BIGINT) AS clip_sum
+        |  FROM documents GROUP BY source),
+        |u AS (
+        |  SELECT source, n_docs, clip_sum,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(source || '#dpc'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT)
+        |      for i in range(1, 9)]) AS BIGINT) % 1000000 AS u1_ppm,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(source || '#dps'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT)
+        |      for i in range(1, 9)]) AS BIGINT) % 1000000 AS u2_ppm
+        |  FROM g),
+        |n AS (
+        |  SELECT source, n_docs, clip_sum, u1_ppm, u2_ppm,
+        |    n_docs + CAST(round(
+        |      (CASE WHEN u1_ppm > 500000 THEN -1.0
+        |            WHEN u1_ppm < 500000 THEN 1.0 ELSE 0.0 END) * 2.0
+        |      * round(ln(CAST(greatest(
+        |          1000000 - abs(u1_ppm - 500000) * 2, 1) AS DOUBLE)
+        |          / 1e6), 6)) AS BIGINT) AS dp_n_docs,
+        |    clip_sum + CAST(round(
+        |      (CASE WHEN u2_ppm > 500000 THEN -1.0
+        |            WHEN u2_ppm < 500000 THEN 1.0 ELSE 0.0 END) * 512.0
+        |      * round(ln(CAST(greatest(
+        |          1000000 - abs(u2_ppm - 500000) * 2, 1) AS DOUBLE)
+        |          / 1e6), 6)) AS BIGINT) AS dp_sum
+        |  FROM u)
+        |SELECT source, n_docs, clip_sum, u1_ppm, u2_ppm, dp_n_docs,
+        |  dp_sum,
+        |  (greatest(dp_sum, 0) * 1000000) // greatest(dp_n_docs, 1)
+        |    AS dp_mean_ppm
+        |FROM n
+        |ORDER BY source""".stripMargin,
+
+    // x110: the same 15-hex md5 weights over the 9-shard spine; both
+    // argmaxes as keyed row_number windows.
+    "x110_rendezvous_sharding" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, r.shard,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(d.doc_id AS VARCHAR) || '#rv'
+        |             || CAST(r.shard AS VARCHAR)), i, 1)) - 1)
+        |      * CAST(pow(16, 15 - i) AS BIGINT)
+        |      for i in range(1, 16)]) AS BIGINT) AS w
+        |  FROM documents d
+        |  CROSS JOIN (SELECT range AS shard FROM range(9)) r),
+        |s9 AS (
+        |  SELECT doc_id, shard AS shard9 FROM (
+        |    SELECT doc_id, shard,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY w DESC, shard) AS rn
+        |    FROM b) WHERE rn = 1),
+        |s8 AS (
+        |  SELECT doc_id, shard AS shard8 FROM (
+        |    SELECT doc_id, shard,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY w DESC, shard) AS rn
+        |    FROM b WHERE shard < 8) WHERE rn = 1)
+        |SELECT s8.doc_id, s8.shard8, s9.shard9,
+        |  (s8.shard8 <> s9.shard9) AS moved
+        |FROM s8 JOIN s9 USING (doc_id)
+        |ORDER BY s8.doc_id""".stripMargin,
   )
 
   /** Unrolled integer Bradley-Terry MM oracle mirroring

@@ -195,4 +195,44 @@ class RoundTwelveBSpec extends AnyFunSuite {
     // job is to REPORT that (low MRR on an undiscriminating index),
     // not to guarantee it away.
   }
+
+  /** Plain-Scala mirror of x109's quantized inverse-CDF Laplace draw. */
+  private def lapScala(uPpm: Long, b: Double): Long = {
+    val v = uPpm - 500000L
+    val arg = math.max(1000000L - math.abs(v) * 2L, 1L)
+    val q = BigDecimal(math.log(arg / 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    BigDecimal(math.signum(v.toDouble) * -b * q)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  test("x109 DP noise matches the plain-Scala Laplace recompute") {
+    val r = ExtQueries.queries("x109_dp_stats")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, n, clipSum, u1, u2, dpN, dpSum, dpMean) =>
+      assert(dpN - n === lapScala(u1, 2.0))
+      assert(dpSum - clipSum === lapScala(u2, 512.0))
+      assert(dpMean ===
+        math.max(dpSum, 0L) * 1000000L / math.max(dpN, 1L))
+    }
+    // clipping really binds somewhere (sensitivity bound is live)
+    val docs = Tables(spark, dir, "documents")
+    assert(docs.filter(col("n_chars") > 256).count() > 0)
+  }
+
+  test("x110 HRW: growth moves ONLY winners of the new shard") {
+    val r = ExtQueries.queries("x110_rendezvous_sharding")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.nonEmpty)
+    // the defining minimal-movement property: moved <=> new shard won
+    r.foreach { case (_, s8, s9, moved) =>
+      assert(moved === (s9 === 8L))
+      if (!moved) assert(s8 === s9)
+      assert(s8 >= 0 && s8 <= 7 && s9 >= 0 && s9 <= 8)
+    }
+    // expected moved fraction 1/9 ≈ 11.1%; allow a wide binomial band
+    val frac = r.count(_._4).toDouble / r.length
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac")
+  }
 }
