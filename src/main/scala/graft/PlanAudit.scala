@@ -87,6 +87,11 @@ object PlanAudit {
         " the sketch grid is <= domain/64 rows and the exact leg <=" +
         " distinct n_chars values, a length-capped domain at any" +
         " corpus scale"),
+    "x112_dsir" ->
+      ("final rank orders the orderBy.limit(100) Gumbel top-k output —" +
+        " the single-partition frame is exactly k=100 rows at any" +
+        " corpus size; selection itself is TakeOrderedAndProject, no" +
+        " global sort materializes"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, ZOrder}
+import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, Winnow, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -4006,6 +4006,182 @@ object ExtQueries {
         .withColumn("moved", col("shard8") =!= col("shard9"))
         .orderBy(col("doc_id"))
     }),
+
+    // WINNOWING FINGERPRINTS — the MOSS local fingerprinting scheme
+    // (Schleimer/Wilkerson/Aiken 2003; ext/Winnow documents the
+    // rightmost-tie-break encoding and the w+k−1 match guarantee).
+    // Corpus plants INSERTION-SHIFTED near-duplicates (three tokens
+    // prepended, id+10000) — the case positional hashing misses and
+    // winnowing exists for: fingerprints match by HASH, not position,
+    // so every copy pair shares most fingerprints while the 500
+    // originals share only vocabulary-collision grams. Output is the
+    // per-doc fingerprint count, the count shared with ≥2 docs, and
+    // the share ratio that gates near-dup review. Scale shape: narrow
+    // gram hashing, one doc-keyed exchange for selection (count +
+    // frame-min share the partitioning), one fp_h-keyed exchange for
+    // sharing (x55's min≠max constant-state rule) — all linear,
+    // fingerprint stream ~2/(w+1)=1/3 of the gram stream.
+    "x111_winnowing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = spread(docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("inserted preamble marker "), col("text"))
+            .as("text"))))
+      val fps = Winnow.fingerprints(
+        corpus.withColumn("t", Text.tokens(col("text"))), "t", 4, 5)
+      Winnow.summary(fps)
+        .withColumn("near_dup", col("share_ppm") >= 500000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR — data selection via importance resampling (Xie et al.,
+    // NeurIPS 2023): hashed n-gram features (unigrams + bigrams into
+    // 64 buckets), bucket log-ratio weights between a TARGET
+    // distribution (the lang='en' slice standing in for the curated
+    // target) and the RAW corpus, per-doc importance = Σ features'
+    // log-ratios, then Gumbel top-k — the exact sampling-without-
+    // replacement the paper uses, determinized: u from md5, both lns
+    // re-integerized through the round(·,6)·1e6 lift BEFORE feeding
+    // the next ln, so the nested transform stays bit-identical
+    // cross-engine (each ln's input is an exact e6 rational). Add-1
+    // smoothing keeps every bucket finite; the two lns are kept
+    // separate so no integer product can overflow. Scale shape: the
+    // feature stream is 2×tokens narrow; BOTH distributions are one
+    // map-side-combined agg into a 64-row model broadcast back onto
+    // the stream; per-doc weights are one doc-keyed agg; top-k is
+    // TakeOrderedAndProject (no global sort materializes); the final
+    // rank window orders a ≤100-row set — the standing bounded-domain
+    // class.
+    "x112_dsir" -> ((s, dir) => {
+      val B = 64
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+      val feats = docs.select(col("doc_id"), col("lang"), explode(expr(
+        "concat(t, transform(sequence(0, size(t) - 2), i -> " +
+          "concat_ws(' ', t[i], t[i+1])))")).as("f"))
+        .withColumn("b", expr(
+          s"CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % $B"))
+      val model = feats.groupBy(col("b"))
+        .agg(count(lit(1)).as("raw_n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+      def lnE6(num: Column, den: Column): Column =
+        round(round(log(num.cast("double") / den.cast("double")), 6)
+          * 1e6).cast("long")
+      val tot = model.agg(sum(col("raw_n")).as("raw_tot"),
+        sum(col("tgt_n")).as("tgt_tot"))
+      val lam = model.crossJoin(broadcast(tot))
+        .withColumn("lam_e6",
+          lnE6(col("tgt_n") + 1, col("tgt_tot") + B)
+            - lnE6(col("raw_n") + 1, col("raw_tot") + B))
+        .select(col("b"), col("lam_e6"))
+      val wts = feats.join(broadcast(lam), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lam_e6")).as("w_e6"))
+        .withColumn("u_ppm", expr("CAST(conv(substring(md5(" +
+          "CAST(doc_id AS STRING) || '#dsir'), 1, 8), 16, 10) " +
+          "AS BIGINT) % 1000000"))
+        // −ln u in e6 (u clamped off 0), then −ln of THAT exact
+        // rational: the Gumbel lift g = −ln(−ln u), each step
+        // quantized and re-integerized
+        .withColumn("nl_e6",
+          (-round(round(log(greatest(col("u_ppm"), lit(1L))
+            .cast("double") / 1e6), 6) * 1e6)).cast("long"))
+        .withColumn("g_e6",
+          (-round(round(log(col("nl_e6").cast("double") / 1e6), 6)
+            * 1e6)).cast("long"))
+        .withColumn("score_e6", col("w_e6") + col("g_e6"))
+      val top = wts
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(100)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("n_feats"), col("w_e6"),
+          col("u_ppm"), col("g_e6"), col("score_e6"), col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
+    // CAPTURE–RECAPTURE DUPLICATE-RATE ESTIMATE — corpus QA without
+    // running the dedup: estimate the distinct-text count from two
+    // independent text-level hash samples (Chapman's bias-corrected
+    // Lincoln–Petersen estimator), compare against the row count for
+    // the duplicate mass, and carry the TRUE values alongside so the
+    // estimate's error is part of the output. Capture membership is
+    // decided on the CONTENT hash (md5(ch||salt) < 40%), so every
+    // text has equal catchability regardless of its multiplicity —
+    // the assumption the estimator needs, satisfied by construction
+    // (row-level sampling would overweight heavy duplicates). Corpus
+    // plants skewed multiplicities 1..4 via doc_id%4. Scale shape:
+    // ONE content-hash agg (the x01 exact-dedup shuffle) collapsed to
+    // per-text capture bits, then a single bounded reduce to one row;
+    // the estimate needs no second pass over the corpus.
+    "x113_caprecap" -> ((s, dir) => {
+      val corpus = spread(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+        .withColumn("copy", explode(expr(
+          "sequence(0, CAST(doc_id % 4 AS INT))")))
+        .select((col("doc_id") + col("copy") * 10000).as("doc_id"),
+          col("text"))
+      def captured(tag: String): Column =
+        expr(s"CAST(conv(substring(md5(ch || '$tag'), 1, 8), 16, 10) " +
+          "AS BIGINT) % 1000000") < 400000L
+      val perText = corpus.withColumn("ch", md5(col("text")))
+        .groupBy(col("ch"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("c1", captured("#c1").cast("long"))
+        .withColumn("c2", captured("#c2").cast("long"))
+      perText.agg(
+          sum(col("n_rows")).as("n_rows"),
+          count(lit(1)).as("true_distinct"),
+          sum(col("c1")).as("n1"),
+          sum(col("c2")).as("n2"),
+          sum(col("c1") * col("c2")).as("m"))
+        .withColumn("est_distinct",
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+        .withColumn("dup_rate_ppm", expr(
+          "greatest(n_rows - est_distinct, CAST(0 AS BIGINT)) " +
+            "* 1000000 div n_rows"))
+        .withColumn("true_dup_rate_ppm", expr(
+          "(n_rows - true_distinct) * 1000000 div n_rows"))
+        .select(col("n_rows"), col("n1"), col("n2"), col("m"),
+          col("est_distinct"), col("true_distinct"),
+          col("dup_rate_ppm"), col("true_dup_rate_ppm"))
+    }),
+
+    // TEMPERATURE-SCALED DOMAIN MIXING — the multilingual/multi-source
+    // sampling-rate law (mC4 / XLM-R: sample source s with
+    // w_s ∝ p_s^α, α=0.5, where p_s is the source's natural token
+    // share): upweights the tail sources, downweights the head, and
+    // the w/p ratio IS the effective epoch (repetition) factor each
+    // source trains at under the reweighted budget. All arithmetic
+    // past the corpus agg is exact-integer ppm: p in ppm, p^α through
+    // the round(pow,6)·1e6 lift (host-double exponent — the x102
+    // decimal-division trap note), renormalized by the integer sum.
+    // Scale shape: ONE map-side-combined sources-bounded agg; the
+    // spine after it is sources-sized (bounded broadcast class);
+    // nothing else touches the corpus.
+    "x114_temperature_mix" -> ((s, dir) => {
+      val stats = spread(t(s, dir, "documents"))
+        .withColumn("n_toks", size(Text.tokens(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .localCheckpoint() // sources-bounded (~20 rows), read by three
+      // consumers — without the cut each one re-tokenizes the corpus
+      val tot = stats.agg(sum(col("n_tokens")).as("tot"))
+      val p = stats.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("n_tokens * 1000000 div tot"))
+        .withColumn("pw_e6",
+          round(round(pow(col("p_ppm").cast("double") / 1e6, 0.5), 6)
+            * 1e6).cast("long"))
+      val z = p.agg(sum(col("pw_e6")).as("z"))
+      p.crossJoin(broadcast(z))
+        .withColumn("w_ppm", expr("pw_e6 * 1000000 div z"))
+        .withColumn("epochs_ppm",
+          expr("w_ppm * 1000000 div greatest(p_ppm, CAST(1 AS BIGINT))"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("p_ppm"), col("pw_e6"), col("w_ppm"), col("epochs_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -7420,6 +7596,177 @@ object ExtQueries {
         |  (s8.shard8 <> s9.shard9) AS moved
         |FROM s8 JOIN s9 USING (doc_id)
         |ORDER BY s8.doc_id""".stripMargin,
+
+    // x111: same 40-bit gram hashes, same encoded rightmost-min key,
+    // same full-window filter and min≠max sharing rule.
+    "x111_winnowing" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'inserted preamble marker ' || text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(len(t) - 4 AS BIGINT) + 1)) AS idx
+        |  FROM tok WHERE len(t) >= 8),
+        |gh AS (
+        |  SELECT doc_id, idx,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(array_to_string(t[idx+1 : idx+4], ' ')), i, 1)) - 1)
+        |      * CAST(pow(16, 10 - i) AS BIGINT)
+        |      for i in range(1, 11)]) AS BIGINT) AS h
+        |  FROM ix),
+        |enc AS (
+        |  SELECT doc_id, idx,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_grams,
+        |    min(h * 2097152 + (2097151 - idx)) OVER (
+        |      PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+        |  FROM gh),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, sel // 2097152 AS fp_h
+        |  FROM enc WHERE idx <= n_grams - 5),
+        |fpp AS (
+        |  SELECT DISTINCT doc_id, sel // 2097152 AS fp_h,
+        |    2097151 - (sel % 2097152) AS fp_pos
+        |  FROM enc WHERE idx <= n_grams - 5),
+        |mk AS (
+        |  SELECT doc_id, fp_h,
+        |    min(doc_id) OVER (PARTITION BY fp_h) AS mn,
+        |    max(doc_id) OVER (PARTITION BY fp_h) AS mx
+        |  FROM fpp)
+        |SELECT doc_id, count(*) AS n_fp,
+        |  CAST(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  (CAST(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS share_ppm,
+        |  (CAST(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) >= 500000 AS near_dup
+        |FROM mk GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // x112: same hashed unigram+bigram buckets, separate quantized
+    // lns (no product overflow), nested re-integerized Gumbel.
+    "x112_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(f), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+        |      for i in range(1, 9)]) AS BIGINT) % 64 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(list_concat(t,
+        |      list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))) AS f
+        |    FROM tok WHERE len(t) >= 2)),
+        |model AS (
+        |  SELECT b, count(*) AS raw_n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tgt_n
+        |  FROM feats GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(raw_n) AS BIGINT) AS raw_tot,
+        |    CAST(sum(tgt_n) AS BIGINT) AS tgt_tot FROM model),
+        |lam AS (
+        |  SELECT b,
+        |    CAST(round(round(ln(CAST(tgt_n + 1 AS DOUBLE)
+        |        / CAST(tgt_tot + 64 AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |    - CAST(round(round(ln(CAST(raw_n + 1 AS DOUBLE)
+        |        / CAST(raw_tot + 64 AS DOUBLE)), 6) * 1e6) AS BIGINT)
+        |      AS lam_e6
+        |  FROM model, tot),
+        |wts AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    CAST(sum(lam_e6) AS BIGINT) AS w_e6
+        |  FROM feats JOIN lam USING (b) GROUP BY doc_id),
+        |gum AS (
+        |  SELECT doc_id, n_feats, w_e6, u_ppm,
+        |    -CAST(round(round(ln(CAST(greatest(u_ppm, 1) AS DOUBLE)
+        |      / 1e6), 6) * 1e6) AS BIGINT) AS nl_e6
+        |  FROM (
+        |    SELECT doc_id, n_feats, w_e6,
+        |      CAST(list_sum([(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '#dsir'), i, 1)) - 1)
+        |        * CAST(pow(16, 8 - i) AS BIGINT)
+        |        for i in range(1, 9)]) AS BIGINT) % 1000000 AS u_ppm
+        |    FROM wts)),
+        |sc AS (
+        |  SELECT doc_id, n_feats, w_e6, u_ppm,
+        |    -CAST(round(round(ln(CAST(nl_e6 AS DOUBLE) / 1e6), 6) * 1e6)
+        |      AS BIGINT) AS g_e6,
+        |    w_e6 - CAST(round(round(ln(CAST(nl_e6 AS DOUBLE) / 1e6), 6)
+        |      * 1e6) AS BIGINT) AS score_e6
+        |  FROM gum)
+        |SELECT doc_id, n_feats, w_e6, u_ppm, g_e6, score_e6,
+        |  row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk
+        |FROM sc
+        |ORDER BY score_e6 DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    // x113: content-hash-keyed captures, Chapman estimator.
+    "x113_caprecap" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id + r.copy * 10000 AS doc_id, d.text
+        |  FROM documents d
+        |  CROSS JOIN (SELECT range AS copy FROM range(4)) r
+        |  WHERE r.copy <= d.doc_id % 4),
+        |per_text AS (
+        |  SELECT md5(text) AS ch, count(*) AS n_rows
+        |  FROM corpus GROUP BY md5(text)),
+        |caps AS (
+        |  SELECT n_rows,
+        |    CASE WHEN CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(ch || '#c1'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT)
+        |      for i in range(1, 9)]) AS BIGINT) % 1000000 < 400000
+        |      THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(ch || '#c2'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT)
+        |      for i in range(1, 9)]) AS BIGINT) % 1000000 < 400000
+        |      THEN 1 ELSE 0 END AS c2
+        |  FROM per_text),
+        |agg AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |    count(*) AS true_distinct,
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS m
+        |  FROM caps)
+        |SELECT n_rows, n1, n2, m,
+        |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS est_distinct,
+        |  true_distinct,
+        |  (greatest(n_rows - (((n1 + 1) * (n2 + 1)) // (m + 1) - 1), 0)
+        |    * 1000000) // n_rows AS dup_rate_ppm,
+        |  ((n_rows - true_distinct) * 1000000) // n_rows
+        |    AS true_dup_rate_ppm
+        |FROM agg""".stripMargin,
+
+    // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
+    "x114_temperature_mix" ->
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM stats),
+        |p AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    (n_tokens * 1000000) // tot AS p_ppm,
+        |    CAST(round(round(pow(CAST((n_tokens * 1000000) // tot
+        |      AS DOUBLE) / 1e6, 0.5), 6) * 1e6) AS BIGINT) AS pw_e6
+        |  FROM stats, tot),
+        |z AS (SELECT CAST(sum(pw_e6) AS BIGINT) AS z FROM p)
+        |SELECT source, n_docs, n_tokens, p_ppm, pw_e6,
+        |  (pw_e6 * 1000000) // z AS w_ppm,
+        |  ((pw_e6 * 1000000) // z) * 1000000 // greatest(p_ppm, 1)
+        |    AS epochs_ppm
+        |FROM p, z
+        |ORDER BY source""".stripMargin,
   )
 
   /** Unrolled integer Bradley-Terry MM oracle mirroring

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Text, Winnow}
+import graft.queries.ExtQueries
+
+/** Round-12 session-4 operators:
+  *  - Winnow: the MOSS selection rule against an independent plain-
+  *    Scala recompute (same md5 40-bit gram hashes, same rightmost-
+  *    min-per-window law), the w+k−1 shared-substring guarantee on
+  *    insertion-shifted copies, and the ~2/(w+1) density band;
+  *  - x112 DSIR: the bucket log-ratio law (target-enriched buckets
+  *    weigh positive), Gumbel determinism, and top-k ordering;
+  *  - x113 capture–recapture: the Chapman identity over the output's
+  *    own columns and equal-catchability by construction;
+  *  - x114 temperature mixing: w ∝ √p renormalization identities and
+  *    the head-demotes/tail-promotes direction.
+  */
+class RoundTwelveCSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain-Scala mirror of Winnow.fingerprints: 40-bit md5 gram hash,
+    * encoded rightmost-min selection, full windows only.
+    */
+  private def winnowScala(toks: Seq[String], k: Int, w: Int)
+      : Set[(Long, Long)] = {
+    def h40(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    if (toks.length < k + w - 1) return Set.empty
+    val grams = (0 to toks.length - k)
+      .map(i => h40(toks.slice(i, i + k).mkString(" ")))
+    val keys = grams.zipWithIndex
+      .map { case (h, i) => h * Winnow.PosSpan + (Winnow.PosSpan - 1 - i) }
+    (0 to grams.length - w).map { i =>
+      val sel = keys.slice(i, i + w).min
+      (sel / Winnow.PosSpan, Winnow.PosSpan - 1 - sel % Winnow.PosSpan)
+    }.toSet
+  }
+
+  test("Winnow matches the plain-Scala recompute on a fixture") {
+    val toks = ("the quick brown fox jumps over the lazy dog while the " +
+      "quick brown fox naps").split(" ").toSeq
+    val df = Seq((1L, toks)).toDF("doc_id", "t")
+    val got = Winnow.fingerprints(df, "t", 4, 5)
+      .select("fp_h", "fp_pos").as[(Long, Long)].collect().toSet
+    assert(got === winnowScala(toks, 4, 5))
+    assert(got.nonEmpty)
+  }
+
+  test("Winnow: insertion-shifted copy shares every interior hash") {
+    val base = (1 to 30).map(i => s"tok$i")
+    val shifted = Seq("x", "y", "z") ++ base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "t")
+    val fps = Winnow.fingerprints(df, "t", 4, 5)
+      .as[(Long, Long, Long)].collect()
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    // the SIGMOD guarantee: the 30-token shared substring (≥ w+k−1=8)
+    // must yield at least one shared fingerprint hash; in practice
+    // every hash of doc 1 must re-select in doc 2 except possibly
+    // those whose selecting windows straddle the new prefix
+    assert((h1 intersect h2).nonEmpty)
+    assert((h1 -- h2).size <= 2)
+    // density: selected windows per doc ≈ 2/(w+1) of grams, loose band
+    val nGrams = base.length - 4 + 1
+    assert(h1.size >= nGrams / 5 && h1.size <= nGrams)
+  }
+
+  test("x111 registry: copies near-dup, majority share, oracle shape") {
+    val out = ExtQueries.queries("x111_winnowing")(spark, dir)
+    val rows = out.select("doc_id", "n_fp", "n_shared", "near_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 1000)
+    val copies = rows.filter(_._1 >= 10000)
+    // every planted copy shares fingerprints with its source
+    assert(copies.forall(_._3 > 0))
+    assert(copies.count(_._4) === copies.length)
+    assert(rows.forall(r => r._3 <= r._2))
+  }
+
+  test("x112 DSIR: lambda law, Gumbel determinism, ordering") {
+    val out = ExtQueries.queries("x112_dsir")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 100)
+    // rnk is the 1..100 order of score_e6 desc
+    assert(out.map(_._7).toSeq === (1L to 100L))
+    val scores = out.map(_._6)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // score decomposes exactly
+    assert(out.forall(r => r._6 === r._3 + r._5))
+    // deterministic re-run
+    val again = ExtQueries.queries("x112_dsir")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+    // en docs are the target: selected docs skew en (weights reward
+    // target-like feature mass)
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val enAll = langs.valuesIterator.count(_ == "en").toDouble / langs.size
+    val enSel = out.count(r => langs(r._1) == "en").toDouble / out.length
+    assert(enSel > enAll)
+  }
+
+  test("x113 capture-recapture: Chapman identity and sane estimate") {
+    val r = ExtQueries.queries("x113_caprecap")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nRows, n1, n2, m, est, trueD, dupPpm, trueDupPpm) = r
+    assert(trueD === 500L)
+    assert(est === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(m <= math.min(n1, n2) && n1 <= trueD && n2 <= trueD)
+    // 40% text-level captures: both counts in a generous band
+    assert(n1 > 120 && n1 < 280 && n2 > 120 && n2 < 280)
+    // estimate within 25% of truth on this corpus
+    assert(math.abs(est - trueD) <= trueD / 4)
+    assert(dupPpm >= 0 && dupPpm <= 1000000L)
+    assert(trueDupPpm === (nRows - trueD) * 1000000L / nRows)
+  }
+
+  test("x114 temperature mixing: renormalization and direction") {
+    val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
+      .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    // w renormalizes to ~1e6 (integer-div truncation, one part per
+    // source at most)
+    val wSum = rows.map(_._3).sum
+    assert(wSum <= 1000000L && wSum >= 1000000L - rows.length)
+    // sqrt law: pw_e6^2 ≈ p_ppm·1e6 within quantization
+    rows.foreach { case (p, pw, _, _) =>
+      assert(math.abs(pw.toDouble * pw - p.toDouble * 1e6) < 3e9)
+    }
+    // α=0.5 flattens: sources above the mean share train at <1 epoch
+    // relative rate, below-mean sources at >1
+    val meanP = rows.map(_._1).sum / rows.length
+    rows.foreach { case (p, _, _, ep) =>
+      if (p > meanP * 3 / 2) assert(ep < 1000000L)
+      if (p < meanP / 2) assert(ep > 1000000L)
+    }
+  }
+}
