@@ -153,19 +153,23 @@ object Bench {
     val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct)}")
-    // Compact values at 2 decimals and no "detail" field: at 145
-    // registered queries the 3-decimal line crossed the ~1925-byte
-    // tail budget (2000-char driver capture minus sbt's trailing
-    // [success] line) — the opening `{` would truncate away and the
-    // round would record "parsed": null, the exact rounds-1-6 failure
-    // this emission path exists to prevent. 10 ms precision is far
-    // inside the documented 2-8× rep-to-rep noise band; full 3-decimal
-    // values stay in target/bench.json. Budget check: 145 entries ×
-    // ~12 B + header ≈ 1.87 KB, asserted below so growth past the
-    // window fails loudly here instead of silently at the driver.
+    // Compact values at ONE decimal and no "detail" field: the
+    // 3-decimal line crossed the ~1925-byte tail budget (2000-char
+    // driver capture minus sbt's trailing [success] line) at 145
+    // registered queries, and the 2-decimal form crossed it again at
+    // 161 — the opening `{` would truncate away and the round would
+    // record "parsed": null, the exact rounds-1-6 failure this
+    // emission path exists to prevent. 100 ms stdout precision is
+    // inside the documented 2-8× rep-to-rep noise band for the small
+    // queries and the cross-round analyses use the refreshes recorded
+    // in PLANS.md; full 3-decimal values stay in target/bench.json.
+    // Budget check: ~11 B/entry × 175 entries + header ≈ 1.97 KB is
+    // the next ceiling, asserted below so growth past the window
+    // fails loudly here instead of silently at the driver.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + f1(v)
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$shortQs,"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""

@@ -92,6 +92,18 @@ object PlanAudit {
         " the single-partition frame is exactly k=100 rows at any" +
         " corpus size; selection itself is TakeOrderedAndProject, no" +
         " global sort materializes"),
+    "x115_lsh_planner" ->
+      ("the is_best rank orders the (bands, rows) factorization grid —" +
+        " exactly 8 rows (the divisor ladder of n=128 signatures) at" +
+        " any corpus size; the corpus probe it joins is a bounded" +
+        " 50-pair aggregate"),
+    "x116_vocab_coverage" ->
+      ("rank + running-mass windows ride the TYPE table, never the" +
+        " token stream: distinct types are <= sqrt(2N) for N corpus" +
+        " tokens (the x69 bound) and plateau by Heaps' law — the" +
+        " single-partition frame is vocabulary-sized at any corpus" +
+        " scale, and the corpus itself is reduced map-side before the" +
+        " window"),
   )
 
   /** Count WindowExec nodes with an EMPTY partitionSpec — the

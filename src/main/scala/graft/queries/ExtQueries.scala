@@ -4182,6 +4182,101 @@ object ExtQueries {
           col("p_ppm"), col("pw_e6"), col("w_ppm"), col("epochs_ppm"))
         .orderBy(col("source"))
     }),
+
+    // LSH PARAMETER PLANNER — the design-time tool every banded-
+    // MinHash deployment runs before choosing (bands, rows): for each
+    // factorization b·r = 128, the S-curve collision probability
+    // P(s) = 1 − (1 − s^r)^b at two operating points, the implied
+    // threshold (1/b)^(1/r), and the cost = false-positive mass at
+    // s_low + false-negative mass at s_high. The operating points are
+    // MEASURED, not assumed: s_high is the mean 3-gram Jaccard of the
+    // planted truncation near-dups (the x02 corpus construction) over
+    // a bounded 50-pair probe, s_low is half of it — so the planner
+    // prices the corpus's own duplicate geometry. Every pow rides the
+    // round(·,6)·1e6 lift; fractional exponents are double division
+    // of columns, never decimal literals (the x102 trap). Scale
+    // shape: the probe is a 50-row equi-join on doc_id (native
+    // intersect-size per pair); the grid is EXACTLY 8 rows at any
+    // corpus size — its rank window is the bounded-domain class.
+    "x115_lsh_planner" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 6)
+      def shingles(c: Column): Column = array_distinct(c)
+      val base = docs.select(col("doc_id"),
+        shingles(Text.wordShingles(col("t"), 3)).as("sa"))
+      val trunc = docs.select(col("doc_id"),
+        shingles(Text.wordShingles(expr(
+          "slice(t, 1, greatest(size(t) - 3, 0))"), 3)).as("sb"))
+        .filter(size(col("sb")) > 0)
+      val probe = base.join(trunc, "doc_id")
+        .withColumn("inter",
+          graft.ext.Dedup.intersectSize(col("sa"), col("sb")).cast("long"))
+        .withColumn("jac_ppm", expr(
+          "inter * 1000000 div (size(sa) + size(sb) - inter)"))
+        .agg(sum(col("jac_ppm")).as("jsum"), count(lit(1)).as("n_pairs"))
+        .withColumn("s_high_ppm", expr("jsum div n_pairs"))
+        .withColumn("s_low_ppm", expr("(jsum div n_pairs) div 2"))
+        .select(col("n_pairs"), col("s_high_ppm"), col("s_low_ppm"))
+      def pCollide(sPpm: Column, r: Column, b: Column): Column = {
+        val a = round(pow(sPpm.cast("double") / 1e6, r.cast("double")), 6)
+        lit(1000000L) - round(round(
+          pow(lit(1.0) - a, b.cast("double")), 6) * 1e6).cast("long")
+      }
+      val grid = s.range(8)
+        .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+          .as("r"))
+        .withColumn("b", expr("128 div r"))
+      val scored = grid.crossJoin(broadcast(probe))
+        .withColumn("t_e6", round(round(
+          pow(lit(1.0) / col("b").cast("double"),
+            lit(1.0) / col("r").cast("double")), 6) * 1e6).cast("long"))
+        .withColumn("p_low_e6", pCollide(col("s_low_ppm"), col("r"), col("b")))
+        .withColumn("p_high_e6", pCollide(col("s_high_ppm"), col("r"), col("b")))
+        .withColumn("cost_e6",
+          col("p_low_e6") + (lit(1000000L) - col("p_high_e6")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cost_e6"), col("r"))))
+        .withColumn("is_best", col("rk") === 1)
+        .select(col("r"), col("b"), col("s_low_ppm"), col("s_high_ppm"),
+          col("t_e6"), col("p_low_e6"), col("p_high_e6"), col("cost_e6"),
+          col("is_best"))
+        .orderBy(col("r"))
+    }),
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-design number: the
+    // smallest vocabulary (most-frequent types first) covering 50 /
+    // 90 / 95 / 99% of the corpus token MASS. One vocabulary-bounded
+    // frequency agg (map-side combined — the x101/x96 type-table
+    // posture), a rank + running-mass window over the TYPE table
+    // (vocab-bounded: distinct types plateau by Heaps' law and are
+    // ≤ sqrt(2N) for N total tokens — the x69 adjudication), then
+    // each target percent picks its crossing row WITHOUT an argmin:
+    // the unique row where the running mass first reaches the target
+    // (prev = cum − cnt still below). Output is 4 rows at any corpus
+    // size.
+    "x116_vocab_coverage" -> ((s, dir) => {
+      val freq = spread(t(s, dir, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val wR = Window.orderBy(col("cnt").desc, col("tok"))
+      val ranked = freq
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      val pcts = s.range(4).select(
+        expr("element_at(array(50, 90, 95, 99), CAST(id AS INT) + 1)")
+          .cast("long").as("pct"))
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+        .filter(col("cum") * 100 >= col("pct") * col("total") &&
+          (col("cum") - col("cnt")) * 100 < col("pct") * col("total"))
+        .select(col("pct"), col("rnk").as("vocab_size"),
+          col("cum").as("tokens_covered"),
+          expr("cum * 1000000 div total").as("coverage_ppm"))
+        .orderBy(col("pct"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -7745,6 +7840,78 @@ object ExtQueries {
         |  ((n_rows - true_distinct) * 1000000) // n_rows
         |    AS true_dup_rate_ppm
         |FROM agg""".stripMargin,
+
+    // x115: same 50-pair truncation probe, same quantized S-curve.
+    "x115_lsh_planner" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE doc_id < 50 AND len(string_split_regex(text, '\s+')) >= 6),
+        |base AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    for i in range(1, len(t) - 1)]) AS sa
+        |  FROM d2),
+        |tr AS (
+        |  SELECT doc_id, list_distinct([tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2]
+        |    for i in range(1, len(tt) - 1)]) AS sb
+        |  FROM (SELECT doc_id, t[1:greatest(len(t) - 3, 0)] AS tt FROM d2)
+        |  WHERE len(tt) >= 3),
+        |probe AS (
+        |  SELECT CAST(sum(jac_ppm) AS BIGINT) AS jsum, count(*) AS n_pairs
+        |  FROM (
+        |    SELECT (CAST(len(list_intersect(sa, sb)) AS BIGINT) * 1000000)
+        |      // (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |      AS jac_ppm
+        |    FROM base JOIN tr USING (doc_id))),
+        |pr AS (
+        |  SELECT n_pairs, jsum // n_pairs AS s_high_ppm,
+        |    (jsum // n_pairs) // 2 AS s_low_ppm
+        |  FROM probe),
+        |grid AS (
+        |  SELECT CAST(1 << range AS BIGINT) AS r,
+        |    CAST(128 // (1 << range) AS BIGINT) AS b
+        |  FROM range(8)),
+        |sc AS (
+        |  SELECT r, b, s_low_ppm, s_high_ppm,
+        |    CAST(round(round(pow(1.0 / b, 1.0 / r), 6) * 1e6) AS BIGINT)
+        |      AS t_e6,
+        |    1000000 - CAST(round(round(pow(1.0 - round(pow(
+        |      CAST(s_low_ppm AS DOUBLE) / 1e6, r), 6), b), 6) * 1e6)
+        |      AS BIGINT) AS p_low_e6,
+        |    1000000 - CAST(round(round(pow(1.0 - round(pow(
+        |      CAST(s_high_ppm AS DOUBLE) / 1e6, r), 6), b), 6) * 1e6)
+        |      AS BIGINT) AS p_high_e6
+        |  FROM grid, pr)
+        |SELECT r, b, s_low_ppm, s_high_ppm, t_e6, p_low_e6, p_high_e6,
+        |  p_low_e6 + (1000000 - p_high_e6) AS cost_e6,
+        |  row_number() OVER (
+        |    ORDER BY p_low_e6 + (1000000 - p_high_e6), r) = 1 AS is_best
+        |FROM sc
+        |ORDER BY r""".stripMargin,
+
+    // x116: same type-table rank/cumsum, same crossing-row predicate.
+    "x116_vocab_coverage" ->
+      """WITH freq AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT tok, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |      AS rnk,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM freq),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |pcts AS (SELECT CAST(unnest([50, 90, 95, 99]) AS BIGINT) AS pct)
+        |SELECT pct, rnk AS vocab_size, cum AS tokens_covered,
+        |  (cum * 1000000) // total AS coverage_ppm
+        |FROM ranked, tot, pcts
+        |WHERE cum * 100 >= pct * total
+        |  AND (cum - cnt) * 100 < pct * total
+        |ORDER BY pct""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

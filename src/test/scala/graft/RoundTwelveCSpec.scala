@@ -125,6 +125,44 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert(trueDupPpm === (nRows - trueD) * 1000000L / nRows)
   }
 
+  test("x115 LSH planner: S-curve laws over the factorization grid") {
+    val rows = ExtQueries.queries("x115_lsh_planner")(spark, dir)
+      .select("r", "b", "s_low_ppm", "s_high_ppm", "t_e6",
+        "p_low_e6", "p_high_e6", "cost_e6", "is_best")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect()
+    assert(rows.length === 8)
+    assert(rows.forall(r => r._1 * r._2 === 128L))
+    assert(rows.count(_._9) === 1)
+    // collision probability is monotone in s: p(s_high) >= p(s_low)
+    rows.foreach(r => assert(r._7 >= r._6))
+    // cost identity and the best row attains the minimum
+    rows.foreach(r => assert(r._8 === r._6 + (1000000L - r._7)))
+    val best = rows.filter(_._9).head
+    assert(rows.forall(_._8 >= best._8))
+    // truncation near-dups measure high Jaccard: s_high > 0.5
+    assert(best._4 > 500000L && best._3 === best._4 / 2)
+    // r=1 (b=128) catches everything at both points; r=128 nothing
+    val r1 = rows.find(_._1 == 1L).get
+    val r128 = rows.find(_._1 == 128L).get
+    assert(r1._7 > 900000L && r128._7 < r1._7)
+  }
+
+  test("x116 vocab coverage: crossing rows bracket their targets") {
+    val rows = ExtQueries.queries("x116_vocab_coverage")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(50L, 90L, 95L, 99L))
+    // coverage at the crossing row is >= the target percent
+    rows.foreach { case (pct, _, _, covPpm) =>
+      assert(covPpm >= pct * 10000L)
+    }
+    // more coverage needs (weakly) more vocabulary, and the curve is
+    // concave enough that 99% needs strictly more than 50%
+    val sizes = rows.map(_._2)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
+    assert(sizes.last > sizes.head)
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
