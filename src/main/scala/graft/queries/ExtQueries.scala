@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, Winnow, ZOrder}
+import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Dsir, Hll, KMeansLite, NaiveBayes, Pack, Quantize, Redact, Sampling, Similarity, Text, Winnow, ZOrder}
 
 /** The LLM-data-pipeline operator surface (north-star extensions), each
   * oracle-checked over the driver's `documents` / `embeddings` tables.
@@ -4053,28 +4053,13 @@ object ExtQueries {
     // rank window orders a ≤100-row set — the standing bounded-domain
     // class.
     "x112_dsir" -> ((s, dir) => {
-      val B = 64
       val docs = spread(t(s, dir, "documents"))
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= 2)
-      val feats = docs.select(col("doc_id"), col("lang"), explode(expr(
-        "concat(t, transform(sequence(0, size(t) - 2), i -> " +
-          "concat_ws(' ', t[i], t[i+1])))")).as("f"))
-        .withColumn("b", expr(
-          s"CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % $B"))
-      val model = feats.groupBy(col("b"))
-        .agg(count(lit(1)).as("raw_n"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
-      def lnE6(num: Column, den: Column): Column =
-        round(round(log(num.cast("double") / den.cast("double")), 6)
-          * 1e6).cast("long")
-      val tot = model.agg(sum(col("raw_n")).as("raw_tot"),
-        sum(col("tgt_n")).as("tgt_tot"))
-      val lam = model.crossJoin(broadcast(tot))
-        .withColumn("lam_e6",
-          lnE6(col("tgt_n") + 1, col("tgt_tot") + B)
-            - lnE6(col("raw_n") + 1, col("raw_tot") + B))
-        .select(col("b"), col("lam_e6"))
+      val feats = docs.select(col("doc_id"), col("lang"),
+        explode(Dsir.featureArray(col("t"))).as("f"))
+        .withColumn("b", Dsir.bucket(col("f")))
+      val lam = Dsir.lambdaTable(feats, col("lang") === "en")
       val wts = feats.join(broadcast(lam), "b")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_feats"), sum(col("lam_e6")).as("w_e6"))
@@ -4276,6 +4261,73 @@ object ExtQueries {
           col("cum").as("tokens_covered"),
           expr("cum * 1000000 div total").as("coverage_ppm"))
         .orderBy(col("pct"))
+    }),
+
+    // EPOCH-CAPPED MIXTURE ALLOCATION — x114's temperature weights
+    // under the production constraint every data recipe ships with
+    // (the Llama-class "repeat no source more than E_max epochs"):
+    // water-filling, determinized as a FIXED 4-round unroll (both
+    // engines run the same rounds whether or not a round moves
+    // anything — the x106 unrolled-MM discipline). Each round: the
+    // un-capped sources split the remaining budget ∝ their √p
+    // weights (exact integer div); any source whose tentative
+    // allocation reaches its cap (2 epochs × its own tokens) freezes
+    // AT the cap and its surplus re-flows next round. Temperature
+    // upweights the TAIL, so caps bind on the smallest sources first
+    // — exactly the failure mode the cap exists for. The driver
+    // corpus is near-uniform across sources (nothing would cap), so
+    // the demo PLANTS a 1–5× source-mass skew (weight = 1 + src_n%5,
+    // the dedup-demo planted-construction discipline, reproduced in
+    // the oracle): rounds 1 AND 2 both cap sources and the re-flow
+    // cascade is exercised, not just compiled (RoundTwelveCSpec pins
+    // the two-wave capping). Budget = 1.5× corpus tokens. Scale
+    // shape: the corpus is touched ONCE (the x114 sources-bounded
+    // agg, localCheckpointed); all four rounds ride the ~20-row spine
+    // with 1-row broadcast aggregates — the bounded-BNLJ class.
+    "x117_capped_mixing" -> ((s, dir) => {
+      val stats = spread(t(s, dir, "documents"))
+        .withColumn("n_toks", size(Text.tokens(col("text"))).cast("long")
+          * (lit(1L) + expr("CAST(substring(source, 4) AS BIGINT) % 5")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("n_tokens"))
+        .localCheckpoint() // sources-bounded spine, read every round
+      val tot = stats.agg(sum(col("n_tokens")).as("total"))
+      val base = stats.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("n_tokens * 1000000 div total"))
+        .withColumn("pw_e6",
+          round(round(pow(col("p_ppm").cast("double") / 1e6, 0.5), 6)
+            * 1e6).cast("long"))
+        .withColumn("cap_tokens", col("n_tokens") * 2L)
+        .withColumn("budget", expr("(total * 3) div 2"))
+        .select(col("source"), col("n_tokens"), col("pw_e6"),
+          col("cap_tokens"), col("budget"))
+      val r0 = base.withColumn("capped", lit(false))
+        .withColumn("alloc_tokens", lit(0L))
+      val rFinal = (1 to 4).foldLeft(r0) { (prev, _) =>
+        val sums = prev.agg(
+          coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L))
+            .as("capsum"),
+          greatest(coalesce(
+            sum(when(!col("capped"), col("pw_e6"))), lit(0L)), lit(1L))
+            .as("zsum"))
+        prev.crossJoin(broadcast(sums))
+          .withColumn("tent", when(col("capped"), lit(0L)).otherwise(
+            expr("(pw_e6 * (budget - capsum)) div zsum")))
+          .withColumn("capped2",
+            col("capped") || col("tent") >= col("cap_tokens"))
+          .select(col("source"), col("n_tokens"), col("pw_e6"),
+            col("cap_tokens"), col("budget"),
+            col("capped2").as("capped"),
+            when(col("capped2"), col("cap_tokens")).otherwise(col("tent"))
+              .as("alloc_tokens"))
+      }
+      rFinal
+        .withColumn("epochs_ppm",
+          expr("alloc_tokens * 1000000 div n_tokens"))
+        .select(col("source"), col("n_tokens"), col("pw_e6"),
+          col("cap_tokens"), col("alloc_tokens"), col("epochs_ppm"),
+          col("capped"))
+        .orderBy(col("source"))
     }),
   )
 
@@ -7913,6 +7965,10 @@ object ExtQueries {
         |  AND (cum - cnt) * 100 < pct * total
         |ORDER BY pct""".stripMargin,
 
+    // x117: same √p weights, same fixed 4-round water-filling unroll
+    // ([[cappedMixSql]]).
+    "x117_capped_mixing" -> cappedMixSql(4),
+
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->
       """WITH stats AS (
@@ -7942,6 +7998,55 @@ object ExtQueries {
     * ghost-game regularization and strength floor -- every round's
     * strengths are bit-identical across engines by construction.
     */
+  /** Unrolled integer water-filling oracle mirroring x117: each round
+    * re-splits the un-capped budget by √p weight and freezes sources
+    * whose tentative allocation reaches the 2-epoch cap — the same
+    * fixed round count in both engines, so allocations are
+    * bit-identical whether or not a round still moves mass.
+    */
+  private def cappedMixSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""s_$k AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+         |      AS BIGINT) AS capsum,
+         |    greatest(CAST(coalesce(sum(CASE WHEN NOT capped THEN pw_e6 END),
+         |      0) AS BIGINT), 1) AS zsum
+         |  FROM r_${k - 1}),
+         |r_$k AS (
+         |  SELECT source, n_tokens, pw_e6, cap_tokens, budget,
+         |    capped OR tent >= cap_tokens AS capped,
+         |    CASE WHEN capped OR tent >= cap_tokens THEN cap_tokens
+         |         ELSE tent END AS alloc_tokens
+         |  FROM (
+         |    SELECT r.*, CASE WHEN r.capped THEN CAST(0 AS BIGINT)
+         |      ELSE (r.pw_e6 * (r.budget - s.capsum)) // s.zsum END AS tent
+         |    FROM r_${k - 1} r, s_$k s))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH stats AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))
+       |      * (1 + CAST(substr(source, 4) AS BIGINT) % 5)) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM stats),
+       |base AS (
+       |  SELECT source, n_tokens,
+       |    CAST(round(round(pow(CAST((n_tokens * 1000000) // total
+       |      AS DOUBLE) / 1e6, 0.5), 6) * 1e6) AS BIGINT) AS pw_e6,
+       |    n_tokens * 2 AS cap_tokens,
+       |    (total * 3) // 2 AS budget
+       |  FROM stats, tot),
+       |r_0 AS (
+       |  SELECT source, n_tokens, pw_e6, cap_tokens, budget,
+       |    FALSE AS capped, CAST(0 AS BIGINT) AS alloc_tokens
+       |  FROM base),
+       |$roundCtes
+       |SELECT source, n_tokens, pw_e6, cap_tokens, alloc_tokens,
+       |  (alloc_tokens * 1000000) // n_tokens AS epochs_ppm, capped
+       |FROM r_$rounds
+       |ORDER BY source""".stripMargin
+  }
+
   private def bradleyTerrySql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""d_$k AS (

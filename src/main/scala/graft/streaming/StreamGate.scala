@@ -78,6 +78,33 @@ object StreamGate {
     transform(kept, textCol, tsCol, watermark, bloomBytes, rules)
   }
 
+  /** The gate with DSIR target-relevance at the VERY head (the order
+    * published pipelines use: select-for-target first, then quality,
+    * then dedup/decontaminate): frozen-λ importance gate →
+    * [[transformQuality]]. The DSIR stage is one more pure narrow map
+    * ([[StreamDsir]]), so the composition invariants hold unchanged —
+    * still ONE stateful stage — and the output equals
+    * [[transformQuality]] over the DSIR-kept subset by construction
+    * (StreamGateSpec pins it). The winnowing near-dup gate
+    * ([[StreamWinnow]]) stays OUTSIDE this plan on purpose: its
+    * per-batch fingerprint windows are not expressible in an
+    * append-mode streaming plan, so it runs in the foreachBatch sink
+    * position — the same division of labor as dedup's cross-window
+    * escape hatch.
+    */
+  def transformCurated(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, lamE6: Seq[Long], tauE6: Long,
+      nb: StreamNb.Frozen, cdf: StreamAccept.FrozenCdf,
+      bloomBytes: Array[Byte], rules: Seq[(String, String)]): DataFrame = {
+    val selected = StreamDsir.weight(
+      docs.withColumn("__dt", graft.ext.Text.tokens(col(textCol))),
+      col("__dt"), lamE6, tauE6)
+      .filter(col("keep"))
+      .drop("__dt", "n_feats", "w_e6", "keep")
+    transformQuality(selected, idCol, textCol, tsCol, watermark, nb,
+      cdf, bloomBytes, rules)
+  }
+
   /** Start the full gate: [[transform]] feeding the manifest-committed
     * shard sink, one streaming query end to end.
     */

@@ -163,6 +163,41 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert(sizes.last > sizes.head)
   }
 
+  test("x117 capped mixing: caps bind, budget respected, cascade real") {
+    // sf0.01: the one corpus where the second water-filling wave caps
+    // a source the first did not (sf0.001's masses one-wave out)
+    val rows = ExtQueries
+      .queries("x117_capped_mixing")(spark, "/root/testdata/sf0.01")
+      .select("source", "n_tokens", "pw_e6", "cap_tokens",
+        "alloc_tokens", "epochs_ppm", "capped")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 20)
+    val (cap, free) = rows.partition(_._7)
+    // the cap binds on SOME sources and not others (non-degenerate)
+    assert(cap.nonEmpty && free.nonEmpty)
+    // capped sources sit exactly at 2 epochs; free ones strictly below
+    cap.foreach(r => assert(r._5 === r._4 && r._6 === 2000000L))
+    free.foreach(r => assert(r._5 < r._4 && r._6 < 2000000L))
+    // nothing allocates past the budget (integer-div slack only)
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._5).sum <= total * 3 / 2)
+    // the cascade is real: re-running water-filling in plain Scala,
+    // round 2 must cap at least one source round 1 did not
+    def wave(capped0: Set[String]): Set[String] = {
+      val capsum = rows.filter(r => capped0(r._1)).map(_._4).sum
+      val zsum = math.max(
+        rows.filterNot(r => capped0(r._1)).map(_._3).sum, 1L)
+      rows.filterNot(r => capped0(r._1)).filter { r =>
+        r._3 * (total * 3 / 2 - capsum) / zsum >= r._4
+      }.map(_._1).toSet
+    }
+    val w1 = wave(Set.empty)
+    val w2 = wave(w1)
+    assert(w1.nonEmpty && w2.nonEmpty,
+      s"expected a two-wave cascade, got w1=$w1 w2=$w2")
+    assert((w1 ++ w2 ++ wave(w1 ++ w2)) === cap.map(_._1).toSet)
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")

@@ -179,4 +179,73 @@ class StreamAcceptSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Boolean)].collect().toSet === expected)
     } finally q.stop()
   }
+
+  test("DSIR-headed curated gate == quality gate over the kept subset") {
+    import graft.ext.Dsir
+    import graft.streaming.StreamDsir
+    val base = Tables(spark, dir, "documents")
+      .withColumn("t", Text.tokens(col("text")))
+    // λ fit on the full corpus (target = en), τ at the median weight
+    // so the head gate BINDS in both directions
+    val feats = base.filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(Dsir.featureArray(col("t"))).as("f"))
+      .withColumn("b", Dsir.bucket(col("f")))
+    val lam = StreamDsir.freeze(Dsir.lambdaTable(feats, col("lang") === "en"))
+    val ws = StreamDsir.weight(base, col("t"), lam, 0L)
+      .select(col("w_e6")).as[Long].collect().sorted
+    val tau = ws(ws.length / 2)
+    val (model, consts) = NaiveBayes.train(
+      base.filter(col("doc_id") % 3 === 0)
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("long")),
+      "t", "label")
+    val nb = StreamNb.freeze(model, consts)
+    val cdf = StreamAccept.freeze(
+      StreamNb.score(base.filter(col("doc_id") % 3 === 0), col("t"), nb),
+      col("score_e6"))
+    val bytes = graft.streaming.StreamBloom.filterBytes(
+      Seq("nothing blocked").toDF("text"), md5(col("text")), 10L, 0.001)
+    val rules = Seq("the" -> "a")
+    val sample = base.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (b1, b2) = sample.splitAt(sample.length / 2)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    val q = graft.streaming.StreamGate.transformCurated(
+        stream, "doc_id", "text", "ts", "1 hour", lam, tau, nb, cdf,
+        bytes, rules)
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("m"))
+      .writeStream.format("memory").queryName("cgate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: the promised identity — quality gate over exactly
+    // the DSIR-kept subset
+    val kept = StreamDsir.weight(base, col("t"), lam, tau)
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    val accepted = StreamAccept.gate(
+        StreamNb.score(kept.withColumn("t", Text.tokens(col("text"))),
+          col("t"), nb),
+        col("doc_id"), col("score_e6"), cdf)
+      .filter(col("keep"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val expect = graft.ext.BpeMerge.encodeFrozen(
+        accepted.withColumn("rn", row_number().over(wD))
+          .filter(col("rn") === 1)
+          .withColumn("toks", Text.tokens(col("text"))), rules)
+      .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("m"))
+      .as[(Long, String)].collect().toSet
+    val got = spark.table("cgate_out").as[(Long, String)].collect().toSet
+    assert(got === expect)
+    // the DSIR head binds: fewer docs than the corpus reach the tail,
+    // and fewer than the quality gate alone would keep
+    assert(got.nonEmpty && got.size < sample.size)
+    val keptN = kept.count()
+    assert(keptN < sample.size && got.size <= keptN)
+  }
 }
