@@ -826,6 +826,35 @@ ks.foreach { k =>
           f"perround_fast=${dtFast / fastRounds}%5.2fs")
       }
     }
+
+    // x111 winnowing curve — env-gated (SPARK_GRAFT_PROBE_WINNOW=1).
+    // The two claims: (1) LINEAR — fingerprinting cost per doc is flat
+    // as the corpus scales (narrow hashing + doc-keyed windows, no
+    // cross-doc work before the fp_h exchange); (2) the DETECTION
+    // GROWS with the planted cross-copy near-dup mass — scaledDocs's
+    // rotated copies share their full token stream up to the rotation
+    // boundary, so at k≥2 every doc shares fingerprints with its
+    // rotated twins (the MOSS guarantee under cyclic shift), while at
+    // k=1 sharing is only vocabulary collision.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_WINNOW")) {
+      ks.foreach { k =>
+        val corpus = scaledDocs(k)
+          .withColumn("t", Text.tokens(col("text")))
+          .localCheckpoint() // tokenize off the timed path
+        val t0 = System.nanoTime()
+        val summary = graft.ext.Winnow.summary(
+          graft.ext.Winnow.fingerprints(corpus, "t", 4, 5))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_fp")).as("nfp"),
+            sum(when(col("share_ppm") >= 500000L, 1L).otherwise(0L))
+              .as("ndup"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-WINNOW k=$k%2d docs=${summary.getLong(0)}%7d " +
+          f"nfp=${summary.getLong(1)}%9d dup=${summary.getLong(2)}%7d " +
+          f"dt=$dt%6.2fs perdoc_us=${dt * 1e6 / summary.getLong(0)}%7.1f")
+      }
+    }
     spark.stop()
   }
 }

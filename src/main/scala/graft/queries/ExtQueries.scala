@@ -4329,6 +4329,60 @@ object ExtQueries {
           col("capped"))
         .orderBy(col("source"))
     }),
+
+    // WITHIN-DOCUMENT REPETITION SURGERY — x65's span removal turned
+    // INWARD (the Gopher-rule follow-through: x71 flags self-repeating
+    // docs, this op repairs them): every ≥w-token window that already
+    // occurred EARLIER in the same document is marked (first
+    // occurrence survives by the min-idx rule), marked offsets merge
+    // into islands, islands become cover intervals, covered tokens
+    // drop, the doc is rebuilt and fingerprinted. Corpus plants the
+    // echo pathology cleaning exists for: copies (id+10000) re-append
+    // their own opening 12 tokens — the trailing-boilerplate echo —
+    // and surgery must return them to EXACTLY their source's cleaned
+    // form (RoundTwelveCSpec pins clean_md5 equality per pair).
+    // Scale shape: x65's — narrow window hashing, the first-occurrence
+    // rule and islands ride ONE (doc_id)-keyed exchange (the (doc,h)
+    // min and the island row_number share the doc hash partitioning),
+    // per-doc interval lists bounded by the doc's own island count,
+    // rebuild a narrow HOF filter.
+    "x118_self_repetition" -> ((s, dir) => {
+      val w = 8
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val echoed = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          array_join(slice(toks, 1, 12), " ")).as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(echoed))
+      val wins = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $w)," +
+            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
+      val wFirst = Window.partitionBy(col("doc_id"), col("h"))
+      val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spans = wins
+        .withColumn("first_idx", min(col("idx")).over(wFirst))
+        .filter(col("idx") > col("first_idx"))
+        .withColumn("island", col("idx") - row_number().over(grp))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("idx")).as("s"), (max(col("idx")) + (w - 1)).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      corpus.join(spans, Seq("doc_id"), "left")
+        .withColumn("t", Text.tokens(col("text")))
+        .withColumn("kept", expr(
+          "filter(t, (tok, i) -> spans IS NULL OR" +
+            " NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -7968,6 +8022,66 @@ object ExtQueries {
     // x117: same √p weights, same fixed 4-round water-filling unroll
     // ([[cappedMixSql]]).
     "x117_capped_mixing" -> cappedMixSql(4),
+
+    // x118: same echo corpus, same first-occurrence mark, same
+    // islands → intervals → positional token filter as the x65 form.
+    "x118_self_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    text || ' ' || array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:12], ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(CAST(len(t) - 8 AS BIGINT) + 1, 0)))
+        |      AS idx
+        |  FROM tok WHERE len(t) >= 8),
+        |wins AS (
+        |  SELECT doc_id, idx,
+        |    md5(array_to_string(t[idx+1 : idx+8], ' ')) AS h
+        |  FROM ix),
+        |firsts AS (
+        |  SELECT doc_id, h, min(idx) AS fidx FROM wins GROUP BY doc_id, h),
+        |iv AS (
+        |  SELECT doc_id, island,
+        |    min(idx) AS s, max(idx) + 7 AS e
+        |  FROM (
+        |    SELECT w.doc_id, w.idx,
+        |      w.idx - row_number() OVER (PARTITION BY w.doc_id
+        |        ORDER BY w.idx) AS island
+        |    FROM wins w JOIN firsts f
+        |      ON f.doc_id = w.doc_id AND f.h = w.h
+        |    WHERE w.idx > f.fidx)
+        |  GROUP BY doc_id, island),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, CAST(len(t) AS BIGINT))) AS i
+        |  FROM tok),
+        |rem AS (
+        |  SELECT DISTINCT p.doc_id, p.i
+        |  FROM pos p JOIN iv ON iv.doc_id = p.doc_id
+        |    AND p.i BETWEEN iv.s AND iv.e),
+        |kept AS (
+        |  SELECT p.doc_id, p.i
+        |  FROM pos p LEFT JOIN rem r ON r.doc_id = p.doc_id AND r.i = p.i
+        |  WHERE r.i IS NULL),
+        |rebuilt AS (
+        |  SELECT k.doc_id,
+        |    count(*) AS n_kept,
+        |    string_agg(tok.t[k.i + 1], ' ' ORDER BY k.i) AS clean
+        |  FROM kept k JOIN tok ON tok.doc_id = k.doc_id
+        |  GROUP BY k.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(clean, '')) AS clean_md5
+        |FROM corpus c
+        |JOIN tok t ON t.doc_id = c.doc_id
+        |LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

@@ -198,6 +198,24 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert((w1 ++ w2 ++ wave(w1 ++ w2)) === cap.map(_._1).toSet)
   }
 
+  test("x118 self-repetition surgery: echoes excised, sources untouched") {
+    val rows = ExtQueries.queries("x118_self_repetition")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length === 1000)
+    val base = rows.filter(_._1 < 10000).map(r => r._1 -> r).toMap
+    val echoed = rows.filter(_._1 >= 10000)
+    echoed.foreach { e =>
+      val b = base(e._1 - 10000)
+      // surgery returns the echoed copy to EXACTLY its source's form
+      assert(e._4 === b._4, s"pair ${e._1}")
+      // the excised mass is the echo block: min(12, source length)
+      assert(e._3 - b._3 === math.min(12L, b._2), s"pair ${e._1}")
+    }
+    // this corpus has no natural 8-gram self-repeats — sources pass
+    // through whole (a fixture fact the pair deltas above rely on)
+    assert(base.values.forall(_._3 === 0L))
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
