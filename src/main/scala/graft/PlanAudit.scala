@@ -97,6 +97,12 @@ object PlanAudit {
         " exactly 8 rows (the divisor ladder of n=128 signatures) at" +
         " any corpus size; the corpus probe it joins is a bounded" +
         " 50-pair aggregate"),
+    "x119_curriculum_interleave" ->
+      ("bucketedRank offset cumsum: score_ppm is value-bounded in" +
+        " [0, 1e6] and bucketed div 4096, so the single-partition" +
+        " frame is <=245 offset rows at any corpus size (the x86/x91" +
+        " shape); per-doc ranking runs under the KEYED bucket window" +
+        " and decile/position are pure arithmetic on the rank"),
     "x116_vocab_coverage" ->
       ("rank + running-mass windows ride the TYPE table, never the" +
         " token stream: distinct types are <= sqrt(2N) for N corpus" +

@@ -39,6 +39,31 @@ object ExtQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The x86/x91 two-level bucketed GLOBAL rank (ascending on
+    * `scoreCol` with doc_id tiebreak), for value-bounded ppm scores:
+    * 4096-wide buckets cap the offset table at ≤245 rows — the only
+    * unpartitioned window — while per-doc ranking runs under the
+    * KEYED bucket window. Equals a plain global row_number by
+    * construction; the oracles use that form.
+    */
+  private def bucketedRank(df: DataFrame, scoreCol: String,
+      rankCol: String): DataFrame = {
+    val offs = df.groupBy(expr(s"$scoreCol div 4096").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wO = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = offs
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wO), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wB = Window.partitionBy(col("__b"))
+      .orderBy(col(scoreCol), col("doc_id"))
+    df.withColumn("__b", expr(s"$scoreCol div 4096"))
+      .join(broadcast(offsets), "__b")
+      .withColumn(rankCol,
+        col("__off") + row_number().over(wB).cast("long"))
+      .drop("__b", "__off")
+  }
+
   /** The k∝corpus deployment discipline (round-10 verdict task #5):
     * cells = max(1, ceil(n / 500)) — cell population stays ~500 as the
     * corpus grows, so within-cell pair work is O(n·500), never the
@@ -4383,6 +4408,110 @@ object ExtQueries {
           md5(array_join(col("kept"), " ")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // CURRICULUM INTERLEAVE — training-order construction: rank the
+    // corpus by quality (the x102 distinct-token metric), cut into
+    // deciles, and emit the ROUND-ROBIN order (one doc from each
+    // decile in rotation) so every training window sees the full
+    // quality distribution — the anti-clustering ordering data-order
+    // ablations call for, as pure arithmetic on the global rank:
+    // decile = ((rnk−1)·10) div N, within-decile position = rnk minus
+    // the decile's start, curriculum position = (wrank−1)·10+decile
+    // (injective by construction — no second ranking pass). Rank
+    // rides [[bucketedRank]]: the only unpartitioned window is the
+    // ≤245-row bucket-offset table. Scale shape: one tokenize+project,
+    // one bucket-keyed rank exchange, then narrow arithmetic.
+    "x119_curriculum_interleave" -> ((s, dir) => {
+      val scored = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) > 0)
+        .withColumn("score_ppm",
+          expr("CAST(size(array_distinct(t)) AS BIGINT) * 1000000" +
+            " div CAST(size(t) AS BIGINT)"))
+        .select(col("doc_id"), col("score_ppm"))
+        .localCheckpoint() // 2-col longs; read by offsets + join + n —
+      // without the cut each consumer re-tokenizes the corpus
+      val n = scored.agg(count(lit(1)).as("n_total"))
+      bucketedRank(scored, "score_ppm", "rnk")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n_total"))
+        .withColumn("wrank", expr("rnk - (decile * n_total) div 10"))
+        .withColumn("pos", expr("(wrank - 1) * 10 + decile"))
+        .select(col("doc_id"), col("score_ppm"), col("rnk"),
+          col("decile"), col("wrank"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
+    // QUALITY-SIGNAL RANK BLEND — the classifier-ensemble trick
+    // (combine heterogeneous quality signals on the RANK scale, where
+    // their incomparable units cancel): three deterministic signals —
+    // type-token ratio, stopword ratio, capped chars-per-token — each
+    // percentile-ranked by the x86/x91 two-level law, blended as the
+    // integer mean of the three rank-ppms, gated at the median. The
+    // offset half of all three ranks is ONE bounded aggregate
+    // (signals are value-bounded ppm → ≤245 buckets each, ≤735 rows
+    // total) COLLECTED into literal maps — the StreamNb frozen-
+    // literal discipline, bounded driver state — so each per-doc rank
+    // is a keyed bucket window plus a map lookup: no offset broadcast
+    // joins, no n_total job (N is the offsets' own sum). A/B'd at
+    // sf1: the three-fold bucketedRank form with broadcast-join
+    // offsets ran 2.88 s (post-checkpoint; 4.23 s before); this form
+    // removes three broadcast builds and the count job. Signal
+    // DIRECTIONS are conventions stated here: higher ttr, higher
+    // stopword share and longer words all rank upward — the blend
+    // demotes docs only when signals agree.
+    "x120_quality_rank_blend" -> ((s, dir) => {
+      val scored = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) > 0)
+        .withColumn("ttr_ppm",
+          expr("CAST(size(array_distinct(t)) AS BIGINT) * 1000000" +
+            " div CAST(size(t) AS BIGINT)"))
+        .withColumn("__sc", Text.stopwordCount(col("t")).cast("long"))
+        .withColumn("stop_ppm", // integer div, not Column./ (double)
+          expr("__sc * 1000000 div CAST(size(t) AS BIGINT)"))
+        .withColumn("wlen_ppm",
+          least(expr("n_chars * 1000000 div" +
+            " (CAST(size(t) AS BIGINT) * 16)"), lit(1000000L)))
+        .select(col("doc_id"), col("ttr_ppm"), col("stop_ppm"),
+          col("wlen_ppm"))
+        .localCheckpoint() // 4-col longs; read by the offsets agg and
+      // the rank pass — without the cut each re-tokenizes the corpus
+      val sigs = Seq("ttr_ppm" -> "r1", "stop_ppm" -> "r2",
+        "wlen_ppm" -> "r3")
+      val offRows = scored.select(explode(array(sigs.map {
+          case (sc, rk) => struct(lit(rk).as("sig"),
+            expr(s"$sc div 4096").as("b"))
+        }: _*)).as("x"))
+        .groupBy(col("x.sig").as("sig"), col("x.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect() // bounded: ≤245 buckets × 3 signals
+      val nTotal = offRows.filter(_.getString(0) == "r1")
+        .map(_.getLong(2)).sum
+      def offMap(rk: String): Column = {
+        val sorted = offRows.filter(_.getString(0) == rk)
+          .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        val cum = sorted.map(_._2).scanLeft(0L)(_ + _).init
+        typedlit(sorted.map(_._1).zip(cum).toMap)
+      }
+      val ranked = sigs.foldLeft(scored) { case (df, (sc, rk)) =>
+        val wB = Window.partitionBy(expr(s"$sc div 4096"))
+          .orderBy(col(sc), col("doc_id"))
+        df.withColumn(rk,
+          element_at(offMap(rk), expr(s"$sc div 4096"))
+            + row_number().over(wB).cast("long"))
+      }
+      def rPpm(rk: String): String =
+        s"(($rk - 1) * 1000000 div ${math.max(nTotal - 1, 1)}L)"
+      ranked
+        .withColumn("blend_ppm", expr(
+          s"(${rPpm("r1")} + ${rPpm("r2")} + ${rPpm("r3")}) div 3"))
+        .withColumn("keep", col("blend_ppm") >= 500000L)
+        .select(col("doc_id"), col("ttr_ppm"), col("stop_ppm"),
+          col("wlen_ppm"), col("r1"), col("r2"), col("r3"),
+          col("blend_ppm"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -8082,6 +8211,74 @@ object ExtQueries {
         |JOIN tok t ON t.doc_id = c.doc_id
         |LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // x119: plain global rank (equals the engine's two-level form by
+    // construction), same decile/round-robin arithmetic.
+    "x119_curriculum_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+        |      // CAST(len(t) AS BIGINT) AS score_ppm
+        |  FROM d WHERE len(t) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM s),
+        |r AS (
+        |  SELECT doc_id, score_ppm,
+        |    CAST(row_number() OVER (ORDER BY score_ppm, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, score_ppm, rnk,
+        |    ((rnk - 1) * 10) // n_total AS decile
+        |  FROM r, n),
+        |w AS (
+        |  SELECT g.doc_id, g.score_ppm, g.rnk, g.decile,
+        |    g.rnk - (g.decile * n.n_total) // 10 AS wrank
+        |  FROM g, n)
+        |SELECT doc_id, score_ppm, rnk, decile, wrank,
+        |  (wrank - 1) * 10 + decile AS pos
+        |FROM w
+        |ORDER BY pos""".stripMargin,
+
+    // x120: same three signals, plain global ranks, same integer
+    // blend.
+    "x120_quality_rank_blend" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS t
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+         |      // CAST(len(t) AS BIGINT) AS ttr_ppm,
+         |    CAST(len(list_filter(t, x -> x IN ($stoplistSql)))
+         |      AS BIGINT) * 1000000 // CAST(len(t) AS BIGINT)
+         |      AS stop_ppm,
+         |    least(n_chars * 1000000 // (CAST(len(t) AS BIGINT) * 16),
+         |      1000000) AS wlen_ppm
+         |  FROM d WHERE len(t) > 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM s),
+         |r AS (
+         |  SELECT doc_id, ttr_ppm, stop_ppm, wlen_ppm,
+         |    CAST(row_number() OVER (ORDER BY ttr_ppm, doc_id)
+         |      AS BIGINT) AS r1,
+         |    CAST(row_number() OVER (ORDER BY stop_ppm, doc_id)
+         |      AS BIGINT) AS r2,
+         |    CAST(row_number() OVER (ORDER BY wlen_ppm, doc_id)
+         |      AS BIGINT) AS r3
+         |  FROM s)
+         |SELECT doc_id, ttr_ppm, stop_ppm, wlen_ppm, r1, r2, r3,
+         |  (((r1 - 1) * 1000000 // greatest(n_total - 1, 1)) +
+         |   ((r2 - 1) * 1000000 // greatest(n_total - 1, 1)) +
+         |   ((r3 - 1) * 1000000 // greatest(n_total - 1, 1))) // 3
+         |    AS blend_ppm,
+         |  (((r1 - 1) * 1000000 // greatest(n_total - 1, 1)) +
+         |   ((r2 - 1) * 1000000 // greatest(n_total - 1, 1)) +
+         |   ((r3 - 1) * 1000000 // greatest(n_total - 1, 1))) // 3
+         |    >= 500000 AS keep
+         |FROM r, n
+         |ORDER BY doc_id""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

@@ -216,6 +216,51 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert(base.values.forall(_._3 === 0L))
   }
 
+  test("x119 curriculum interleave: round-robin law over deciles") {
+    val rows = ExtQueries.queries("x119_curriculum_interleave")(spark, dir)
+      .select("doc_id", "score_ppm", "rnk", "decile", "wrank", "pos")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    // positions are unique; ranks are the 1..N permutation
+    assert(rows.map(_._6).distinct.length === rows.length)
+    assert(rows.map(_._3).sorted.toSeq === (1L to 500L))
+    // decile arithmetic from the rank, recomputed
+    rows.foreach { r =>
+      assert(r._4 === (r._3 - 1) * 10 / 500)
+      assert(r._5 === r._3 - r._4 * 500 / 10)
+      assert(r._6 === (r._5 - 1) * 10 + r._4)
+    }
+    // the first 10 curriculum slots hold one doc from EACH decile
+    val firstTen = rows.sortBy(_._6).take(10).map(_._4).toSet
+    assert(firstTen === (0L to 9L).toSet)
+    // ordering by rank within each decile is preserved
+    rows.groupBy(_._4).values.foreach { g =>
+      val byPos = g.sortBy(_._6).map(_._3)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a < b })
+    }
+  }
+
+  test("x120 rank blend: blend is the mean of per-signal percentiles") {
+    val rows = ExtQueries.queries("x120_quality_rank_blend")(spark, dir)
+      .select("doc_id", "r1", "r2", "r3", "blend_ppm", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 500)
+    val n = rows.length.toLong
+    rows.foreach { r =>
+      val ppm = Seq(r._2, r._3, r._4)
+        .map(rk => (rk - 1) * 1000000L / (n - 1)).sum / 3
+      assert(r._5 === ppm)
+      assert(r._6 === (ppm >= 500000L))
+    }
+    // each rank column is a permutation of 1..N (ties broken by id)
+    Seq(rows.map(_._2), rows.map(_._3), rows.map(_._4)).foreach { rs =>
+      assert(rs.sorted.toSeq === (1L to n))
+    }
+    // the gate splits the corpus near the median, both sides populated
+    val kept = rows.count(_._6)
+    assert(kept > 100 && kept < 400)
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
