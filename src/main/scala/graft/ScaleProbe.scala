@@ -836,6 +836,38 @@ ks.foreach { k =>
     // boundary, so at k≥2 every doc shares fingerprints with its
     // rotated twins (the MOSS guarantee under cyclic shift), while at
     // k=1 sharing is only vocabulary collision.
+    // x112 DSIR curve — env-gated (SPARK_GRAFT_PROBE_DSIR=1). The two
+    // claims: (1) MODEL STATE IS CONSTANT — λ is exactly 64 rows at
+    // every corpus size (feature hashing is the state bound, the
+    // paper's point); (2) the frozen-λ narrow-map serve is linear
+    // with a constant literal (the StreamNb shape). Target = copy 0
+    // (the un-rotated slice), so the target/raw contrast is stable
+    // as k grows.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_DSIR")) {
+      ks.foreach { k =>
+        val corpus = scaledDocs(k)
+          .withColumn("t", Text.tokens(col("text")))
+          .filter(size(col("t")) >= 2)
+          .localCheckpoint() // tokenize off the timed paths
+        val t0 = System.nanoTime()
+        val feats = corpus.select(col("doc_id"),
+          explode(graft.ext.Dsir.featureArray(col("t"))).as("f"))
+          .withColumn("b", graft.ext.Dsir.bucket(col("f")))
+        val lam = graft.streaming.StreamDsir.freeze(
+          graft.ext.Dsir.lambdaTable(feats, col("doc_id") < 1000000L))
+        val dtFit = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val kept = graft.streaming.StreamDsir
+          .weight(corpus, col("t"), lam, 0L)
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n"))
+          .head().getLong(0)
+        val dtServe = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-DSIR k=$k%2d docs=${k * n0}%7d " +
+          f"lambda_rows=${lam.length}%3d fit=$dtFit%6.2fs " +
+          f"serve=$dtServe%6.2fs kept=$kept%7d")
+      }
+    }
+
     if (sys.env.contains("SPARK_GRAFT_PROBE_WINNOW")) {
       ks.foreach { k =>
         val corpus = scaledDocs(k)

@@ -4512,6 +4512,106 @@ object ExtQueries {
           col("blend_ppm"), col("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // RAG OVERLAP CHUNKING — the retrieval-corpus prep step: cut each
+    // document into fixed-size token windows (32) at a fixed stride
+    // (24, i.e. 8-token overlap) so no retrievable span straddles a
+    // boundary unseen; chunk count = ceil((n−c)/s)+1 with short docs
+    // one whole chunk. The ceil rides non-negative integer div ONLY
+    // (the n≤c guard keeps the dividend positive — Spark's div
+    // truncates toward zero while DuckDB's // floors, and they
+    // disagree exactly on negatives). Each chunk carries its offset,
+    // exact length (arithmetic, not a re-split) and content md5 —
+    // the downstream x90/x94 unit. Scale shape: one narrow
+    // tokenize+explode, output ~n/s rows per n-token doc, no shuffle
+    // at all past the scan.
+    "x121_rag_chunks" -> ((s, dir) => {
+      val c = 32; val st = 24
+      spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")).cast("long"))
+        .select(col("doc_id"), col("n"), posexplode(expr(
+          s"transform(sequence(CAST(0 AS BIGINT), CASE WHEN n <= $c " +
+            s"THEN CAST(0 AS BIGINT) ELSE (n - $c + $st - 1) div $st " +
+            s"END), i -> md5(array_join(slice(t, CAST(i * $st + 1 " +
+            s"AS INT), $c), ' ')))")))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("pos").cast("long").as("chunk_idx"),
+          (col("pos") * st).cast("long").as("start_tok"),
+          least(lit(c.toLong), col("n") - col("pos") * st).as("chunk_len"),
+          col("col").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // SPLIT-STRATEGY LEAKAGE COMPARATOR — closes the loop x38/x39
+    // leave open: x38 MEASURES the naive hash split's leak and x39
+    // SHIPS the component split, but nothing prices the strategies
+    // against each other on the same discovered-pair set. This audit
+    // does, three ways, on the x02 banded-MinHash pairs (verified at
+    // Jaccard ≥ 0.5): (a) NAIVE per-document hash split — leaks
+    // ~2·p·(1−p) of dup pairs (a near-copy of a training doc lands in
+    // test); (b) SOURCE-GROUP split (hash the known source id) —
+    // fixes the PLANTED copies but still leaks on discovered
+    // cross-source near-dups, the failure mode "group by provenance"
+    // silently carries; (c) COMPONENT split (hash the pair-graph
+    // component label, x39's machinery) — zero BY CONSTRUCTION, and
+    // the audit MEASURES the zero instead of assuming it. Scale
+    // shape: the x02 candidate machinery (band-key equi-join, never
+    // all-pairs), pairs localCheckpointed (read by the component
+    // propagation AND the audit), component labels a bounded-round
+    // min-propagation, final output 3 rows.
+    "x122_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 3), " ").as("text"))
+      val corpus = spread(
+        docs.select(col("doc_id"), col("text")).unionByName(mutated))
+      val sh = corpus
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
+      val pairs = Dedup.nearDupPairs(sh, "doc_id", "s",
+          numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // pairs-sized; read by components + audit
+      val comp = Components.connectedComponents(
+        sh.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+      def isTest(idExpr: String, tag: String): Column =
+        expr(s"CAST(conv(substring(md5(CAST(($idExpr) AS STRING) || " +
+          s"'$tag'), 1, 8), 16, 10) AS BIGINT) % 1000000") < 200000L
+      val flagged = pairs
+        .join(comp.select(col("doc_id").as("id_a"),
+          col("cluster_id").as("comp_a")), "id_a")
+        .join(comp.select(col("doc_id").as("id_b"),
+          col("cluster_id").as("comp_b")), "id_b")
+        .withColumn("naive_cross",
+          (isTest("id_a", "#spl") =!= isTest("id_b", "#spl"))
+            .cast("long"))
+        .withColumn("group_cross",
+          (isTest("id_a % 10000", "#spl") =!=
+            isTest("id_b % 10000", "#spl")).cast("long"))
+        .withColumn("comp_cross",
+          (isTest("comp_a", "#spl") =!= isTest("comp_b", "#spl"))
+            .cast("long"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("naive_cross")).as("naive_leaks"),
+          sum(col("group_cross")).as("group_leaks"),
+          sum(col("comp_cross")).as("comp_leaks"))
+      flagged.select(explode(array(
+          struct(lit("component").as("strategy"), col("n_pairs"),
+            col("comp_leaks").as("n_cross")),
+          struct(lit("group").as("strategy"), col("n_pairs"),
+            col("group_leaks").as("n_cross")),
+          struct(lit("naive").as("strategy"), col("n_pairs"),
+            col("naive_leaks").as("n_cross")))).as("x"))
+        .select(col("x.strategy"), col("x.n_pairs"), col("x.n_cross"))
+        .withColumn("leak_ppm",
+          expr("n_cross * 1000000 div greatest(n_pairs, CAST(1 AS BIGINT))"))
+        .orderBy(col("strategy"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -8279,6 +8379,127 @@ object ExtQueries {
          |    >= 500000 AS keep
          |FROM r, n
          |ORDER BY doc_id""".stripMargin,
+
+    // x121: same window/stride arithmetic, non-negative div only.
+    "x121_rag_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM tok WHERE len(t) > 0),
+        |ch AS (
+        |  SELECT doc_id, n, unnest(range(0,
+        |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END))
+        |    AS i, t
+        |  FROM d)
+        |SELECT doc_id, n AS n_tokens, i AS chunk_idx,
+        |  i * 24 AS start_tok,
+        |  least(32, n - i * 24) AS chunk_len,
+        |  md5(array_to_string(t[i*24+1 : i*24+32], ' ')) AS chunk_md5
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // x122: the x02 candidate machinery + md5 split membership; the
+    // component labels via the x23 recursive-reach form.
+    "x122_split_leakage" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(
+        |      (string_split_regex(text, '\s+'))[1:len(string_split_regex(text, '\s+')) - 3],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x || '#' || CAST(h // 4 AS VARCHAR)),
+        |                      CAST(1 + 8 * (h % 4) AS INT), 8) for x in s])
+        |     for h in range(0, 12)] AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(g[3*b+1] || g[3*b+2] || g[3*b+3]) AS bh
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |             AS DOUBLE) AS jac
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM sh
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS cluster_id
+        |         FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_a AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS ta_n,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_b AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS tb_n,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_a % 10000 AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS ta_g,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_b % 10000 AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS tb_g,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(ca.cluster_id AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS ta_c,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(CAST(cb.cluster_id AS VARCHAR) || '#spl'), i, 1)) - 1)
+        |      * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)])
+        |      AS BIGINT) % 1000000 < 200000) AS tb_c
+        |  FROM p
+        |  JOIN comp ca ON ca.doc_id = p.doc_a
+        |  JOIN comp cb ON cb.doc_id = p.doc_b),
+        |agg AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN ta_n <> tb_n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS naive_leaks,
+        |    CAST(sum(CASE WHEN ta_g <> tb_g THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS group_leaks,
+        |    CAST(sum(CASE WHEN ta_c <> tb_c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS comp_leaks
+        |  FROM f)
+        |SELECT 'component' AS strategy, n_pairs, comp_leaks AS n_cross,
+        |  (comp_leaks * 1000000) // greatest(n_pairs, 1) AS leak_ppm
+        |FROM agg
+        |UNION ALL
+        |SELECT 'group', n_pairs, group_leaks,
+        |  (group_leaks * 1000000) // greatest(n_pairs, 1)
+        |FROM agg
+        |UNION ALL
+        |SELECT 'naive', n_pairs, naive_leaks,
+        |  (naive_leaks * 1000000) // greatest(n_pairs, 1)
+        |FROM agg
+        |ORDER BY strategy""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

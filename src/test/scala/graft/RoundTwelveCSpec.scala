@@ -261,6 +261,61 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert(kept > 100 && kept < 400)
   }
 
+  test("x121 RAG chunks: coverage, stride and content identity") {
+    val rows = ExtQueries.queries("x121_rag_chunks")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size === 500)
+    byDoc.foreach { case (_, chunks) =>
+      val n = chunks.head._2
+      val sorted = chunks.sortBy(_._3)
+      // stride law: starts are 0, 24, 48, ...
+      assert(sorted.map(_._4).toSeq ===
+        sorted.indices.map(_ * 24L))
+      // expected chunk count
+      val k = if (n <= 32) 1L else (n - 32 + 23) / 24 + 1
+      assert(sorted.length.toLong === k)
+      // coverage: the last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last._4 + last._5 === n)
+      // every chunk length is exact
+      sorted.foreach(c => assert(c._5 === math.min(32L, n - c._4)))
+      // consecutive chunks overlap by 8 (except a short final chunk)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4 - a._4 === 24L && a._4 + a._5 > b._4)
+        case _ =>
+      }
+    }
+    // chunk content is the real slice: recompute one doc's md5s
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 7L).select("text").as[String].head()
+    val toks = doc.trim.split("\\s+").toSeq
+    val expect = (0L until byDoc(7L).length.toLong).map { i =>
+      val start = (i * 24).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(toks.slice(start, start + 32).mkString(" ")
+        .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    assert(byDoc(7L).sortBy(_._3).map(_._6).toSeq === expect)
+  }
+
+  test("x122 split leakage: naive > group > component == 0") {
+    val rows = ExtQueries.queries("x122_split_leakage")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq("component", "group", "naive"))
+    val byS = rows.map(r => r._1 -> r).toMap
+    // same discovered-pair set audited by all three
+    assert(rows.map(_._2).distinct.length === 1 && rows.head._2 > 400)
+    // the ordering the op exists to demonstrate
+    assert(byS("component")._3 === 0L)
+    assert(byS("group")._3 > 0L, "expected discovered cross-source dups")
+    assert(byS("naive")._3 > byS("group")._3)
+    // naive hash split at p=0.2 leaks ~2p(1-p)=32% of pairs; wide band
+    val naivePpm = byS("naive")._4
+    assert(naivePpm > 200000L && naivePpm < 450000L)
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
