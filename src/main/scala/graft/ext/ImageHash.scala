@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ext.MultiModal.MediaRecord
+
+/** Perceptual image deduplication — dHash (difference hash), the
+  * standard near-duplicate image fingerprint: resize the luma plane to
+  * a (w+1)×h grid, set bit (r, c) iff luma(r, c) > luma(r, c+1), giving
+  * a 64-bit signature (w=8, h=8) whose Hamming distance tracks visual
+  * similarity. Two properties make it the pipeline workhorse: exact
+  * INVARIANCE under uniform brightness/contrast shifts (only adjacent-
+  * pixel ORDER matters — ImageHashSpec pins it), and robustness to
+  * re-encoding and small edits (a few flipped bits, not a new hash).
+  *
+  * Candidate generation at corpus scale is the Hamming-LSH pigeonhole:
+  * split the 64-bit hash into 4 disjoint 16-bit bands — any pair
+  * within Hamming distance ≤ 3 has 4 bands and at most 3 differing
+  * bits, so at least ONE band matches exactly (the x02 band-equi-join
+  * shape, never all-pairs). Verification recomputes the true Hamming
+  * distance on the candidates only.
+  *
+  * Decode rides [[MultiModal]]'s real pure-JVM codecs (P6 + PNG);
+  * undecodable payloads yield no hash row — a gate must not invent
+  * fingerprints for bytes it cannot read.
+  */
+object ImageHash {
+
+  /** 64-bit dHash of a decoded raster: 9×8 luma grid via the codec's
+    * resize kernel, row-major adjacent-pixel comparisons.
+    */
+  def dHash(img: Ppm.Image): Long = {
+    val g = Ppm.resize(img, 9, 8)
+    def luma(r: Int, c: Int): Double = {
+      val p = (r * 9 + c) * 3
+      0.2126 * (g.pixels(p) & 0xff) + 0.7152 * (g.pixels(p + 1) & 0xff) +
+        0.0722 * (g.pixels(p + 2) & 0xff)
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (luma(r, c) > luma(r, c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** (doc_id, dhash) for every decodable image in the media set —
+    * per-partition batch decode, the [[MultiModal.featurize]] dataflow.
+    */
+  def hashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        Ppm.decode(rec.content).orElse(Png.decode(rec.content))
+          .map(img => (rec.doc_id, dHash(img)))
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` (≤ 3 for the
+    * 4-band pigeonhole to be exhaustive): band equi-join candidates,
+    * exact Hamming verification, distinct pairs.
+    */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 disjoint 16-bit bands are exhaustive only to Hamming 3")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), " +
+          "b -> (shiftright(dhash, b * 16) & 65535))")))
+      .select(col("doc_id"), col("dhash"),
+        col("pos").as("band"), col("col").as("band_bits"))
+    banded.as("a").hint("merge")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

@@ -4612,6 +4612,50 @@ object ExtQueries {
           expr("n_cross * 1000000 div greatest(n_pairs, CAST(1 AS BIGINT))"))
         .orderBy(col("strategy"))
     }),
+
+    // SESSION ACTION-TRANSITION MATRIX — agent-trajectory statistics:
+    // sessionize the event log (x13's 30-minute rule), read each
+    // session as an action sequence, and aggregate the first-order
+    // Markov transition matrix with an explicit END state (the
+    // session's last action transitions to END — absorbing state, so
+    // every row's outgoing mass is complete). Probabilities are
+    // Laplace-smoothed exact-integer ppm: p = (c+1)·1e6 div
+    // (row_total + V+1), V+1 = observed action types + END — the
+    // denominator every unseen transition would need, derived from
+    // the data, not assumed. The trajectory-modeling prep step for
+    // agent/behavioral training data. Scale shape: ONE user-keyed
+    // exchange carries sessionize AND the lead() (same partitioning),
+    // then a types²-bounded agg (map-side combined) and a V-sized
+    // broadcast spine — output ≤ V·(V+1) rows at any log size.
+    "x123_action_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ms = RelationalQueries.epochMs(col("ts"))
+      val sess = spread(t(s, dir, "events"))
+        .withColumn("prev_ms", lag(ms, 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ms").isNull || ms - col("prev_ms") > 1800000L,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wS = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = sess
+        .withColumn("to_type",
+          coalesce(lead(col("event_type"), 1).over(wS), lit("END")))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val v = trans.agg(
+        count_distinct(col("from_type")).as("v")) // observed actions
+      val rowTot = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      trans.join(rowTot, "from_type").crossJoin(broadcast(v))
+        .withColumn("p_ppm",
+          expr("(n + 1) * 1000000 div (row_total + v + 1)"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("row_total"), col("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -8500,6 +8544,43 @@ object ExtQueries {
         |  (naive_leaks * 1000000) // greatest(n_pairs, 1)
         |FROM agg
         |ORDER BY strategy""".stripMargin,
+
+    // x123: x13's sessionize, lead-within-session, same smoothing.
+    "x123_action_transitions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |  FROM b),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    coalesce(lead(event_type) OVER (
+        |      PARTITION BY user_id, session_id ORDER BY ts, event_id),
+        |      'END') AS to_type
+        |  FROM sess),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM tr GROUP BY from_type, to_type),
+        |v AS (SELECT CAST(count(DISTINCT from_type) AS BIGINT) AS v
+        |      FROM cnt),
+        |rt AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM cnt GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n, rt.row_total,
+        |  ((c.n + 1) * 1000000) // (rt.row_total + v.v + 1) AS p_ppm
+        |FROM cnt c JOIN rt USING (from_type), v
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{ImageHash, MultiModal, Png, Ppm}
+
+/** Perceptual image dedup: dHash invariances (brightness shift,
+  * re-encode), sensitivity (different structure → far hash), and the
+  * banded candidate join's pigeonhole exhaustiveness vs brute force.
+  */
+class ImageHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic raster: per-image mixed texture (a plain
+    * gradient collapses to near-identical dHashes across seeds).
+    */
+  private def img(seed: Int, w: Int = 24, h: Int = 16): Ppm.Image = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val mix = (x * 73L + y * 131L + seed * 997L + ch * 17L) * 2654435761L
+      px((y * w + x) * 3 + ch) = ((mix >>> 24) % 256).toByte
+    }
+    Ppm.Image(w, h, px)
+  }
+
+  /** Uniform brightness shift, clamped away from saturation. */
+  private def brighten(i: Ppm.Image, d: Int): Ppm.Image =
+    Ppm.Image(i.width, i.height,
+      i.pixels.map(b => math.min(240, (b & 0xff) / 2 + d).toByte))
+
+  test("dHash: brightness-shift invariant, re-encode invariant") {
+    val base = img(1)
+    // halve the range first so +d never clamps; the comparison order
+    // of adjacent pixels is preserved exactly
+    val a = brighten(base, 10)
+    val b = brighten(base, 40)
+    assert(ImageHash.dHash(a) === ImageHash.dHash(b))
+    // PNG round-trip is lossless: identical hash
+    val rt = Png.decode(Png.encode(a)).get
+    assert(ImageHash.dHash(rt) === ImageHash.dHash(a))
+  }
+
+  test("dHash separates structurally different images") {
+    val pairs = for (i <- 0 until 8; j <- (i + 1) until 8)
+      yield ImageHash.hamming(ImageHash.dHash(img(i)), ImageHash.dHash(img(j)))
+    // different gradients land far apart (no accidental near-dups)
+    assert(pairs.forall(_ > 3), s"too-close pair: ${pairs.min}")
+  }
+
+  test("banded pairs == brute force at Hamming <= 3; decode gate holds") {
+    // corpus: 20 distinct images as P6 + a perturbed PNG twin of each
+    // (small brightness shift -> dHash within a few bits) + junk bytes
+    val base = (0 until 20).map(i => (i.toLong, img(i)))
+    val media = base.map { case (id, im) =>
+      MultiModal.MediaRecord(id, "image/x-ppm", im.width, im.height,
+        Ppm.encode(im))
+    } ++ base.map { case (id, im) =>
+      MultiModal.MediaRecord(id + 100, "image/png", im.width, im.height,
+        Png.encode(brighten(im, 12)))
+    } :+ MultiModal.MediaRecord(999L, "application/octet-stream", 0, 0,
+      Array[Byte](1, 2, 3, 4))
+    val ds = spark.createDataset(media)
+    val hashes = ImageHash.hashes(ds)
+    val rows = hashes.as[(Long, Long)].collect().toMap
+    // junk bytes yield NO hash row (the decode gate)
+    assert(rows.size === 40 && !rows.contains(999L))
+    // every perturbed twin is within the banded join's reach
+    val got = ImageHash.nearDupPairs(hashes, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val rs = rows.toSeq // NOT the Map: a for over a Map collapses by key
+    val brute = (for {
+      (ia, ha) <- rs; (ib, hb) <- rs if ia < ib
+      if ImageHash.hamming(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === brute, "banded candidates must equal brute force")
+    // the planted twins dominate the pair set
+    val twins = got.filter { case (a, b) => b == a + 100 }
+    assert(twins.size >= 15, s"only ${twins.size} twins caught")
+  }
+}

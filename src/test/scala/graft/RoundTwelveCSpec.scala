@@ -316,6 +316,33 @@ class RoundTwelveCSpec extends AnyFunSuite {
     assert(naivePpm > 200000L && naivePpm < 450000L)
   }
 
+  test("x123 action transitions: absorbing END, smoothed mass law") {
+    val rows = ExtQueries.queries("x123_action_transitions")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    val froms = rows.map(_._1).distinct
+    // END is absorbing: never a from-state, reachable from every from
+    assert(!froms.contains("END"))
+    froms.foreach { f =>
+      assert(rows.exists(r => r._1 == f && r._2 == "END"),
+        s"$f has no END transition — some session must end on it")
+    }
+    // row_total consistency and the smoothing identity per cell
+    val v = froms.length.toLong
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val rt = g.head._4
+      assert(g.map(_._3).sum === rt)
+      g.foreach(r => assert(r._5 === (r._3 + 1) * 1000000L / (rt + v + 1)))
+      // observed smoothed mass stays under 1e6 (unseen cells hold the
+      // remainder — the point of the smoothing)
+      assert(g.map(_._5).sum <= 1000000L)
+    }
+    // transition counts balance: non-END targets' inbound == outbound
+    // minus session starts/ends is corpus-specific; pin the global
+    // identity instead — total transitions == total events
+    val nEvents = Tables(spark, dir, "events").count()
+    assert(rows.map(_._3).sum === nEvents)
+  }
+
   test("x114 temperature mixing: renormalization and direction") {
     val rows = ExtQueries.queries("x114_temperature_mix")(spark, dir)
       .select("p_ppm", "pw_e6", "w_ppm", "epochs_ppm")
