@@ -144,35 +144,18 @@ object Bench {
     //     ~1900 bytes or its opening `{` is truncated away. 91 full
     //     query names at ~28 bytes/entry is ~2.6 KB: structurally too
     //     big, no matter the precision.
-    // Therefore the stdout line keys each query by its unique id
-    // prefix (the token before the first '_': q01, w01, x01, ...) —
-    // ~12 bytes/entry, ~1.2 KB total — and the full-name map lives in
-    // the file written above. The prefixes are unique by construction
-    // (SparkEntry registration convention) and asserted here so a
-    // future collision fails loudly instead of silently merging keys.
-    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    require(shortKeys.distinct.size == shortKeys.size,
-      s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct)}")
-    // Compact values at ONE decimal and no "detail" field: the
-    // 3-decimal line crossed the ~1925-byte tail budget (2000-char
-    // driver capture minus sbt's trailing [success] line) at 145
-    // registered queries, and the 2-decimal form crossed it again at
-    // 161 — the opening `{` would truncate away and the round would
-    // record "parsed": null, the exact rounds-1-6 failure this
-    // emission path exists to prevent. 100 ms stdout precision is
-    // inside the documented 2-8× rep-to-rep noise band for the small
-    // queries and the cross-round analyses use the refreshes recorded
-    // in PLANS.md; full 3-decimal values stay in target/bench.json.
-    // Budget check: ~11 B/entry × 175 entries + header ≈ 1.97 KB is
-    // the next ceiling, asserted below so growth past the window
-    // fails loudly here instead of silently at the driver.
+    // Round-12 verdict #8: past ~200 queries even the 1-decimal
+    // short-key map overruns the ~1925 B driver tail window, so the
+    // per-query map now lives WHOLLY in target/bench.json (3-decimal,
+    // full names, written above) and stdout carries only the total,
+    // the failure count, the rep count and the SF — a fixed ~150 B
+    // line that never grows with the registry. The `queries` field
+    // stays present (empty object) so older parsers of the line shape
+    // don't break on a missing key; `bench_out` tells any reader where
+    // the per-query detail went.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f1(v)
-    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$shortQs,"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_failed":${failed.size},"reps":$reps,"bench_out":${jstr(out)},"sf":${jstr(sfDir)}}"""
     require(line.length <= 1880,
       s"bench stdout line ${line.length} B exceeds the ~1925 B driver " +
         "tail window (minus margin) — shrink the encoding before the " +

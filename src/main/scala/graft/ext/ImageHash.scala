@@ -65,9 +65,13 @@ object ImageHash {
     }.toDF("doc_id", "dhash")
   }
 
-  /** Near-duplicate image pairs within `maxHamming` (≤ 3 for the
-    * 4-band pigeonhole to be exhaustive): band equi-join candidates,
-    * exact Hamming verification, distinct pairs.
+  /** Near-duplicate DOC pairs within `maxHamming` (≤ 3 for the 4-band
+    * pigeonhole to be exhaustive): band equi-join candidates, exact
+    * Hamming verification, then ONE row per (id_a, id_b) carrying the
+    * MINIMUM distance across the docs' images — a doc with several
+    * images contributes its closest image pair, so the output reads as
+    * doc pairs (ADVICE r12: a plain distinct on (pair, dist) leaked one
+    * row per distinct per-image distance).
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
@@ -85,7 +89,8 @@ object ImageHash {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
   }
 }

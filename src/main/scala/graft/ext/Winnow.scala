@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * h is the first 10 md5 hex digits (40 bits), so key < 2^61: no
   * overflow. idx < 2^21 bounds the per-doc gram count at ~2M — at
   * production scale documents are chunked (ContentChunks) long before
-  * that; the bound is asserted nowhere because the encode would wrap
-  * visibly in the fingerprint positions, not silently.
+  * that, and the encode path RAISES on the first gram past the span
+  * (ADVICE r12: a wrapped key borrows from the hash part and can still
+  * decode to plausible-looking minima, so the overflow must fail
+  * loudly, not rely on visible corruption).
   *
   * Scale shape: gram hashing is a narrow per-doc transform; selection
   * is two window passes over ONE doc-keyed exchange (the unordered
@@ -48,8 +50,15 @@ object Winnow {
           s"CAST(conv(substring(md5(array_join(slice($toksCol, i + 1, " +
           s"$k), ' ')), 1, 10), 16, 10) AS BIGINT))")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
+    // guard the encode's position span: one codegen'd long compare per
+    // gram; a doc long enough to overflow must abort the job, because
+    // a borrowed-from-the-hash key selects WRONG minima silently
     val enc = grams.withColumn("key",
-      col("h") * PosSpan + (lit(PosSpan - 1) - col("idx")))
+      when(col("idx") >= PosSpan, raise_error(concat(
+        lit(s"Winnow: gram index >= 2^21 position span in doc_id="),
+        col("doc_id").cast("string"),
+        lit(" — chunk the document (ContentChunks) before fingerprinting"))))
+        .otherwise(col("h") * PosSpan + (lit(PosSpan - 1) - col("idx"))))
     // both windows share the doc_id hash partitioning: one exchange
     val wDoc = Window.partitionBy(col("doc_id"))
     val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("idx"))

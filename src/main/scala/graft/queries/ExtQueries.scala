@@ -8099,9 +8099,6 @@ object ExtQueries {
         |      PARTITION BY doc_id ORDER BY idx
         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
         |  FROM gh),
-        |fp AS (
-        |  SELECT DISTINCT doc_id, sel // 2097152 AS fp_h
-        |  FROM enc WHERE idx <= n_grams - 5),
         |fpp AS (
         |  SELECT DISTINCT doc_id, sel // 2097152 AS fp_h,
         |    2097151 - (sel % 2097152) AS fp_pos

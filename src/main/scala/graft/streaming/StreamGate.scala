@@ -84,8 +84,12 @@ object StreamGate {
     * [[transformQuality]]. The DSIR stage is one more pure narrow map
     * ([[StreamDsir]]), so the composition invariants hold unchanged —
     * still ONE stateful stage — and the output equals
-    * [[transformQuality]] over the DSIR-kept subset by construction
-    * (StreamGateSpec pins it). The winnowing near-dup gate
+    * [[transformQuality]] over the DSIR-kept subset plus the `w_e6`
+    * importance-weight column, which rides through to the output so
+    * the keep decision stays replayable ([[StreamDsir]]'s stated
+    * convention; ADVICE r12 flagged the earlier drop — StreamAcceptSpec
+    * pins both the identity and the carried weight). The winnowing
+    * near-dup gate
     * ([[StreamWinnow]]) stays OUTSIDE this plan on purpose: its
     * per-batch fingerprint windows are not expressible in an
     * append-mode streaming plan, so it runs in the foreachBatch sink
@@ -100,7 +104,8 @@ object StreamGate {
       docs.withColumn("__dt", graft.ext.Text.tokens(col(textCol))),
       col("__dt"), lamE6, tauE6)
       .filter(col("keep"))
-      .drop("__dt", "n_feats", "w_e6", "keep")
+      // w_e6 stays: the gate emits the weight so the decision replays
+      .drop("__dt", "n_feats", "keep")
     transformQuality(selected, idCol, textCol, tsCol, watermark, nb,
       cdf, bloomBytes, rules)
   }

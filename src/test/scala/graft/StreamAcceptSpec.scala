@@ -212,10 +212,13 @@ class StreamAcceptSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
       .withColumn("ts", col("doc_id").cast("timestamp"))
+    // w_e6 rides through the whole chain (replayable keep decision —
+    // ADVICE r12), so select it from the gate OUTPUT and pin it against
+    // the batch-side weights below.
     val q = graft.streaming.StreamGate.transformCurated(
         stream, "doc_id", "text", "ts", "1 hour", lam, tau, nb, cdf,
         bytes, rules)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("w_e6"),
         md5(array_join(col("toks"), " ")).as("m"))
       .writeStream.format("memory").queryName("cgate_out")
       .outputMode("append").start()
@@ -234,13 +237,18 @@ class StreamAcceptSpec extends AnyFunSuite {
       .filter(col("keep"))
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val wMap = StreamDsir.weight(base, col("t"), lam, tau)
+      .filter(col("keep")).select(col("doc_id"), col("w_e6"))
+      .as[(Long, Long)].collect().toMap
     val expect = graft.ext.BpeMerge.encodeFrozen(
         accepted.withColumn("rn", row_number().over(wD))
           .filter(col("rn") === 1)
           .withColumn("toks", Text.tokens(col("text"))), rules)
       .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("m"))
-      .as[(Long, String)].collect().toSet
-    val got = spark.table("cgate_out").as[(Long, String)].collect().toSet
+      .as[(Long, String)].collect()
+      .map { case (id, m) => (id, wMap(id), m) }.toSet
+    val got = spark.table("cgate_out")
+      .as[(Long, Long, String)].collect().toSet
     assert(got === expect)
     // the DSIR head binds: fewer docs than the corpus reach the tail,
     // and fewer than the quality gate alone would keep
