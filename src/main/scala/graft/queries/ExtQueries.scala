@@ -4656,6 +4656,39 @@ object ExtQueries {
           col("row_total"), col("p_ppm"))
         .orderBy(col("from_type"), col("to_type"))
     }),
+
+    // The DEPTH form of the BPE fast trainer — the deployment shape
+    // the x96 demo's floor adjudication points at (round-12 verdict
+    // task 2): 16 merge rounds of incremental pair-count maintenance
+    // (per-round cost bounded by the TYPE table and flat in depth —
+    // SCALE-BPEFAST), then the single-expression NATIVE encode of the
+    // full corpus under the frozen 16-rule vocabulary (one expression
+    // regardless of rule count — SCALE-BPENATIVE). The oracle pays
+    // the honest alternative at the same depth: a 16-round full
+    // RECOUNT loop re-deriving every pair count from the rewritten
+    // training corpus each round, whose per-round cost grows with the
+    // corpus while the fast loop never re-touches it. x85/x96 keep
+    // their toy-depth demos; this entry is their adjudication anchor
+    // (16 rounds amortize the fixed per-round scheduling floor those
+    // demos pay at depth 3-4).
+    "x124_bpe_depth_train" -> ((s, dir) => {
+      import graft.ext.BpeMerge
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint() // tokenize ONCE: train slice + encode input
+      val rules = BpeMerge.collectRules(BpeMerge.trainFast(
+        BpeMerge.typeTable(
+          docs.filter(col("doc_id") % 10 === 0).select(col("toks"))),
+        rounds = 16))
+      BpeMerge.encodeNative(docs, rules)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("tokens_md5"))
+        // narrow from the scan — materialize the 3-column fingerprints
+        // before the output sort's range sampler (the x85 finding)
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -8578,6 +8611,54 @@ object ExtQueries {
         |  ((c.n + 1) * 1000000) // (rt.row_total + v.v + 1) AS p_ppm
         |FROM cnt c JOIN rt USING (from_type), v
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // x124: the x96 recount-loop generators unrolled to depth 16 —
+    // the oracle re-derives EVERY pair count from the rewritten
+    // training corpus each round (16 pair scans + 15 train rewrites),
+    // then encodes the full corpus through the same 16 rules.
+    "x124_bpe_depth_train" -> {
+      val depth = 16
+      def rewrite(src: String, out: String, m: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
+           |               AND toks[i+1] = m.mb
+           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
+           |     for i in range(1, len(toks) + 1)
+           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |      AS toks
+           |  FROM $src, $m m)""".stripMargin
+      def pair(src: String, cur: Int): String =
+        s"""p_$cur AS MATERIALIZED (
+           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
+           |                 for i in range(1, len(toks))
+           |                 if toks[i] <> toks[i+1]]) AS ab
+           |  FROM $src),
+           |m_$cur AS MATERIALIZED (
+           |  SELECT string_split(ab, chr(1))[1] AS ma,
+           |         string_split(ab, chr(1))[2] AS mb
+           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
+           |  ORDER BY c DESC, ab LIMIT 1)""".stripMargin
+      val trainCtes = (1 to depth).map { r =>
+        if (r < depth)
+          pair(s"tr_${r - 1}", r) + ",\n" +
+            rewrite(s"tr_${r - 1}", s"tr_$r", s"m_$r")
+        else pair(s"tr_${r - 1}", r)
+      }.mkString(",\n")
+      val encodeCtes = (1 to depth).map { r =>
+        rewrite(if (r == 1) "t_0" else s"e_${r - 1}", s"e_$r", s"m_$r")
+      }.mkString(",\n")
+      s"""WITH t_0 AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |tr_0 AS MATERIALIZED (SELECT doc_id, toks FROM t_0 WHERE doc_id % 10 = 0),
+         |$trainCtes,
+         |$encodeCtes
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
+         |FROM e_$depth
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

@@ -86,6 +86,38 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // q02's zero-exchange deployment twin (round-12 verdict task 1):
+    // same query, same oracle, but the two fact tables come from the
+    // SHARED bucketed layout (one layout per (table, orderkey) serves
+    // the whole join workload — q28 uses the same one), so the
+    // lineitem ⋈ orders join plans with NO exchange and NO sort on
+    // either side; the dims stay broadcast and the only shuffle left is
+    // the 125-group final aggregate. This is the production shape: the
+    // nightly layout write amortizes the fact-fact exchange that
+    // dominates q02's cost (sf1: the exchange IS ~2 s of q02's 2.1 s).
+    // RoundThirteenSpec asserts the plan (≤1 exchange, SMJ, no sort
+    // above the scans).
+    "q02b_revenue_bucketed" -> ((s, dir) => {
+      val li = Bucketed.table(s,
+        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 8),
+        t(s, dir, "lineitem"), "l_orderkey")
+      val ord = Bucketed.table(s,
+        Bucketed.nameFor(dir, "orders", "o_orderkey", 8),
+        t(s, dir, "orders"), "o_orderkey")
+      li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .hint("merge")
+        .join(ord.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // §2e left_semi (EXISTS)
     "q03_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -447,17 +479,22 @@ object RelationalQueries {
     // repeated fact-fact join plans with NO exchange and NO sort on
     // either side (BucketedJoinSpec asserts the plan). The oracle joins
     // the raw tables — results must be layout-invariant.
+    // The layout carries ALL columns (shared with q02b — one bucketed
+    // layout per (table, key) serves the whole join workload); the scan
+    // prunes to the columns each query touches, so the per-query read
+    // cost is unchanged while the layout write is amortized across
+    // every orderkey join.
     "q28_bucketed_join" -> ((s, dir) => {
       val li = Bucketed.table(s,
         Bucketed.nameFor(dir, "lineitem", "l_orderkey", 8),
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        "l_orderkey")
+        t(s, dir, "lineitem"), "l_orderkey")
       val ord = Bucketed.table(s,
         Bucketed.nameFor(dir, "orders", "o_orderkey", 8),
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "o_orderkey")
-      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        t(s, dir, "orders"), "o_orderkey")
+      li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .hint("merge")
+        .join(ord.select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
@@ -798,6 +835,20 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // identical SQL to q02: the bucketed layout is a physical design
+    // choice — results must be layout-invariant
+    "q02b_revenue_bucketed" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items

@@ -111,17 +111,26 @@ object StreamGate {
   }
 
   /** Start the full gate: [[transform]] feeding the manifest-committed
-    * shard sink, one streaming query end to end.
+    * shard sink, one streaming query end to end. `checkpoint` is the
+    * production restart seam: with it set, a killed gate restarted
+    * from the same directory resumes from the last committed offsets,
+    * re-runs any in-flight batch, and the sink's manifest protocol
+    * makes the re-run idempotent (partial data without a manifest is
+    * cleaned and rewritten; committed batches are no-ops) — so the
+    * final shard content equals the uninterrupted run's
+    * (RoundThirteenSpec pins it byte-for-byte).
     */
   def start(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String, bloomBytes: Array[Byte],
       rules: Seq[(String, String)], keyCol: String, outDir: String,
-      docsPerShard: Int, seed: Int): StreamingQuery =
-    transform(docs, textCol, tsCol, watermark, bloomBytes, rules)
+      docsPerShard: Int, seed: Int,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = transform(docs, textCol, tsCol, watermark, bloomBytes, rules)
       // the array column is working state; shards carry the fingerprint
       .drop("toks")
       .writeStream
       .foreachBatch(StreamShards.sink(keyCol, outDir, docsPerShard, seed))
       .outputMode("append")
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }
