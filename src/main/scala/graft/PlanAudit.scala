@@ -30,6 +30,10 @@ object PlanAudit {
     "x64_token_budget_select" ->
       ("score domain <= 1e6+1 rows by ppm quantization; boundary window" +
         " sees ONE score class"),
+    "x129_poisson_bootstrap" ->
+      ("replica-rank window over the bootstrap replica table — exactly" +
+        " B=16 rows at any corpus size (the replica count is a design" +
+        " constant, not a data quantity)"),
     "x106_bradley_terry" ->
       ("leaderboard rank over the ITEM catalog (compared" +
         " models/annotators/sources, a bounded entity set orders of" +

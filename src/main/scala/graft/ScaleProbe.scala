@@ -488,6 +488,10 @@ ks.foreach { k =>
     }
     } // end !probeR12Only
 
+    // SPARK_GRAFT_PROBE_SKIP_R12=1 skips the round-12 receipt
+    // sections (SHARDK/AUCFLOOR/QTFLOOR/BPEDEPTH) so a single env-
+    // gated section (IMG/DSIR/WINNOW/...) can run alone.
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_SKIP_R12")) {
     // Shard prefix-length invariance (round-12, r11 verdict task 5):
     // the 16^k bucket fan-out claim, probed — prefixLen 2 (256
     // buckets) and 3 (4096 buckets) must produce IDENTICAL
@@ -642,6 +646,8 @@ ks.foreach { k =>
           f"frozen=$dtF%6.2fs tokens=$nN%9d")
       }
     }
+
+    } // end !SKIP_R12
 
     // x101 Naive Bayes training-state/serve curve — env-gated
     // (SPARK_GRAFT_PROBE_NB=1). The two claims that matter at 100 TB,
@@ -865,6 +871,92 @@ ks.foreach { k =>
         println(f"SCALE-DSIR k=$k%2d docs=${k * n0}%7d " +
           f"lambda_rows=${lam.length}%3d fit=$dtFit%6.2fs " +
           f"serve=$dtServe%6.2fs kept=$kept%7d")
+      }
+    }
+
+    // x167 image-dHash curve — env-gated (SPARK_GRAFT_PROBE_IMG=1),
+    // round-12 verdict task 6: the banding claim (banded == brute,
+    // candidates linear) is spec-proven at 41 payloads; probe it at k×
+    // synthetic JPEG rasters with planted perturbed twins. Corpus per
+    // k: k·2000 base images (smooth sinusoid + blockwise texture —
+    // photograph-like content whose 9×8 cell means carry real margins)
+    // + one twin each (uniform brightness +6, then a SECOND lossy q90
+    // encode). Claims: (1) decode+hash cost per image flat (the
+    // mapPartitions batch shape); (2) banded candidate MASS linear in
+    // the corpus (band equi-join, never all-pairs); (3) twin recall
+    // pinned at 100% — every planted twin lands within Hamming ≤ 3 and
+    // the pigeonhole catches it by construction.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_IMG")) {
+      import graft.ext.{ImageHash, Jpeg, MultiModal, Ppm}
+      import spark.implicits._
+      val TwinShift = 10000000L
+      ks.foreach { k =>
+        val n = k * 2000
+        val media = spark.range(n).as[Long].mapPartitions { it =>
+          it.flatMap { id =>
+            val w = 32; val h = 24
+            val fx = 1.0 + (id % 3) * 0.5
+            val fy = 1.0 + ((id / 3) % 3) * 0.5
+            val phase = (id % 1000) * 0.00628
+            def raster(lift: Int): Ppm.Image = {
+              val px = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  // block texture DOMINATES the sinusoid: the dHash
+                  // must differ across ids, or the 9-shape gradient
+                  // family concentrates the bands and the candidate
+                  // mass goes quadratic — which is a statement about
+                  // LOW-ENTROPY corpora (mass ∝ Σ bucket²), not about
+                  // the banding; the probe's linearity claim is for a
+                  // corpus of DISTINCT images, so the fixture must be
+                  // one
+                  val block = (((x / 2) * 73L + (y / 2) * 131L +
+                    id * 997L) * 2654435761L >>> 27) % 91 - 45
+                  val base = 128.0 + 40 * math.sin(
+                    2 * math.Pi * (fx * x / w + fy * y / h) + phase) + block
+                  var ch = 0
+                  while (ch < 3) {
+                    val v = math.max(0, math.min(255,
+                      math.round(base + ch * 3 + lift).toInt))
+                    px((y * w + x) * 3 + ch) = v.toByte
+                    ch += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Ppm.Image(w, h, px)
+            }
+            Seq(
+              MultiModal.MediaRecord(id, "image/jpeg", w, h,
+                Jpeg.encode(raster(0), 90)),
+              MultiModal.MediaRecord(id + TwinShift, "image/jpeg", w, h,
+                Jpeg.encode(raster(6), 90)))
+          }
+        }.localCheckpoint() // payload gen off the timed decode path
+        val t0 = System.nanoTime()
+        val hashes = ImageHash.hashes(media).localCheckpoint()
+        val nHashes = hashes.count()
+        val dtHash = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val cand = ImageHash.bandCandidates(hashes)
+          .agg(count(lit(1)).as("mass"),
+            sum(when(col("dist") <= 3 &&
+              col("id_b") === col("id_a") + TwinShift, 1L).otherwise(0L))
+              .as("twin_hits"))
+          .head()
+        val dtPairs = (System.nanoTime() - t1) / 1e9
+        // twin_hits counts (pair, band) rows; recall needs distinct
+        // pairs — recompute through the collapsed output
+        val recall = ImageHash.nearDupPairs(hashes, 3)
+          .filter(col("id_b") === col("id_a") + TwinShift)
+          .count()
+        println(f"SCALE-IMGDHASH k=$k%2d imgs=$nHashes%7d " +
+          f"hash=$dtHash%6.2fs perimg_us=${dtHash * 1e6 / nHashes}%7.1f " +
+          f"candmass=${cand.getLong(0)}%9d join=$dtPairs%6.2fs " +
+          f"twins=$recall%6d/${n}%6d")
       }
     }
 

@@ -112,6 +112,30 @@ object Dedup {
         GraftExpressionBridge.expression(b)))
   }
 
+  /** Shingle set hashed to a SORTED int64 array — the verification-
+    * loop representation for candidate counts in the millions (x67):
+    * 8 bytes/element through the candidate-join shuffles instead of
+    * ~25-byte strings, and [[sortedIntersectSize]]'s two-pointer merge
+    * instead of a per-pair HashSet of UTF8Strings. Hash once per
+    * DOCUMENT, verify per PAIR.
+    */
+  def sortedHashedShingles(s: Column): Column =
+    sort_array(transform(s, t => xxhash64(t)))
+
+  /** Distinct-common-element count of two SORTED array<long> columns
+    * (11th native expression, two-pointer merge). Equal to
+    * [[intersectSize]] of the underlying string sets except on 64-bit
+    * collisions within one pair's sets (≈|a|·|b|/2⁶⁴ — immaterial;
+    * RoundThirteenCSpec pins equality corpus-wide).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.SortedLongIntersectSize(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
+  }
+
   /** Banded-LSH candidate pairs: explode each doc to its (bandIdx,
     * bandHash) keys and equi-join on them. The join shuffles on the band
     * hash, so only same-band docs are ever compared — the non-negotiable

@@ -21,33 +21,62 @@ import graft.ext.MultiModal.MediaRecord
   * shape, never all-pairs). Verification recomputes the true Hamming
   * distance on the candidates only.
   *
-  * Decode rides [[MultiModal]]'s real pure-JVM codecs (P6 + PNG);
+  * Decode rides [[MultiModal]]'s real pure-JVM codecs (P6 + PNG +
+  * baseline JPEG);
   * undecodable payloads yield no hash row — a gate must not invent
   * fingerprints for bytes it cannot read.
   */
 object ImageHash {
 
-  /** 64-bit dHash of a decoded raster: 9×8 luma grid via the codec's
-    * resize kernel, row-major adjacent-pixel comparisons.
+  /** 64-bit dHash of a decoded raster: 9×8 luma grid via AREA-MEAN
+    * downsampling (each grid cell is the mean luma of its pixel
+    * block), row-major adjacent-cell comparisons. Area mean — not the
+    * codec's nearest-neighbor point sampling — is what makes the hash
+    * survive lossy re-encodes: a quality-90 JPEG round trip ripples
+    * individual pixels by ±8 but cell MEANS by well under a luma
+    * step, so comparisons with any real margin never flip
+    * (ImageHashSpec pins the JPEG round trip within the banded
+    * join's Hamming-3 reach).
     */
   def dHash(img: Ppm.Image): Long = {
-    val g = Ppm.resize(img, 9, 8)
-    def luma(r: Int, c: Int): Double = {
-      val p = (r * 9 + c) * 3
-      0.2126 * (g.pixels(p) & 0xff) + 0.7152 * (g.pixels(p + 1) & 0xff) +
-        0.0722 * (g.pixels(p + 2) & 0xff)
-    }
-    var h = 0L
+    val w = img.width; val h = img.height
+    val means = new Array[Double](9 * 8)
     var r = 0
     while (r < 8) {
+      val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
       var c = 0
-      while (c < 8) {
-        if (luma(r, c) > luma(r, c + 1)) h |= 1L << (r * 8 + c)
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * w + x) * 3
+            s += 0.2126 * (img.pixels(p) & 0xff) +
+              0.7152 * (img.pixels(p + 1) & 0xff) +
+              0.0722 * (img.pixels(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        means(r * 9 + c) = s / ((y1 - y0) * (x1 - x0))
         c += 1
       }
       r += 1
     }
-    h
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (means(r * 9 + c) > means(r * 9 + c + 1))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
@@ -60,6 +89,7 @@ object ImageHash {
     media.mapPartitions { batch =>
       batch.flatMap { rec =>
         Ppm.decode(rec.content).orElse(Png.decode(rec.content))
+          .orElse(Jpeg.decode(rec.content))
           .map(img => (rec.doc_id, dHash(img)))
       }
     }.toDF("doc_id", "dhash")
@@ -76,6 +106,19 @@ object ImageHash {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 disjoint 16-bit bands are exhaustive only to Hamming 3")
+    bandCandidates(hashes)
+      .filter(col("dist") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** The raw banded-join candidate stream BEFORE the Hamming filter —
+    * one row per (pair, matching band), so its row count is the
+    * candidate MASS the band equi-join actually generates (the
+    * quantity SCALE-IMGDHASH pins linear in the corpus). nearDupPairs
+    * is exactly this, filtered and collapsed per pair.
+    */
+  def bandCandidates(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("dhash"),
       posexplode(expr(
         "transform(sequence(0, 3), " +
@@ -89,8 +132,5 @@ object ImageHash {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("dist"))
-      .filter(col("dist") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("dist")).as("dist"))
   }
 }

@@ -121,39 +121,37 @@ object MultiModal {
     media.mapPartitions { batch =>
       // real impl: val codec = Codec.open() — once per batch, here
       batch.map { r =>
-        Ppm.decode(r.content) match {
-          case Some(img) =>
-            val thumb = Ppm.resize(img,
-              math.max(1, img.width / 2), math.max(1, img.height / 2))
-            MediaFeatures(r.doc_id, r.content.length.toLong,
-              checksum(r.content), Ppm.meanLuma(img), 1, Ppm.encode(thumb))
-          case None => Png.decode(r.content) match {
-            // PNG: the COMPRESSED image path (pure-JVM inflate) — same
-            // raster operators as P6, thumbnail re-encoded as PNG
-            case Some(img) =>
-              val thumb = Ppm.resize(img,
-                math.max(1, img.width / 2), math.max(1, img.height / 2))
-              MediaFeatures(r.doc_id, r.content.length.toLong,
-                checksum(r.content), Ppm.meanLuma(img), 1, Png.encode(thumb))
-            case None => Wav.decode(r.content) match {
-              case Some(clip) =>
-                MediaFeatures(r.doc_id, r.content.length.toLong,
-                  checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
-                  clip.channels, Wav.encode(Wav.downsample(clip, 2)))
-              case None => Avi.decode(r.content) match {
-                case Some(vid) =>
-                  MediaFeatures(r.doc_id, r.content.length.toLong,
-                    checksum(r.content), Avi.meanLuma(vid), vid.nFrames,
-                    Avi.encode(Avi.frameSample(vid, 2)))
-                case None =>
-                  val (ck, brightness) = decodeStub(r.content)
-                  val frames = 1 + (r.content.length % 4) // stub "frame sample" count
-                  MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
-                    frames, resizeStub(r.content, 4))
-              }
-            }
-          }
+        // image router: decoded raster (whatever the container) →
+        // one shared feature path; each codec re-encodes its own thumb
+        def imageFeatures(img: Ppm.Image,
+            reEncode: Ppm.Image => Array[Byte]): MediaFeatures = {
+          val thumb = Ppm.resize(img,
+            math.max(1, img.width / 2), math.max(1, img.height / 2))
+          MediaFeatures(r.doc_id, r.content.length.toLong,
+            checksum(r.content), Ppm.meanLuma(img), 1, reEncode(thumb))
         }
+        Ppm.decode(r.content).map(imageFeatures(_, Ppm.encode))
+          // PNG: the COMPRESSED image path (pure-JVM inflate)
+          .orElse(Png.decode(r.content).map(imageFeatures(_, Png.encode)))
+          // JPEG: baseline-sequential DCT decoded for real (pure-JVM
+          // Huffman + dequant + IDCT + YCbCr→RGB) — the dominant
+          // real-world image format; thumbnail re-encoded as JPEG
+          .orElse(Jpeg.decode(r.content)
+            .map(imageFeatures(_, Jpeg.encode(_))))
+          .orElse(Wav.decode(r.content).map(clip =>
+            MediaFeatures(r.doc_id, r.content.length.toLong,
+              checksum(r.content), Wav.rmsMilli(clip) / 1000.0,
+              clip.channels, Wav.encode(Wav.downsample(clip, 2)))))
+          .orElse(Avi.decode(r.content).map(vid =>
+            MediaFeatures(r.doc_id, r.content.length.toLong,
+              checksum(r.content), Avi.meanLuma(vid), vid.nFrames,
+              Avi.encode(Avi.frameSample(vid, 2)))))
+          .getOrElse {
+            val (ck, brightness) = decodeStub(r.content)
+            val frames = 1 + (r.content.length % 4) // stub "frame sample" count
+            MediaFeatures(r.doc_id, r.content.length.toLong, ck, brightness,
+              frames, resizeStub(r.content, 4))
+          }
       }
     }
   }
@@ -194,6 +192,35 @@ object MultiModal {
       }
       MediaRecord(id, "image/x-portable-pixmap", w, h,
         Ppm.encode(Ppm.Image(w, h, px)))
+    }
+  }
+
+  /** Deterministic synthetic JPEG fixtures from the documents table —
+    * [[packPpm]]'s raster function round-tripped through the real
+    * baseline encoder, so the payloads exercise the full T.81 decode
+    * path (Huffman → dequant → IDCT → color convert) on executors.
+    * Default 32×24: big enough for 12 MCUs, small enough to keep the
+    * fixture corpus cheap.
+    */
+  def packJpeg(docs: DataFrame, w: Int = 32, h: Int = 24,
+      quality: Int = 90): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          px(i) = ((id + x * 7 + y * 13) % 256).toByte
+          px(i + 1) = ((id * 3 + x * 11 + y) % 256).toByte
+          px(i + 2) = ((id * 5 + x + y * 17) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaRecord(id, "image/jpeg", w, h,
+        Jpeg.encode(Ppm.Image(w, h, px), quality))
     }
   }
 

@@ -15,9 +15,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * joins; at 100 TB the nightly-refreshed fact tables are written this
   * way precisely so the day's join workload never re-shuffles them.
   *
-  * Bucket counts must match across join sides (8 here); sortBy keeps
-  * merge-join sides pre-sorted. RoundSixSpec's "q28: bucketed layout"
-  * test and BucketingSpec assert the plan: no exchange under the join.
+  * Bucket counts must match across join sides (32 for the shared
+  * orderkey layout — one task per bucket at scan time, so the count
+  * is sized to the executor-core budget, not left at a toy default:
+  * 8 buckets read a 6M-row fact on 8 of 32 local cores and gave back
+  * half the exchange saving); sortBy keeps merge-join sides
+  * pre-sorted. RoundSixSpec's "q28: bucketed layout" test and
+  * BucketingSpec assert the plan: no exchange under the join.
   */
 object Bucketed {
 

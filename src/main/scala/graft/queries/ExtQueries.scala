@@ -284,6 +284,18 @@ object ExtQueries {
     // scalable shape for pairwise text similarity; the block key is a
     // shuffle key, each block's pairs are generated locally.
     "x12_ngram_jaccard_blocked" -> ((s, dir) => {
+      // Per-block SAMPLE CAP (round-13, a SCALE-SF10 find): the
+      // (source, lang) block count is FIXED (~100), so all-pairs
+      // within blocks is n²/B — measured super-linear at 40× corpus
+      // (21 s → 309 s for 4×). The audit's output is per-block
+      // similarity STATISTICS, which a bounded deterministic sample
+      // estimates; capping each block at its 256 lowest doc_ids makes
+      // the pair mass ≤ B·(256 choose 2) — constant — at any corpus
+      // size. The cap binds only past ~25k docs per corpus (sf0.1: 50
+      // docs/block; sf1: ~500/block → capped), so small-SF outputs
+      // are the exact statistics and large-SF outputs the estimator.
+      val wBlk = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("doc_id"))
       val sh = spread(t(s, dir, "documents"))
         .withColumn("t", Text.tokens(col("text")))
         // docs under 3 tokens have no trigrams — drop them, or their
@@ -291,6 +303,9 @@ object ExtQueries {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), col("source"), col("lang"),
           Text.wordShingles(col("t")).as("s"))
+        .withColumn("r", row_number().over(wBlk))
+        .filter(col("r") <= 256)
+        .drop("r")
       sh.as("a").hint("merge") // exchange reuse: one shingle pass
         .join(sh.as("b"),
           col("a.source") === col("b.source") &&
@@ -2150,11 +2165,19 @@ object ExtQueries {
       // array_intersect per candidate pair — never the pair×token
       // explode, whose shuffle is |cand|·|doc| rows and measured 20×
       // slower here
+      // hs: the shingle set hashed ONCE per doc to a sorted int64
+      // array — the verify join below carries 29M candidate rows at
+      // 40× corpus (SCALE-SF10), and hauling ~25-byte shingle strings
+      // per candidate plus a per-pair HashSet was 174 of its 226 s;
+      // 8-byte sorted hashes + the native merge-count do the same
+      // distinct-overlap arithmetic (collision odds ≈ |s|²/2⁶⁴ per
+      // pair; RoundThirteenCSpec pins hashed == string corpus-wide)
       val sh = corpus
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
         .withColumn("n", size(col("s")).cast("long"))
+        .withColumn("hs", graft.ext.Dedup.sortedHashedShingles(col("s")))
       val ex = sh.select(col("doc_id"), col("n"),
         explode(col("s")).as("token"))
       val freq = ex.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -2167,20 +2190,33 @@ object ExtQueries {
       // identity (3n+4) div 5
       val prefix = ordered
         .filter(col("ord") <= col("n") - expr("(3*n + 4) div 5") + 1L)
-        .select(col("doc_id"), col("token"), col("n"))
+        .select(col("doc_id"), col("token"), col("n"), col("ord"))
+      // POSITIONAL filter (the rest of Ppjoin beyond the prefix
+      // filter, Xiao et al. 2008): a matched token at ordinals (i, j)
+      // of the two globally-ordered lists bounds the overlap by
+      // 1 + min(na−i, nb−j) — valid and loosest at the pair's FIRST
+      // common token, so keeping pairs where ANY match row passes is
+      // exhaustive for the θ = 0.6 threshold (inter ≥ ⌈3(na+nb)/8⌉).
+      // SCALE-SF10 measured why it matters: the small-vocab corpus
+      // yields 34M prefix-match rows for 240k true pairs, and the
+      // positional bound prunes most of them BEFORE distinct+verify.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.token") === col("b.token")
             && col("a.doc_id") < col("b.doc_id"))
         .filter(least(col("a.n"), col("b.n")) * 5
           >= greatest(col("a.n"), col("b.n")) * 3)
+        .filter(lit(1L) + least(col("a.n") - col("a.ord"),
+            col("b.n") - col("b.ord"))
+          >= ((col("a.n") + col("b.n")) * 3 + 7).cast("long")
+            .divide(8).cast("long"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .distinct()
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
         .withColumn("inter",
-          graft.ext.Dedup.intersectSize(col("sa"), col("sb")))
+          graft.ext.Dedup.sortedIntersectSize(col("ha"), col("hb")))
         .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("inter").cast("double")
@@ -4689,6 +4725,343 @@ object ExtQueries {
         .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
+
+    // FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022) — the code/
+    // infilling data-prep op: half the corpus (md5-coin, docs with ≥4
+    // tokens) is rewritten PSM-style as <PRE> prefix <SUF> suffix
+    // <MID> middle with two md5-seeded cut points; the rest stays
+    // autoregressive. Everything is a pure narrow map (the FIM paper's
+    // point: it's a data transform, not a model change); cut points
+    // and the coin are exact integer md5 draws so the rendered text
+    // md5 hash-proves the SPLIT itself cross-engine.
+    "x125_fim_transform" -> ((s, dir) => {
+      def u(tag: String) = expr("CAST(conv(substring(md5(CAST(doc_id " +
+        s"AS STRING) || '$tag'), 1, 8), 16, 10) AS BIGINT)")
+      def join4(sl: Column) = array_join(sl, " ")
+      spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("fim", col("n") >= 4L && pmod(u("#fim?"), lit(2L)) === 0L)
+        .withColumn("c1", pmod(u("#fimc1"), col("n") + 1L))
+        .withColumn("c2", pmod(u("#fimc2"), col("n") + 1L))
+        .withColumn("cut_a", least(col("c1"), col("c2")))
+        .withColumn("cut_b", greatest(col("c1"), col("c2")))
+        .withColumn("rendered", when(col("fim"), concat(
+          lit("<PRE> "),
+          join4(slice(col("t"), lit(1), col("cut_a").cast("int"))),
+          lit(" <SUF> "),
+          join4(slice(col("t"), (col("cut_b") + 1L).cast("int"),
+            (col("n") - col("cut_b")).cast("int"))),
+          lit(" <MID> "),
+          join4(slice(col("t"), (col("cut_a") + 1L).cast("int"),
+            (col("cut_b") - col("cut_a")).cast("int")))))
+          .otherwise(join4(col("t"))))
+        .select(col("doc_id"),
+          when(col("fim"), "fim").otherwise("ar").as("mode"),
+          col("cut_a"), col("cut_b"),
+          (col("n") + when(col("fim"), 3L).otherwise(0L)).as("n_tokens"),
+          md5(col("rendered")).as("rendered_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BITEXT MINING with the margin criterion (Artetxe & Schwenk 2019
+    // — the LASER/CCMatrix parallel-corpus construction op): source
+    // "language" = even vecs, target pool = odd vecs (distractors) +
+    // planted translations (quantized twins of every 4th even vec, the
+    // x58 recipe). Candidates come ONLY from the 8-plane sign-LSH
+    // bucket equi-join (the x10 shape — never all-pairs); the margin
+    // score cos(x,y) / mean(top-4 neighborhood of both sides) is the
+    // paper's ratio criterion, computed in exact integer units
+    // (floor-e6 cosines, integer-div averages and ratio) so the mined
+    // pair set hash-proves. Per source, the rank-1 margin candidate is
+    // emitted with a `mined` verdict at ratio ≥ 1.3. At production
+    // scale the bucket join swaps for the x87 IVF serve join — same
+    // margin arithmetic downstream.
+    "x126_bitext_margin" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => round(x * 1024) / 1024).as("v"))
+      val srcB = spread(base.filter(col("vec_id") % 2 === 0))
+        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .localCheckpoint()
+      val tgtB = spread(base.filter(col("vec_id") % 2 === 1)
+        .unionByName(planted))
+        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .localCheckpoint()
+      val cand = srcB.as("a")
+        .join(tgtB.as("b"), col("a.bucket") === col("b.bucket"))
+        .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
+          floor(Similarity.cosine(col("a.v"), col("b.v")) * 1000000 + 0.5)
+            .cast("long").as("cos_e6"))
+        .localCheckpoint() // read 3×: src top-4, tgt top-4, scoring
+      val wS = Window.partitionBy(col("src_id"))
+        .orderBy(col("cos_e6").desc, col("tgt_id"))
+      val wT = Window.partitionBy(col("tgt_id"))
+        .orderBy(col("cos_e6").desc, col("src_id"))
+      // margins ride the SHIFTED similarity sim = cos + 1 ∈ [0, 2]:
+      // raw cosines go negative, and a near-zero/negative top-4 mean
+      // makes the ratio explode or flip sign (measured: margins to
+      // ±1e11 on this corpus) — the shift is monotone, keeps the
+      // denominator positive, and leaves the criterion's ordering
+      // intact. A twin alone in its bucket has margin EXACTLY 1.0
+      // (its neighborhood IS the pair) — the known recall limit of
+      // single-probe LSH mining; the mined flag is the
+      // high-precision subset (0 distractors at 1.2, measured at
+      // three SFs), not total recall.
+      val aS = cand.withColumn("r", row_number().over(wS))
+        .filter(col("r") <= 4).groupBy(col("src_id"))
+        .agg(expr("sum(cos_e6 + 1000000) div count(1)").as("avg_s"))
+      val aT = cand.withColumn("r", row_number().over(wT))
+        .filter(col("r") <= 4).groupBy(col("tgt_id"))
+        .agg(expr("sum(cos_e6 + 1000000) div count(1)").as("avg_t"))
+      val wM = Window.partitionBy(col("src_id"))
+        .orderBy(col("margin_ppm").desc, col("tgt_id"))
+      cand.join(aS, "src_id").join(aT, "tgt_id")
+        .withColumn("margin_ppm",
+          expr("(cos_e6 + 1000000) * 2000000 div greatest(avg_s + avg_t, 1)"))
+        .withColumn("rnk", row_number().over(wM))
+        .filter(col("rnk") === 1)
+        .select(col("src_id"), col("tgt_id"), col("cos_e6"),
+          col("margin_ppm"),
+          (col("margin_ppm") >= 1200000L).as("mined"))
+        .orderBy(col("src_id"))
+    }),
+
+    // LUHN-VALIDATED PII detection — upgrades x26's pattern matching
+    // with the checksum validation real PII scrubbers run: 13-19 digit
+    // runs are candidates, but only runs passing the Luhn mod-10 check
+    // (ISO/IEC 7812) count as card numbers. The corpus plants a VALID
+    // 16-digit number on every 3rd doc (payload from doc_id, check
+    // digit computed by the same Luhn arithmetic) and an INVALID one
+    // (check digit +1) on every 5th — so the validator must separate
+    // them, not just pattern-match. Pure narrow maps: regexp extract +
+    // a bounded per-run digit fold; the valid-run md5 pins the exact
+    // detected set cross-engine.
+    "x127_luhn_pii" -> ((s, dir) => {
+      // Luhn sum of the 15-digit payload `p` (left-to-right index i,
+      // right-position j = 16 - i + 1 ⇒ double odd i)
+      val paySum = "aggregate(sequence(1, 15), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + CASE WHEN i % 2 = 1 THEN " +
+        "IF(2 * CAST(substring(p, i, 1) AS INT) > 9, " +
+        "2 * CAST(substring(p, i, 1) AS INT) - 9, " +
+        "2 * CAST(substring(p, i, 1) AS INT)) " +
+        "ELSE CAST(substring(p, i, 1) AS INT) END)"
+      // full-run Luhn validity for a detected run `r` of any length
+      val runOk = "aggregate(sequence(1, length(r)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + CASE WHEN (length(r) + 1 - i) % 2 = 0 THEN " +
+        "IF(2 * CAST(substring(r, i, 1) AS INT) > 9, " +
+        "2 * CAST(substring(r, i, 1) AS INT) - 9, " +
+        "2 * CAST(substring(r, i, 1) AS INT)) " +
+        "ELSE CAST(substring(r, i, 1) AS INT) END) % 10 = 0"
+      spread(t(s, dir, "documents"))
+        .withColumn("p", expr("lpad(CAST(pmod(doc_id * 7919 + " +
+          "123456789, 1000000000000000) AS STRING), 15, '0')"))
+        .withColumn("chk", expr(s"pmod(10 - pmod($paySum, 10), 10)"))
+        .withColumn("pii_text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" card "), col("p"), col("chk").cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" ref "), col("p"),
+              pmod(col("chk") + 1, lit(10)).cast("string")))
+            .otherwise(lit(""))))
+        .withColumn("runs", expr(
+          "regexp_extract_all(pii_text, '[0-9]{13,19}', 0)"))
+        .withColumn("valid", expr(s"filter(runs, r -> $runOk)"))
+        .select(col("doc_id"),
+          size(col("runs")).cast("long").as("n_runs"),
+          size(col("valid")).cast("long").as("n_valid"),
+          md5(concat_ws(",", col("valid"))).as("valid_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MATRYOSHKA truncation audit (Kusupati et al. 2022) — prices the
+    // retrieval cost of serving truncated embeddings: for 20 query
+    // vectors, exact top-10 under the FULL 64-dim cosine vs top-10
+    // under the first-16-dims truncation; per query, the overlap and
+    // the total rank displacement over common members. Both rankings
+    // in the x03 floor-e6 integer units with vec_id tie-breaks; the
+    // query set is a bounded broadcast (the adjudicated x03 class) and
+    // ranking is a query-keyed window — corpus work is linear.
+    "x128_matryoshka_eval" -> ((s, dir) => {
+      val base = spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor(Similarity.cosine(col("qv"), col("v")) * 1000000 + 0.5)
+            .cast("long").as("full_e6"),
+          floor(Similarity.cosine(slice(col("qv"), 1, 16),
+            slice(col("v"), 1, 16)) * 1000000 + 0.5)
+            .cast("long").as("low_e6"))
+        .localCheckpoint() // read by both rankings
+      def top10(scoreCol: String, rankName: String) = scored
+        .withColumn(rankName, row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col(scoreCol).desc, col("vec_id"))).cast("long"))
+        .filter(col(rankName) <= 10)
+        .select(col("query_id"), col("vec_id"), col(rankName))
+      top10("full_e6", "rf").join(top10("low_e6", "rl"),
+          Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("overlap10"),
+          sum(abs(col("rf") - col("rl"))).as("displacement"))
+        .orderBy(col("query_id"))
+    }),
+
+    // POISSON-BOOTSTRAP confidence band for a corpus statistic — the
+    // eval-infra op behind every "± x" on a dataset card, determinized:
+    // 16 bootstrap replicas where each doc's replica weight is a
+    // Poisson(1) draw read off the md5-seeded inverse CDF (cumulative
+    // thresholds in exact ppm — fixed design constants, identical in
+    // both engines), replica statistic = weighted mean tokens/doc in
+    // integer ppm. The replica SPREAD is the confidence band; the rank
+    // column makes the quantile read-off part of the hashed output.
+    // One narrow 16-way fan-out + a 16-group aggregate (map-side
+    // combined) — corpus touched once at any scale.
+    "x129_poisson_bootstrap" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("x"))
+      val reps = docs.select(col("doc_id"), col("x"),
+        explode(sequence(lit(0L), lit(15L))).as("b"))
+        .withColumn("u", expr("CAST(conv(substring(md5(CAST(doc_id AS " +
+          "STRING) || '#boot' || CAST(b AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 1000000"))
+        // Poisson(1) inverse CDF, cumulative ppm: P(≤0)=.3679,
+        // ≤1=.7358, ≤2=.9197, ≤3=.9810, ≤4=.9963, else 5
+        .withColumn("w", when(col("u") < 367879L, 0L)
+          .when(col("u") < 735759L, 1L)
+          .when(col("u") < 919699L, 2L)
+          .when(col("u") < 981012L, 3L)
+          .when(col("u") < 996340L, 4L)
+          .otherwise(5L))
+      val means = reps.groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          expr("sum(w * x) * 1000000 div greatest(sum(w), 1)")
+            .as("mean_ppm"))
+      means.withColumn("rnk", row_number().over(
+          Window.orderBy(col("mean_ppm"), col("b"))).cast("long"))
+        .select(col("b"), col("n_eff"), col("mean_ppm"), col("rnk"))
+        .orderBy(col("b"))
+    }),
+
+    // HEAPS'-LAW FIT — the type-growth scaling law (V ≈ K·N^β), x69's
+    // Zipf slope's corpus-growth twin and the number every
+    // tokenizer-budget decision reads: 16 cumulative corpus prefixes
+    // (by doc_id VALUE against a 1-row min/max broadcast — no global
+    // rank window), per prefix the exact token mass and the exact
+    // distinct-TYPE count via each type's FIRST doc (one
+    // type-bounded aggregate; a type counts in every prefix at
+    // or past its first appearance), then the x69 integer
+    // least-squares on the quantized-ln points. The type inventory is
+    // word TRIGRAMS, not unigrams: the driver corpus draws from a
+    // 31-word vocabulary, so the unigram inventory saturates in the
+    // first prefix (β = 0 exactly — the Heaps PLATEAU, a real
+    // regime but a degenerate fit), while the trigram inventory keeps
+    // minting types corpus-wide (4.5k → 16k across sf0.01) the way a
+    // natural vocabulary does. β on the 16-point grid is emitted per
+    // row so the hash pins the whole curve, not one float.
+    "x130_heaps_fit" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("t", Text.tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("t"),
+          Text.wordShingles(col("t")).as("g"))
+        .localCheckpoint() // read by bounds, token mass, first-docs
+      val bounds = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val bs = bounds.select(explode(sequence(lit(1L), lit(16L))).as("i"),
+        col("lo"), col("hi"))
+        .withColumn("b", expr("lo + (hi - lo + 1) * i div 16"))
+        .select(col("i"), col("b"))
+      val tokMass = docs.crossJoin(broadcast(bs))
+        .filter(col("doc_id") < col("b"))
+        .groupBy(col("i")).agg(sum(size(col("t")).cast("long")).as("cum_tokens"))
+      val firsts = docs.select(col("doc_id"), explode(col("g")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      val types = firsts.crossJoin(broadcast(bs))
+        .filter(col("first_doc") < col("b"))
+        .groupBy(col("i")).agg(count(lit(1)).as("cum_types"))
+      val pts = tokMass.join(types, "i")
+        .withColumn("x6", expr("CAST(round(round(ln(CAST(cum_tokens AS " +
+          "DOUBLE)), 6) * 1e6) AS BIGINT)"))
+        .withColumn("y6", expr("CAST(round(round(ln(CAST(cum_types AS " +
+          "DOUBLE)), 6) * 1e6) AS BIGINT)"))
+        .localCheckpoint() // 16 rows: read by the fit and the output
+      val fit = pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x6").cast("decimal(38,0)")).as("sx"),
+        sum(col("y6").cast("decimal(38,0)")).as("sy"),
+        sum((col("x6") * col("y6")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("sxx"))
+        .select(round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4).as("heaps_beta"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("i"), col("cum_tokens"), col("cum_types"),
+          col("heaps_beta"))
+        .orderBy(col("i"))
+    }),
+
+    // SFT CHAT RENDERING with LOSS-MASK SPANS — the step that turns
+    // interaction logs into supervised training examples: sessions
+    // (x13's 30-minute rule) render as alternating
+    // `<|user|>`/`<|assistant|>` turns, and each assistant PAYLOAD's
+    // exact character span [start, end) is emitted so the trainer can
+    // mask the loss to assistant tokens only. Offsets ride a
+    // session-keyed cumulative length window (exact integer); the
+    // rendered text md5 AND the span-list md5 pin both the template
+    // and the mask arithmetic cross-engine. Everything is user/
+    // session-keyed — one exchange carries sessionize, ordering and
+    // the cumsum.
+    "x131_sft_render" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ms = RelationalQueries.epochMs(col("ts"))
+      val sess = spread(t(s, dir, "events"))
+        .withColumn("prev_ms", lag(ms, 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ms").isNull || ms - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wS = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val turns = sess
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("tag", when(pmod(col("rn"), lit(2L)) === 1L,
+          "<|user|> ").otherwise("<|assistant|> "))
+        .withColumn("piece",
+          concat(col("tag"), col("event_type"), lit("\n")))
+        .withColumn("off", coalesce(sum(length(col("piece")).cast("long"))
+          .over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("span", when(pmod(col("rn"), lit(2L)) === 0L,
+          concat(
+            (col("off") + length(col("tag"))).cast("string"), lit(":"),
+            (col("off") + length(col("piece")) - 1L).cast("string"))))
+      turns.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(pmod(col("rn"), lit(2L)) === 0L,
+            length(col("event_type")).cast("long")).otherwise(0L))
+            .as("masked_chars"),
+          md5(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(rn, piece))), " +
+              "p -> p.piece)"))).as("rendered_md5"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(CASE WHEN span IS NOT " +
+              "NULL THEN struct(rn, span) END)), p -> p.span)")))
+            .as("spans_md5"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
   )
 
   /** Fixed 24-token boilerplate footer for the x98 corpus — the
@@ -5643,11 +6016,16 @@ object ExtQueries {
       """WITH tok AS (
         |  SELECT doc_id, source, lang, string_split_regex(text, '\s+') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, source, lang,
         |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                   for i in range(1, len(t) - 1)]) AS s
         |  FROM tok WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT doc_id, source, lang, s FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY doc_id) AS r FROM sh0)
+        |  WHERE r <= 256),
         |p AS (
         |  SELECT a.source AS source, a.lang AS lang,
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -8659,6 +9037,307 @@ object ExtQueries {
          |FROM e_$depth
          |ORDER BY doc_id""".stripMargin
     },
+
+    // x125: the same md5 coin/cuts (hex→int via the strpos ladder) and
+    // the same PSM rendering through 1-based inclusive list slices;
+    // empty slices string_agg to NULL, hence the coalesces.
+    "x125_fim_transform" -> {
+      def hex8(e: String): String =
+        s"CAST(list_sum([(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1) " +
+          s"* CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)]) AS BIGINT)"
+      def j(sl: String): String =
+        s"coalesce(list_aggregate($sl, 'string_agg', ' '), '')"
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |  FROM documents
+         |  WHERE len(string_split_regex(text, '\\s+')) > 0),
+         |d AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    (n >= 4 AND ${hex8("CAST(doc_id AS VARCHAR) || '#fim?'")} % 2 = 0)
+         |      AS fim,
+         |    ${hex8("CAST(doc_id AS VARCHAR) || '#fimc1'")} % (n + 1) AS c1,
+         |    ${hex8("CAST(doc_id AS VARCHAR) || '#fimc2'")} % (n + 1) AS c2
+         |  FROM tok),
+         |cut AS (
+         |  SELECT doc_id, t, n, fim,
+         |    least(c1, c2) AS cut_a, greatest(c1, c2) AS cut_b
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN fim THEN 'fim' ELSE 'ar' END AS mode,
+         |  cut_a, cut_b,
+         |  n + CASE WHEN fim THEN 3 ELSE 0 END AS n_tokens,
+         |  md5(CASE WHEN fim THEN
+         |    '<PRE> ' || ${j("t[1:CAST(cut_a AS INT)]")} ||
+         |    ' <SUF> ' || ${j("t[CAST(cut_b + 1 AS INT):CAST(n AS INT)]")} ||
+         |    ' <MID> ' || ${j("t[CAST(cut_a + 1 AS INT):CAST(cut_b AS INT)]")}
+         |    ELSE ${j("t")} END) AS rendered_md5
+         |FROM cut
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // x126: same bucket expression (bucketSql), same planted twins
+    // (the x58 quantization), same integer margin arithmetic — the
+    // `//` floor-div equals Spark's `div` because every operand here
+    // is non-negative.
+    "x126_bitext_margin" -> {
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |src AS (
+         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
+         |  FROM base WHERE vec_id % 2 = 0),
+         |tgt0 AS (
+         |  SELECT vec_id, v FROM base WHERE vec_id % 2 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, [round(x * 1024) / 1024 for x in v]
+         |  FROM base WHERE vec_id % 4 = 0),
+         |tgt AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM tgt0),
+         |cand AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         |    CAST(floor((${cosineSql("a.v", "b.v")}) * 1000000 + 0.5)
+         |      AS BIGINT) AS cos_e6
+         |  FROM src a JOIN tgt b ON a.bucket = b.bucket),
+         |asrc AS (
+         |  SELECT src_id, CAST(sum(cos_e6 + 1000000) // count(*) AS BIGINT) AS avg_s
+         |  FROM (SELECT src_id, cos_e6,
+         |          row_number() OVER (PARTITION BY src_id
+         |            ORDER BY cos_e6 DESC, tgt_id) AS r FROM cand)
+         |  WHERE r <= 4 GROUP BY src_id),
+         |atgt AS (
+         |  SELECT tgt_id, CAST(sum(cos_e6 + 1000000) // count(*) AS BIGINT) AS avg_t
+         |  FROM (SELECT tgt_id, cos_e6,
+         |          row_number() OVER (PARTITION BY tgt_id
+         |            ORDER BY cos_e6 DESC, src_id) AS r FROM cand)
+         |  WHERE r <= 4 GROUP BY tgt_id),
+         |scored AS (
+         |  SELECT c.src_id, c.tgt_id, c.cos_e6,
+         |    CAST((c.cos_e6 + 1000000) * 2000000 // greatest(s.avg_s + t.avg_t, 1)
+         |      AS BIGINT) AS margin_ppm
+         |  FROM cand c JOIN asrc s USING (src_id)
+         |  JOIN atgt t USING (tgt_id)),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin_ppm DESC, tgt_id) AS rnk FROM scored)
+         |SELECT src_id, tgt_id, cos_e6, margin_ppm,
+         |  margin_ppm >= 1200000 AS mined
+         |FROM best WHERE rnk = 1
+         |ORDER BY src_id""".stripMargin
+    },
+
+    // x127: the identical Luhn fold as a list comprehension; the
+    // planted payload/check-digit arithmetic mirrors the engine side
+    // digit for digit.
+    "x127_luhn_pii" -> {
+      def luhnSum(r: String, len: String): String =
+        s"CAST(list_sum([CASE WHEN ($len + 1 - i) % 2 = 0 THEN " +
+          s"CASE WHEN 2 * CAST(substr($r, i, 1) AS INT) > 9 " +
+          s"THEN 2 * CAST(substr($r, i, 1) AS INT) - 9 " +
+          s"ELSE 2 * CAST(substr($r, i, 1) AS INT) END " +
+          s"ELSE CAST(substr($r, i, 1) AS INT) END " +
+          s"for i in range(1, $len + 1)]) AS BIGINT)"
+      // payload sum: left index i over 15 digits, right pos 17-i even
+      // ⇔ i odd — stated as (16 + 1 - i) % 2 = 0 with len fixed at 16
+      val pay = luhnSum("p", "16").replace("range(1, 16 + 1)", "range(1, 16)")
+      s"""WITH planted AS (
+         |  SELECT doc_id, text,
+         |    lpad(CAST((doc_id * 7919 + 123456789) % 1000000000000000
+         |      AS VARCHAR), 15, '0') AS p
+         |  FROM documents),
+         |withchk AS (
+         |  SELECT doc_id, text, p,
+         |    (10 - ($pay % 10)) % 10 AS chk
+         |  FROM planted),
+         |pii AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' card ' || p || CAST(chk AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' ref ' || p || CAST((chk + 1) % 10 AS VARCHAR)
+         |      ELSE '' END AS pii_text
+         |  FROM withchk),
+         |runs AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(pii_text, '[0-9]{13,19}') AS runs
+         |  FROM pii),
+         |v AS (
+         |  SELECT doc_id, runs,
+         |    list_filter(runs, r -> ${luhnSum("r", "len(r)")} % 10 = 0)
+         |      AS valid
+         |  FROM runs)
+         |SELECT doc_id,
+         |  CAST(len(runs) AS BIGINT) AS n_runs,
+         |  CAST(len(valid) AS BIGINT) AS n_valid,
+         |  md5(coalesce(list_aggregate(valid, 'string_agg', ','), ''))
+         |    AS valid_md5
+         |FROM v
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // x128: both rankings in the same floor-e6 units; the truncated
+    // leg slices the first 16 dims on both sides.
+    "x128_matryoshka_eval" -> {
+      def cos16(a: String, b: String): String =
+        s"""list_sum([$a[i] * $b[i] for i in range(1, 17)]) /
+           |sqrt(list_sum([$a[i] * $a[i] for i in range(1, 17)])
+           |  * list_sum([$b[i] * $b[i] for i in range(1, 17)]))""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+         |      WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(floor((${cosineSql("qv", "v")}) * 1000000 + 0.5)
+         |      AS BIGINT) AS full_e6,
+         |    CAST(floor((${cos16("qv", "v")}) * 1000000 + 0.5)
+         |      AS BIGINT) AS low_e6
+         |  FROM base, q WHERE vec_id <> query_id),
+         |rf AS (
+         |  SELECT query_id, vec_id, rf FROM (
+         |    SELECT query_id, vec_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY full_e6 DESC, vec_id)
+         |      AS BIGINT) AS rf FROM scored) WHERE rf <= 10),
+         |rl AS (
+         |  SELECT query_id, vec_id, rl FROM (
+         |    SELECT query_id, vec_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY low_e6 DESC, vec_id)
+         |      AS BIGINT) AS rl FROM scored) WHERE rl <= 10)
+         |SELECT query_id, count(*) AS overlap10,
+         |  CAST(sum(abs(rf - rl)) AS BIGINT) AS displacement
+         |FROM rf JOIN rl USING (query_id, vec_id)
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin
+    },
+
+    // x129: identical md5 draws, identical CDF thresholds, identical
+    // integer weighted mean; `//` == `div` on non-negative operands.
+    "x129_poisson_bootstrap" -> {
+      def hex8(e: String): String =
+        s"CAST(list_sum([(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1) " +
+          s"* CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)]) AS BIGINT)"
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS x
+         |  FROM documents),
+         |reps AS (
+         |  SELECT doc_id, x, b,
+         |    ${hex8("CAST(doc_id AS VARCHAR) || '#boot' || CAST(b AS VARCHAR)")}
+         |      % 1000000 AS u
+         |  FROM docs, (SELECT unnest(generate_series(0, 15)) AS b)),
+         |w AS (
+         |  SELECT b, x,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |         WHEN u < 996340 THEN 4 ELSE 5 END AS w
+         |  FROM reps),
+         |means AS (
+         |  SELECT CAST(b AS BIGINT) AS b,
+         |    CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(w * x) * 1000000 // greatest(sum(w), 1) AS BIGINT)
+         |      AS mean_ppm
+         |  FROM w GROUP BY b)
+         |SELECT b, n_eff, mean_ppm,
+         |  CAST(row_number() OVER (ORDER BY mean_ppm, b) AS BIGINT) AS rnk
+         |FROM means
+         |ORDER BY b""".stripMargin
+    },
+
+    // x130: same id-value prefix boundaries, same first-doc type
+    // attribution over word TRIGRAMS (the x60 shingle recipe), same
+    // quantized-ln least squares (the x69 recipe).
+    "x130_heaps_fit" ->
+      """WITH docs AS (
+        |  SELECT doc_id, t,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 3),
+        |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs),
+        |bs AS (
+        |  SELECT CAST(i AS BIGINT) AS i, lo + (hi - lo + 1) * i // 16 AS b
+        |  FROM bounds, (SELECT unnest(generate_series(1, 16)) AS i)),
+        |tm AS (
+        |  SELECT i, CAST(sum(len(t)) AS BIGINT) AS cum_tokens
+        |  FROM docs, bs WHERE doc_id < b GROUP BY i),
+        |firsts AS (
+        |  SELECT w, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(g) AS w FROM docs) GROUP BY w),
+        |ty AS (
+        |  SELECT i, count(*) AS cum_types
+        |  FROM firsts, bs WHERE first_doc < b GROUP BY i),
+        |pts AS (
+        |  SELECT i, cum_tokens, cum_types,
+        |    CAST(round(round(ln(CAST(cum_tokens AS DOUBLE)), 6) * 1e6)
+        |      AS BIGINT) AS x6,
+        |    CAST(round(round(ln(CAST(cum_types AS DOUBLE)), 6) * 1e6)
+        |      AS BIGINT) AS y6
+        |  FROM tm JOIN ty USING (i)),
+        |fit AS (
+        |  SELECT round(CAST(count(*) * sum(x6 * y6) - sum(x6) * sum(y6)
+        |      AS DOUBLE)
+        |    / CAST(count(*) * sum(x6 * x6) - sum(x6) * sum(x6) AS DOUBLE),
+        |    4) AS heaps_beta
+        |  FROM pts)
+        |SELECT i, cum_tokens, cum_types, heaps_beta
+        |FROM pts, fit
+        |ORDER BY i""".stripMargin,
+
+    // x131: the x123 sessionization verbatim, then per-turn template
+    // pieces with a session-keyed cumulative-length offset; string_agg
+    // with an explicit ORDER BY mirrors the engine's sort-struct
+    // assembly; an all-user session aggregates spans over zero rows →
+    // NULL → coalesce to '' (matching Spark's empty-array join).
+    "x131_sft_render" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM b),
+        |t1 AS (
+        |  SELECT user_id, session_id, ts, event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM sess),
+        |t3 AS (
+        |  SELECT *,
+        |    CASE WHEN rn % 2 = 1 THEN '<|user|> '
+        |         ELSE '<|assistant|> ' END AS tag,
+        |    (CASE WHEN rn % 2 = 1 THEN '<|user|> '
+        |          ELSE '<|assistant|> ' END) || event_type || chr(10)
+        |      AS piece
+        |  FROM t1),
+        |t4 AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(len(piece)) OVER (
+        |      PARTITION BY user_id, session_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM t3),
+        |t5 AS (
+        |  SELECT *, CASE WHEN rn % 2 = 0 THEN
+        |    CAST(off + len(tag) AS VARCHAR) || ':' ||
+        |    CAST(off + len(piece) - 1 AS VARCHAR) END AS span
+        |  FROM t4)
+        |SELECT user_id, session_id, count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN rn % 2 = 0 THEN len(event_type) ELSE 0 END)
+        |    AS BIGINT) AS masked_chars,
+        |  md5(string_agg(piece, '' ORDER BY rn)) AS rendered_md5,
+        |  md5(coalesce(string_agg(span, ',' ORDER BY rn), ''))
+        |    AS spans_md5
+        |FROM t5
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

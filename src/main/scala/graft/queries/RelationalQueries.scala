@@ -99,11 +99,11 @@ object RelationalQueries {
     // above the scans).
     "q02b_revenue_bucketed" -> ((s, dir) => {
       val li = Bucketed.table(s,
-        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 8),
-        t(s, dir, "lineitem"), "l_orderkey")
+        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 32),
+        t(s, dir, "lineitem"), "l_orderkey", buckets = 32)
       val ord = Bucketed.table(s,
-        Bucketed.nameFor(dir, "orders", "o_orderkey", 8),
-        t(s, dir, "orders"), "o_orderkey")
+        Bucketed.nameFor(dir, "orders", "o_orderkey", 32),
+        t(s, dir, "orders"), "o_orderkey", buckets = 32)
       li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .hint("merge")
         .join(ord.select(col("o_orderkey"), col("o_custkey")),
@@ -486,11 +486,11 @@ object RelationalQueries {
     // every orderkey join.
     "q28_bucketed_join" -> ((s, dir) => {
       val li = Bucketed.table(s,
-        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 8),
-        t(s, dir, "lineitem"), "l_orderkey")
+        Bucketed.nameFor(dir, "lineitem", "l_orderkey", 32),
+        t(s, dir, "lineitem"), "l_orderkey", buckets = 32)
       val ord = Bucketed.table(s,
-        Bucketed.nameFor(dir, "orders", "o_orderkey", 8),
-        t(s, dir, "orders"), "o_orderkey")
+        Bucketed.nameFor(dir, "orders", "o_orderkey", 32),
+        t(s, dir, "orders"), "o_orderkey", buckets = 32)
       li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .hint("merge")
         .join(ord.select(col("o_orderkey"), col("o_orderpriority")),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{ImageHash, MultiModal, Png, Ppm}
+import graft.ext.{ImageHash, Jpeg, MultiModal, Png, Ppm}
 
 /** Perceptual image dedup: dHash invariances (brightness shift,
   * re-encode), sensitivity (different structure → far hash), and the
@@ -39,6 +39,44 @@ class ImageHashSpec extends AnyFunSuite {
     // PNG round-trip is lossless: identical hash
     val rt = Png.decode(Png.encode(a)).get
     assert(ImageHash.dHash(rt) === ImageHash.dHash(a))
+  }
+
+  test("dHash survives LOSSY JPEG re-encode within the banded reach") {
+    // JPEG is lossy, so unlike the PNG case the claim is robustness,
+    // not identity: a quality-90 round trip moves the 64-bit dHash at
+    // most a few bits — inside the Hamming-3 pigeonhole the banded
+    // join is exhaustive for — and a brightness-shifted JPEG twin
+    // stays within reach too (the real-corpus near-dup shape:
+    // re-encoded + slightly edited copies). Fixture: smooth 2-D
+    // sinusoids — photograph-like low-frequency content where adjacent
+    // dHash grid samples differ by a clear margin. The per-pixel-noise
+    // and blockwise fixtures both fail this test HONESTLY: noise is
+    // what q90 quantizes away, and constant blocks make adjacent luma
+    // samples exactly TIE, so any ±1 decode ripple flips the bit —
+    // neither is a corpus image, and the pigeonhole claim is scoped to
+    // content whose 9×8 downsample has non-tied comparisons.
+    def smoothImg(seed: Int, w: Int = 24, h: Int = 16): Ppm.Image = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+        val fx = 1.0 + (seed % 3) * 0.5
+        val fy = 1.0 + ((seed / 3) % 3) * 0.5
+        val phase = seed * 0.7 + ch * 2.1
+        val v = 128 + 90 * math.sin(
+          2 * math.Pi * (fx * x / w + fy * y / h) + phase)
+        px((y * w + x) * 3 + ch) = math.round(v).toByte
+      }
+      Ppm.Image(w, h, px)
+    }
+    (0 until 8).foreach { s =>
+      val base = brighten(smoothImg(s), 10)
+      val h0 = ImageHash.dHash(base)
+      val rt = Jpeg.decode(Jpeg.encode(base, quality = 90)).get
+      assert(ImageHash.hamming(h0, ImageHash.dHash(rt)) <= 3,
+        s"seed $s: JPEG round trip moved dHash too far")
+      val shifted = Jpeg.decode(Jpeg.encode(brighten(smoothImg(s), 16), 90)).get
+      assert(ImageHash.hamming(h0, ImageHash.dHash(shifted)) <= 3,
+        s"seed $s: shifted JPEG twin out of banded reach")
+    }
   }
 
   test("dHash separates structurally different images") {
