@@ -878,14 +878,17 @@ ks.foreach { k =>
     // round-12 verdict task 6: the banding claim (banded == brute,
     // candidates linear) is spec-proven at 41 payloads; probe it at k×
     // synthetic JPEG rasters with planted perturbed twins. Corpus per
-    // k: k·2000 base images (smooth sinusoid + blockwise texture —
-    // photograph-like content whose 9×8 cell means carry real margins)
-    // + one twin each (uniform brightness +6, then a SECOND lossy q90
-    // encode). Claims: (1) decode+hash cost per image flat (the
-    // mapPartitions batch shape); (2) banded candidate MASS linear in
-    // the corpus (band equi-join, never all-pairs); (3) twin recall
-    // pinned at 100% — every planted twin lands within Hamming ≤ 3 and
-    // the pigeonhole catches it by construction.
+    // k: k·2000 base 128×96 images (smooth sinusoid + blockwise
+    // texture — photograph-like content whose grid-cell means carry
+    // real margins under q90) + one twin each (uniform brightness +6,
+    // then a SECOND lossy q90 encode). Claims: (1) decode+hash cost
+    // per image flat (the mapPartitions batch shape); (2) banded
+    // candidate MASS ~linear in the corpus — THE CLAIM THAT FAILED
+    // for the original 64-bit/16-bit-band hash (mass ∝ n²/2¹⁶-class
+    // random collisions, measured 63k→254k→1.0M at 1×/2×/4× even on a
+    // diversified fixture) and drove the 256-bit/64-bit-band upgrade;
+    // (3) twin recall pinned at 100% — every planted twin lands
+    // within Hamming ≤ 3 of 256 and the pigeonhole catches it.
     if (sys.env.contains("SPARK_GRAFT_PROBE_IMG")) {
       import graft.ext.{ImageHash, Jpeg, MultiModal, Ppm}
       import spark.implicits._
@@ -894,7 +897,7 @@ ks.foreach { k =>
         val n = k * 2000
         val media = spark.range(n).as[Long].mapPartitions { it =>
           it.flatMap { id =>
-            val w = 32; val h = 24
+            val w = 128; val h = 96
             val fx = 1.0 + (id % 3) * 0.5
             val fy = 1.0 + ((id / 3) % 3) * 0.5
             val phase = (id % 1000) * 0.00628

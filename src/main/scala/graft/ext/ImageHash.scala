@@ -15,11 +15,17 @@ import graft.ext.MultiModal.MediaRecord
   * re-encoding and small edits (a few flipped bits, not a new hash).
   *
   * Candidate generation at corpus scale is the Hamming-LSH pigeonhole:
-  * split the 64-bit hash into 4 disjoint 16-bit bands — any pair
+  * split the 256-bit hash into its 4 disjoint 64-bit words — any pair
   * within Hamming distance ≤ 3 has 4 bands and at most 3 differing
   * bits, so at least ONE band matches exactly (the x02 band-equi-join
   * shape, never all-pairs). Verification recomputes the true Hamming
-  * distance on the candidates only.
+  * distance on the candidates only. The hash is 256-bit (17×16 grid)
+  * rather than the classic 64-bit 9×8 BECAUSE of the band width:
+  * SCALE-IMGDHASH measured that 16-bit band keys carry an
+  * n²/2¹⁶-class random-collision floor (content-entropy-dependent,
+  * quadratic), while 64-bit band keys push that floor to n²/2⁶⁴ —
+  * nonexistent at any corpus size; the [[dHash]] 64-bit form stays
+  * for contexts that want the compact fingerprint itself.
   *
   * Decode rides [[MultiModal]]'s real pure-JVM codecs (P6 + PNG +
   * baseline JPEG);
@@ -28,25 +34,23 @@ import graft.ext.MultiModal.MediaRecord
   */
 object ImageHash {
 
-  /** 64-bit dHash of a decoded raster: 9×8 luma grid via AREA-MEAN
-    * downsampling (each grid cell is the mean luma of its pixel
-    * block), row-major adjacent-cell comparisons. Area mean — not the
-    * codec's nearest-neighbor point sampling — is what makes the hash
-    * survive lossy re-encodes: a quality-90 JPEG round trip ripples
-    * individual pixels by ±8 but cell MEANS by well under a luma
-    * step, so comparisons with any real margin never flip
-    * (ImageHashSpec pins the JPEG round trip within the banded
-    * join's Hamming-3 reach).
+  /** AREA-MEAN luma grid: `cols`×`rows` cells, each the mean luma of
+    * its pixel block. Area mean — not the codec's nearest-neighbor
+    * point sampling — is what makes the hashes survive lossy
+    * re-encodes: a quality-90 JPEG round trip ripples individual
+    * pixels by ±8 but cell MEANS by well under a luma step, so
+    * comparisons with any real margin never flip (ImageHashSpec pins
+    * the JPEG round trip within the banded join's Hamming-3 reach).
     */
-  def dHash(img: Ppm.Image): Long = {
+  private def lumaGrid(img: Ppm.Image, cols: Int, rows: Int): Array[Double] = {
     val w = img.width; val h = img.height
-    val means = new Array[Double](9 * 8)
+    val means = new Array[Double](cols * rows)
     var r = 0
-    while (r < 8) {
-      val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+    while (r < rows) {
+      val y0 = r * h / rows; val y1 = math.max(y0 + 1, (r + 1) * h / rows)
       var c = 0
-      while (c < 9) {
-        val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+      while (c < cols) {
+        val x0 = c * w / cols; val x1 = math.max(x0 + 1, (c + 1) * w / cols)
         var s = 0.0
         var y = y0
         while (y < y1) {
@@ -60,13 +64,21 @@ object ImageHash {
           }
           y += 1
         }
-        means(r * 9 + c) = s / ((y1 - y0) * (x1 - x0))
+        means(r * cols + c) = s / ((y1 - y0) * (x1 - x0))
         c += 1
       }
       r += 1
     }
+    means
+  }
+
+  /** Classic 64-bit dHash (9×8 area-mean grid, adjacent-cell
+    * comparisons) — the compact single-long fingerprint.
+    */
+  def dHash(img: Ppm.Image): Long = {
+    val means = lumaGrid(img, 9, 8)
     var hash = 0L
-    r = 0
+    var r = 0
     while (r < 8) {
       var c = 0
       while (c < 8) {
@@ -79,10 +91,41 @@ object ImageHash {
     hash
   }
 
+  /** 256-bit dHash (17×16 area-mean grid, 16 comparisons × 16 rows)
+    * as 4 longs — the BANDING form: its 64-bit words are the LSH band
+    * keys, wide enough that random band collisions never happen (see
+    * the object doc).
+    */
+  def dHash256(img: Ppm.Image): Array[Long] = {
+    val means = lumaGrid(img, 17, 16)
+    val hash = new Array[Long](4)
+    var r = 0
+    while (r < 16) {
+      var c = 0
+      while (c < 16) {
+        if (means(r * 17 + c) > means(r * 17 + c + 1)) {
+          val bit = r * 16 + c
+          hash(bit >> 6) |= 1L << (bit & 63)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  def hamming256(a: Seq[Long], b: Seq[Long]): Int = {
+    var d = 0
+    var i = 0
+    while (i < 4) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    d
+  }
+
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** (doc_id, dhash) for every decodable image in the media set —
-    * per-partition batch decode, the [[MultiModal.featurize]] dataflow.
+  /** (doc_id, dhash: array<long>[4]) for every decodable image in the
+    * media set — per-partition batch decode, the
+    * [[MultiModal.featurize]] dataflow; the 256-bit banding hash.
     */
   def hashes(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
@@ -90,7 +133,7 @@ object ImageHash {
       batch.flatMap { rec =>
         Ppm.decode(rec.content).orElse(Png.decode(rec.content))
           .orElse(Jpeg.decode(rec.content))
-          .map(img => (rec.doc_id, dHash(img)))
+          .map(img => (rec.doc_id, dHash256(img).toSeq))
       }
     }.toDF("doc_id", "dhash")
   }
@@ -105,7 +148,7 @@ object ImageHash {
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
-      "4 disjoint 16-bit bands are exhaustive only to Hamming 3")
+      "4 disjoint 64-bit bands are exhaustive only to Hamming 3")
     bandCandidates(hashes)
       .filter(col("dist") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
@@ -115,14 +158,13 @@ object ImageHash {
   /** The raw banded-join candidate stream BEFORE the Hamming filter —
     * one row per (pair, matching band), so its row count is the
     * candidate MASS the band equi-join actually generates (the
-    * quantity SCALE-IMGDHASH pins linear in the corpus). nearDupPairs
-    * is exactly this, filtered and collapsed per pair.
+    * quantity SCALE-IMGDHASH pins ~linear in the corpus for the
+    * 64-bit-band form). nearDupPairs is exactly this, filtered and
+    * collapsed per pair.
     */
   def bandCandidates(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("dhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), " +
-          "b -> (shiftright(dhash, b * 16) & 65535))")))
+      posexplode(col("dhash")))
       .select(col("doc_id"), col("dhash"),
         col("pos").as("band"), col("col").as("band_bits"))
     banded.as("a").hint("merge")
@@ -131,6 +173,9 @@ object ImageHash {
           col("a.band_bits") === col("b.band_bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("dist"))
+        expr("CAST(bit_count(a.dhash[0] ^ b.dhash[0]) " +
+          "+ bit_count(a.dhash[1] ^ b.dhash[1]) " +
+          "+ bit_count(a.dhash[2] ^ b.dhash[2]) " +
+          "+ bit_count(a.dhash[3] ^ b.dhash[3]) AS INT)").as("dist"))
   }
 }

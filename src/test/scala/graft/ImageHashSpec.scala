@@ -88,7 +88,8 @@ class ImageHashSpec extends AnyFunSuite {
 
   test("banded pairs == brute force at Hamming <= 3; decode gate holds") {
     // corpus: 20 distinct images as P6 + a perturbed PNG twin of each
-    // (small brightness shift -> dHash within a few bits) + junk bytes
+    // (small brightness shift — a monotone map, so the 256-bit dHash
+    // is EXACTLY invariant) + junk bytes
     val base = (0 until 20).map(i => (i.toLong, img(i)))
     val media = base.map { case (id, im) =>
       MultiModal.MediaRecord(id, "image/x-ppm", im.width, im.height,
@@ -100,20 +101,37 @@ class ImageHashSpec extends AnyFunSuite {
       Array[Byte](1, 2, 3, 4))
     val ds = spark.createDataset(media)
     val hashes = ImageHash.hashes(ds)
-    val rows = hashes.as[(Long, Long)].collect().toMap
+    val rows = hashes.as[(Long, Seq[Long])].collect().toMap
     // junk bytes yield NO hash row (the decode gate)
     assert(rows.size === 40 && !rows.contains(999L))
+    rows.values.foreach(h => assert(h.length === 4))
     // every perturbed twin is within the banded join's reach
     val got = ImageHash.nearDupPairs(hashes, 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val rs = rows.toSeq // NOT the Map: a for over a Map collapses by key
     val brute = (for {
       (ia, ha) <- rs; (ib, hb) <- rs if ia < ib
-      if ImageHash.hamming(ha, hb) <= 3
+      if ImageHash.hamming256(ha, hb) <= 3
     } yield (ia, ib)).toSet
     assert(got === brute, "banded candidates must equal brute force")
     // the planted twins dominate the pair set
     val twins = got.filter { case (a, b) => b == a + 100 }
     assert(twins.size >= 15, s"only ${twins.size} twins caught")
+  }
+
+  test("dHash256: monotone-shift invariant; words are the 4 band keys") {
+    (0 until 6).foreach { s =>
+      val a = ImageHash.dHash256(brighten(img(s), 10))
+      val b = ImageHash.dHash256(brighten(img(s), 35))
+      assert(a.toSeq === b.toSeq, s"seed $s shift variance")
+      // lossless PNG round trip: identical 256-bit hash
+      val rt = Png.decode(Png.encode(brighten(img(s), 10))).get
+      assert(ImageHash.dHash256(rt).toSeq === a.toSeq)
+    }
+    // structurally different images stay far apart on 256 bits too
+    val pairs = for (i <- 0 until 6; j <- (i + 1) until 6)
+      yield ImageHash.hamming256(
+        ImageHash.dHash256(img(i)), ImageHash.dHash256(img(j)))
+    assert(pairs.forall(_ > 3), s"too-close 256-bit pair: ${pairs.min}")
   }
 }
