@@ -43,6 +43,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deploy-recipe sizing (round-14): shuffle parallelism ∝ data, not
+    // the builder constant — at sf0.1/sf1 this resolves to the 32-core
+    // floor (identical to the historical constant, so bench numbers
+    // stay comparable), and only genuinely large inputs scale it up.
+    graft.ops.Sizing.configure(spark, Seq(sfDir))
     // Silence WindowExec's "No Partition Defined" warning for this
     // bench process (r10 verdict nit): every unpartitioned window in
     // the registry carries a named bounded-domain adjudication in

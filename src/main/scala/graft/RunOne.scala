@@ -30,6 +30,8 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same data-proportional sizing as Bench (32-core floor at sf≤1)
+    graft.ops.Sizing.configure(spark, Seq(sfDir))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")

@@ -85,9 +85,15 @@ object Sf10Probe {
       dir
     }
 
-    val shapes = Seq("x02_minhash_pairs", "x12_ngram_jaccard_blocked",
+    // SPARK_GRAFT_PROBE_SHAPES narrows the run — probe hygiene
+    // (round-13 #7): one JVM per (shape, k) cell when re-running a
+    // single cell, so a prior shape's GC/shuffle debris can't bleed
+    // into the timed body the way the run-4 x02 k=40 outlier did
+    val allShapes = Seq("x02_minhash_pairs", "x12_ngram_jaccard_blocked",
       "x23_dedup_clusters", "x67_prefix_filter_join", "x58_semdedup",
       "x122_split_leakage")
+    val shapes = sys.env.get("SPARK_GRAFT_PROBE_SHAPES")
+      .map(_.split(",").toSeq).getOrElse(allShapes)
     ks.foreach { k =>
       val dir = gen(k)
       // Scale shuffle parallelism WITH the data, the way a sized
@@ -97,9 +103,13 @@ object Sf10Probe {
       // 10× wall for 4× data with EXACTLY linear output rows. Fixed
       // partition counts are a single-machine artifact, not a plan
       // property; per-partition data must stay roughly constant as the
-      // corpus grows, so partitions ∝ corpus.
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(cpus.toInt, cpus.toInt * k / 10).toString)
+      // corpus grows, so partitions ∝ corpus — routed through the
+      // Sizing deploy recipe (round-14 #6). Amplification 16, not the
+      // row default 4: these shapes explode shingle/band intermediates
+      // an order of magnitude past their parquet input.
+      val parts = graft.ops.Sizing.configure(spark, Seq(dir),
+        amplification = 16.0)
+      println(s"PROBE k=$k shuffle.partitions=$parts")
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       shapes.foreach { name =>
         val times = (1 to reps).map { _ =>

@@ -82,7 +82,7 @@ import org.apache.spark.sql.functions._
   * the merged pair, and an exact per-type old-minus-new adjacency
   * histogram diff folded back into the counts. Rule-sequence
   * bit-equality with the recount loop (both merge policies, ties
-  * included) is pinned by RoundTwelveSpec; x96 proves it corpus-wide
+  * included) is pinned by RoundTwelveSpec; x124 proves it corpus-wide
   * under the DuckDB recount oracle; SCALE-BPEFAST carries the
   * corpus-independence receipt. The recount loop stays as the
   * oracle-mirroring reference form.
@@ -288,7 +288,7 @@ object BpeMerge {
     * types at every round (inductively: the diff is exact), so the
     * rule sequence is BIT-IDENTICAL to [[trainPairs]] on the same
     * corpus — RoundTwelveSpec pins it for both merge policies
-    * including count ties, and x96 proves it corpus-wide under the
+    * including count ties, and x124 proves it corpus-wide under the
     * DuckDB recount oracle. Both per-round frames are
     * localCheckpoint'd (types: vocabulary-bounded; counts:
     * pair-vocabulary-bounded) — bounded-state materialization, the

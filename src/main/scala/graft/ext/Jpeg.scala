@@ -8,12 +8,17 @@ import java.io.ByteArrayOutputStream
   * corpus is actually stored in).
   *
   * Decoder scope, stated: baseline + extended-sequential DCT markers
-  * (SOF0/SOF1), 8-bit samples, 1 component (grayscale) or 3 components
-  * (JFIF YCbCr) with sampling factors 1–4 (4:4:4, 4:2:2, 4:2:0 all
-  * land here), restart intervals (DRI/RSTn). Progressive (SOF2),
+  * (SOF0/SOF1) AND progressive DCT (SOF2, spectral selection +
+  * successive approximation, T.81 Annex G — the format most
+  * web-crawled images actually use), 8-bit samples, 1 component
+  * (grayscale) or 3 components (JFIF YCbCr) with sampling factors 1–4
+  * (4:4:4, 4:2:2, 4:2:0 all land here), restart intervals (DRI/RSTn),
+  * and 0xFF fill bytes before markers (B.1.1.2). Lossless,
   * arithmetic coding, 12-bit, and hierarchical return None and fall
   * back to [[MultiModal]]'s documented stub path — a payload outside
-  * the profile must degrade, never fail the task.
+  * the profile must degrade, never fail the task. Single-component
+  * scans are decoded non-interleaved (MCU = one data unit) per A.2,
+  * regardless of declared sampling factors.
   *
   * Encoder: baseline 4:4:4 YCbCr with the spec's own Annex K.1 quant
   * tables (quality-scaled by the public libjpeg linear formula) and
@@ -219,16 +224,29 @@ object Jpeg {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var coefs: Array[Array[Int]] = null // per comp, zigzag order per block
+    var bpl: Array[Int] = null // blocks per line, MCU-padded
+    var bpc: Array[Int] = null // blocks per column, MCU-padded
+    var sawScan = false
 
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
 
-    while (pos + 4 <= bytes.length) {
+    while (pos + 2 <= bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) return None
+      // B.1.1.2: any number of 0xFF fill bytes may precede a marker code
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 2 > bytes.length) return None
       val marker = bytes(pos + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before any scan decoded
+      if (marker == 0xd9) // EOI: all progressive scans are in; sequential
+        return if (progressive && sawScan) // mode returns from its one scan
+          reconstructProgressive(comps, coefs, bpl, bpc, quant, w, h)
+        else None
+      if (pos + 4 > bytes.length) return None
       val len = u16(pos + 2)
       if (len < 2 || pos + 2 + len > bytes.length) return None
       val body = pos + 4
+      var nextPos = pos + 2 + len
       marker match {
         case 0xdb => // DQT — one or more tables, zigzag order on the wire
           var p = body
@@ -256,7 +274,9 @@ object Jpeg {
             if (tc == 0) dcHuff(th) = tbl else acHuff(th) = tbl
             p += 17 + n
           }
-        case 0xc0 | 0xc1 => // SOF0 / SOF1 (sequential DCT)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          if (comps != null) return None // one frame per stream
+          progressive = marker == 0xc2
           val precision = bytes(body) & 0xff
           if (precision != 8) return None
           h = u16(body + 1); w = u16(body + 3)
@@ -271,15 +291,31 @@ object Jpeg {
             if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) return None
             c
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          // T.81 A.2: a single-component scan is non-interleaved (MCU =
+          // one data unit), so in a 1-component frame the declared
+          // sampling factors don't shape the entropy data or the plane.
+          if (nc == 1) comps(0) = comps(0).copy(h = 1, v = 1)
+          if (progressive) {
+            val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            bpl = comps.map(c => mcusX * c.h)
+            bpc = comps.map(c => mcusY * c.v)
+            var total = 0L
+            comps.indices.foreach(i => total += bpl(i).toLong * bpc(i) * 64)
+            if (total > (1L << 26)) return None // coefficient-bomb guard
+            coefs = Array.tabulate(comps.length)(i =>
+              new Array[Int](bpl(i) * bpc(i) * 64))
+          }
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // progressive/lossless/arithmetic/hierarchical
+          return None // lossless/differential/arithmetic/hierarchical
         case 0xdd => // DRI
           restartInterval = u16(body)
-        case 0xda => // SOS — decode the single sequential scan
+        case 0xda if !progressive => // SOS — the single sequential scan
           if (comps == null) return None
           val ns = bytes(body) & 0xff
-          if (ns != comps.length) return None // non-interleaved: out of scope
+          if (ns != comps.length) return None
           var p = body + 1
           var i = 0
           while (i < ns) {
@@ -291,11 +327,272 @@ object Jpeg {
           }
           return decodeScan(bytes, pos + 2 + len, w, h, comps, quant,
             dcHuff, acHuff, restartInterval)
+        case 0xda => // SOS — one progressive scan; more may follow
+          if (comps == null) return None
+          nextPos = decodeProgScan(bytes, pos, w, h, comps, coefs, bpl, bpc,
+            dcHuff, acHuff, restartInterval)
+          sawScan = true
         case _ => () // APPn / COM / anything else with a length: skip
       }
-      pos += 2 + len
+      pos = nextPos
     }
     None
+  }
+
+  /** Decode one progressive scan (T.81 G.2) into the per-component
+    * coefficient arrays (zigzag order). Returns the stream position of
+    * the next marker after the scan's entropy data.
+    */
+  private def decodeProgScan(bytes: Array[Byte], sosPos: Int, w: Int, h: Int,
+      comps: Array[Component], coefs: Array[Array[Int]],
+      bpl: Array[Int], bpc: Array[Int],
+      dcHuff: Array[Huff], acHuff: Array[Huff],
+      restartInterval: Int): Int = {
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    val len = u16(sosPos + 2)
+    val body = sosPos + 4
+    val ns = bytes(body) & 0xff
+    if (ns < 1 || ns > comps.length || body + 1 + 2 * ns + 3 > sosPos + 2 + len)
+      throw new Malformed
+    val scomps = new Array[Int](ns) // indices into comps, scan order
+    var p = body + 1
+    var i = 0
+    while (i < ns) {
+      val cs = bytes(p) & 0xff
+      val ci = comps.indexWhere(_.id == cs)
+      if (ci < 0) throw new Malformed
+      comps(ci).dcTbl = (bytes(p + 1) & 0xff) >> 4
+      comps(ci).acTbl = bytes(p + 1) & 0x0f
+      scomps(i) = ci
+      p += 2; i += 1
+    }
+    val ss = bytes(p) & 0xff
+    val se = bytes(p + 1) & 0xff
+    val ah = (bytes(p + 2) & 0xff) >> 4
+    val al = bytes(p + 2) & 0x0f
+    if (ss > 63 || se > 63 || ss > se || al > 13) throw new Malformed
+    if (ss == 0 && se != 0) throw new Malformed // DC scan is exactly [0,0]
+    if (ss > 0 && ns != 1) throw new Malformed // AC scans: one component
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+
+    val br = new BitReader(bytes, sosPos + 2 + len)
+    var eobrun = 0
+    val dcPred = new Array[Int](ns)
+
+    // ---- per-block band decoders (G.2.1/G.2.2, libjpeg-equivalent) ----
+    def acFirst(coef: Array[Int], off: Int, t: Huff): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeSym(t)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: run of 2^r + extra blocks, this one included
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            return
+          }
+        } else {
+          k += r
+          if (k > se) throw new Malformed
+          coef(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(coef: Array[Int], off: Int, t: Huff): Unit = {
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = br.decodeSym(t)
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn — rest of block via the EOB branch below
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              atEob = true
+            } // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) throw new Malformed // refinement sends 1-bit values
+            newVal = if (br.nextBit() == 1) p1 else m1
+          }
+          if (!atEob) {
+            // advance past r zero-history coefficients, reading a
+            // correction bit at every nonzero-history one on the way
+            var placed = false
+            while (k <= se && !placed) {
+              val c0 = coef(off + k)
+              if (c0 != 0) {
+                if (br.nextBit() == 1 && (c0 & p1) == 0)
+                  coef(off + k) = c0 + (if (c0 >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) coef(off + k) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) throw new Malformed
+          }
+        }
+      }
+      if (eobrun > 0) { // EOB run covers this block's remaining band
+        while (k <= se) {
+          val c0 = coef(off + k)
+          if (c0 != 0 && br.nextBit() == 1 && (c0 & p1) == 0)
+            coef(off + k) = c0 + (if (c0 >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(si: Int, off: Int): Unit = {
+      val c = comps(scomps(si))
+      if (ss == 0) {
+        if (ah == 0) { // DC first: diff-coded, point transform = >> Al
+          val t = dcHuff(c.dcTbl)
+          if (t == null) throw new Malformed
+          val s = br.decodeSym(t)
+          if (s > 11) throw new Malformed
+          dcPred(si) += extend(br.receive(s), s)
+          coefs(scomps(si))(off) = dcPred(si) << al
+        } else { // DC refinement: one raw bit per block
+          if (br.nextBit() == 1) coefs(scomps(si))(off) |= 1 << al
+        }
+      } else {
+        val t = acHuff(c.acTbl)
+        if (t == null) throw new Malformed
+        if (ah == 0) acFirst(coefs(scomps(si)), off, t)
+        else acRefine(coefs(scomps(si)), off, t)
+      }
+    }
+
+    def atRestart(unitIdx: Int): Unit =
+      if (restartInterval > 0 && unitIdx > 0 &&
+          unitIdx % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+    if (ns == 1) {
+      // non-interleaved: the component's own block grid (A.2.2 — NOT
+      // MCU-padded), row-major; restart interval counts blocks
+      val ci = scomps(0)
+      val c = comps(ci)
+      val compW = (w * c.h + hmax - 1) / hmax
+      val compH = (h * c.v + vmax - 1) / vmax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      var blk = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          atRestart(blk)
+          decodeBlock(0, (by * bpl(ci) + bx) * 64)
+          blk += 1; bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved (DC-band scans only): the padded MCU grid, h×v
+      // blocks per component per MCU; restart interval counts MCUs
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          atRestart(my * mcusX + mx)
+          var si = 0
+          while (si < ns) {
+            val c = comps(scomps(si))
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(si,
+                  ((my * c.v + by) * bpl(scomps(si)) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+
+    // advance to the next marker: skip residual entropy padding, RSTn,
+    // stuffed bytes, and fill bytes
+    var q = br.pos
+    while (q + 1 < bytes.length && !((bytes(q) & 0xff) == 0xff && {
+          val m2 = bytes(q + 1) & 0xff
+          m2 != 0x00 && m2 != 0xff && (m2 < 0xd0 || m2 > 0xd7)
+        })) q += 1
+    if (q + 1 >= bytes.length) throw new Malformed
+    q
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * composite the planes into an RGB raster.
+    */
+  private def reconstructProgressive(comps: Array[Component],
+      coefs: Array[Array[Int]], bpl: Array[Int], bpc: Array[Int],
+      quant: Array[Array[Int]], w: Int, h: Int): Option[Ppm.Image] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val planeW = comps.indices.map(i => bpl(i) * 8).toArray
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Byte](bpl(i) * 8 * bpc(i) * 8))
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val out = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).tq)
+      if (q == null) return None
+      val src = coefs(ci)
+      var by = 0
+      while (by < bpc(ci)) {
+        var bx = 0
+        while (bx < bpl(ci)) {
+          val off = (by * bpl(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = src(off + k) * q(Zigzag(k)); k += 1 }
+          idct(coef, tmp, out)
+          val px0 = bx * 8; val py0 = by * 8
+          val pw = planeW(ci)
+          var y = 0
+          while (y < 8) {
+            val rowBase = (py0 + y) * pw + px0
+            var x = 0
+            while (x < 8) {
+              val v = math.round(out(y * 8 + x) + 128.0).toInt
+              planes(ci)(rowBase + x) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(composite(planes, planeW, comps, w, h, hmax, vmax))
   }
 
   private def decodeScan(bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
@@ -387,7 +684,15 @@ object Jpeg {
       my += 1
     }
 
-    // upsample (box replication) + color convert
+    Some(composite(planes, planeW, comps, w, h, hmax, vmax))
+  }
+
+  /** Upsample (box replication) + YCbCr→RGB color convert the decoded
+    * component planes into an interleaved RGB raster.
+    */
+  private def composite(planes: Array[Array[Byte]], planeW: Array[Int],
+      comps: Array[Component], w: Int, h: Int, hmax: Int,
+      vmax: Int): Ppm.Image = {
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -416,7 +721,7 @@ object Jpeg {
       }
       y += 1
     }
-    Some(Ppm.Image(w, h, px))
+    Ppm.Image(w, h, px)
   }
 
   /** 2-D 8×8 inverse DCT: f = Mᵀ·F·M via two 1-D passes (doubles). */
@@ -467,6 +772,11 @@ object Jpeg {
         i -= 1
       }
     }
+    /** Pad the current byte with 1-bits (spec convention) — before a
+      * restart marker or at end of scan.
+      */
+    def flushAlign(): Unit =
+      if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
   }
 
   /** Annex K table scaled by the public libjpeg linear quality rule. */
@@ -593,6 +903,268 @@ object Jpeg {
     // pad the final byte with 1-bits (spec convention)
     bw.put(0x7f, 7)
     m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** BITS[1..16] for a flat canonical Huffman table: all `symCount`
+    * symbols at the shortest uniform length(s) that keep the all-1s
+    * code unassigned (T.81 C.2). Compression-indifferent but fully
+    * valid — the progressive encoder needs EOBn symbols (0x10..0xE0)
+    * that Annex K's baseline AC tables don't carry.
+    */
+  private[graft] def flatHuff(symCount: Int): Array[Int] = {
+    require(symCount > 0 && symCount <= 256)
+    val bits = new Array[Int](16)
+    if (symCount <= 255) {
+      var l = 1
+      while ((1 << l) - 1 < symCount) l += 1
+      bits(l - 1) = symCount
+    } else { bits(8) = 128; bits(9) = 128 }
+    bits
+  }
+
+  /** Encode an RGB raster as a progressive (SOF2) JFIF JPEG with a
+    * spectral-selection + successive-approximation scan script
+    * (T.81 Annex G): DC first at Al=1, comp-0 AC split into bands
+    * 1–5 / 6–63 at Al=1, per-component AC refinement to Al=0, DC
+    * refinement last. 4:4:4 YCbCr (or single-component grayscale).
+    * The quantized coefficients are identical to [[encode]]'s at the
+    * same quality, so once every refinement lands the decode is
+    * pixel-identical to the sequential form — JpegSpec pins that.
+    */
+  def encodeProgressive(img: Ppm.Image, quality: Int = 90,
+      grayscale: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val nc = if (grayscale) 1 else 3
+    val qY = scaledQuant(QLum, quality)
+    val qC = scaledQuant(QChrom, quality)
+    val bw0 = (w + 7) / 8
+    val bh0 = (h + 7) / 8
+
+    // ---- stage 1: FDCT + quantize every block (zigzag order) ----
+    val coefs = Array.ofDim[Int](nc, bw0 * bh0 * 64)
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val freq = new Array[Double](64)
+    var by = 0
+    while (by < bh0) {
+      var bx = 0
+      while (bx < bw0) {
+        var ci = 0
+        while (ci < nc) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, w - 1)
+              val sy = math.min(by * 8 + y, h - 1)
+              val p = (sy * w + sx) * 3
+              val r = img.pixels(p) & 0xff
+              val g = img.pixels(p + 1) & 0xff
+              val b = img.pixels(p + 2) & 0xff
+              val v = ci match {
+                case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+              }
+              block(y * 8 + x) = v - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdct(block, tmp, freq)
+          val qt = if (ci == 0) qY else qC
+          val off = (by * bw0 + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coefs(ci)(off + k) =
+              math.round(freq(Zigzag(k)) / qt(Zigzag(k))).toInt
+            k += 1
+          }
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+
+    // ---- stage 2: headers ----
+    val out = new ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def seg(marker: Int, bodyArr: Array[Int]): Unit = {
+      m(marker)
+      val len = bodyArr.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      bodyArr.foreach(out.write)
+    }
+    m(0xd8)
+    seg(0xdb, 0 +: Zigzag.map(qY(_)))
+    if (nc == 3) seg(0xdb, 1 +: Zigzag.map(qC(_)))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      (0 until nc).flatMap(i => Seq(i + 1, 0x11, if (i == 0) 0 else 1)))
+    val dcBits = flatHuff(12); val dcVals = (0 to 11).toArray
+    val acBits = flatHuff(256); val acVals = (0 to 255).toArray
+    seg(0xc4, 0x00 +: (dcBits ++ dcVals))
+    seg(0xc4, 0x10 +: (acBits ++ acVals))
+    val dcT = new Huff(dcBits, dcVals)
+    val acT = new Huff(acBits, acVals)
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+
+    // ---- stage 3: one entropy-coded segment per script scan ----
+    def scan(compIdx: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      var rstIdx = 0 // RSTn numbering restarts at RST0 each scan (E.1.4)
+      seg(0xda, compIdx.length +:
+        (compIdx.flatMap(ci => Array(ci + 1, 0x00)) ++
+          Array(ss, se, (ah << 4) | al)))
+      val bw = new BitWriter(out)
+      var eobrunE = 0
+      // correction bits riding with a pending EOBn (cross-block buffer)
+      val pendBits = new scala.collection.mutable.ArrayBuffer[Int]()
+      val dcPred = new Array[Int](compIdx.length)
+
+      def emitSym(t: Huff, sym: Int): Unit = {
+        val (c, l) = t.encTable(sym); bw.put(c, l)
+      }
+      def flushEob(): Unit = if (eobrunE > 0) {
+        var r = 0
+        var t2 = eobrunE
+        while ({ t2 >>= 1; t2 != 0 }) r += 1
+        emitSym(acT, r << 4)
+        if (r > 0) bw.put(eobrunE & ((1 << r) - 1), r)
+        eobrunE = 0
+        pendBits.foreach(b => bw.put(b, 1)); pendBits.clear()
+      }
+
+      def encBlock(si: Int, ci: Int, off: Int): Unit = {
+        if (ss == 0) {
+          if (ah == 0) { // DC first: arithmetic point transform (G.1.2.1)
+            val v = coefs(ci)(off) >> al
+            val diff = v - dcPred(si)
+            dcPred(si) = v
+            val s = category(diff)
+            emitSym(dcT, s)
+            if (s > 0)
+              bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          } else { // DC refinement: one raw bit per block
+            bw.put((coefs(ci)(off) >> al) & 1, 1)
+          }
+        } else if (ah == 0) { // AC first: magnitude point transform
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v = coefs(ci)(off + k)
+            val mag = (if (v < 0) -v else v) >> al
+            if (mag == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) { emitSym(acT, 0xf0); r -= 16 }
+              val s = category(mag)
+              emitSym(acT, (r << 4) | s)
+              bw.put(if (v >= 0) mag else (1 << s) - 1 - mag, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) {
+            eobrunE += 1
+            if (eobrunE == 0x7fff) flushEob()
+          }
+        } else { // AC refinement — the jcphuff two-buffer shape
+          var eobIdx = ss - 1 // last newly-nonzero position in the band
+          var k = ss
+          while (k <= se) {
+            var t2 = coefs(ci)(off + k); if (t2 < 0) t2 = -t2
+            if ((t2 >> al) == 1) eobIdx = k
+            k += 1
+          }
+          var r = 0
+          // correction bits local to this block, flushed after symbols
+          val blockPend = new scala.collection.mutable.ArrayBuffer[Int]()
+          k = ss
+          while (k <= se) {
+            val v = coefs(ci)(off + k)
+            val mag = (if (v < 0) -v else v) >> al
+            if (mag == 0) r += 1
+            else {
+              while (r > 15 && k <= eobIdx) {
+                flushEob()
+                emitSym(acT, 0xf0)
+                r -= 16
+                blockPend.foreach(b => bw.put(b, 1)); blockPend.clear()
+              }
+              if (mag > 1) blockPend += (mag & 1)
+              else {
+                flushEob()
+                emitSym(acT, (r << 4) | 1)
+                bw.put(if (v >= 0) 1 else 0, 1)
+                blockPend.foreach(b => bw.put(b, 1)); blockPend.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || blockPend.nonEmpty) {
+            eobrunE += 1
+            pendBits ++= blockPend
+            if (eobrunE == 0x7fff || pendBits.length > 900) flushEob()
+          }
+        }
+      }
+
+      def maybeRestart(unitIdx: Int): Unit =
+        if (restartInterval > 0 && unitIdx > 0 &&
+            unitIdx % restartInterval == 0) {
+          flushEob()
+          bw.flushAlign()
+          m(0xd0 + (rstIdx & 7))
+          rstIdx += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+
+      if (compIdx.length == 1) { // non-interleaved: block grid row-major
+        val ci = compIdx(0)
+        var blk = 0
+        var by2 = 0
+        while (by2 < bh0) {
+          var bx2 = 0
+          while (bx2 < bw0) {
+            maybeRestart(blk)
+            encBlock(0, ci, (by2 * bw0 + bx2) * 64)
+            blk += 1; bx2 += 1
+          }
+          by2 += 1
+        }
+      } else { // interleaved DC scan: MCU = one block per component
+        var mcu = 0
+        var by2 = 0
+        while (by2 < bh0) {
+          var bx2 = 0
+          while (bx2 < bw0) {
+            maybeRestart(mcu)
+            var si = 0
+            while (si < compIdx.length) {
+              encBlock(si, compIdx(si), (by2 * bw0 + bx2) * 64)
+              si += 1
+            }
+            mcu += 1; bx2 += 1
+          }
+          by2 += 1
+        }
+      }
+      flushEob()
+      bw.flushAlign()
+    }
+
+    scan((0 until nc).toArray, 0, 0, 0, 1)
+    scan(Array(0), 1, 5, 0, 1)
+    scan(Array(0), 6, 63, 0, 1)
+    var c2 = 1
+    while (c2 < nc) { scan(Array(c2), 1, 63, 0, 1); c2 += 1 }
+    c2 = 0
+    while (c2 < nc) { scan(Array(c2), 1, 63, 1, 0); c2 += 1 }
+    scan((0 until nc).toArray, 0, 0, 1, 0)
+    m(0xd9)
     out.toByteArray
   }
 

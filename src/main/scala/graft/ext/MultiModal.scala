@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension surface).
   *
-  * The decode step is REAL for PPM/P6 images ([[Ppm]]), RIFF/WAVE
+  * The decode step is REAL for PPM/P6 and PNG ([[Ppm]], [[Png]]) and
+  * JPEG images ([[Jpeg]] — baseline, extended-sequential AND
+  * progressive SOF2, pure-JVM Huffman + dequant + IDCT), RIFF/WAVE
   * PCM-16 audio ([[Wav]]) and uncompressed RIFF/AVI BI_RGB video
-  * ([[Avi]]) — uncompressed formats whose complete codecs are pure
-  * JVM, so header parse → luma/RMS/frame features →
-  * thumbnail/downsample/frame-sample run genuinely on executors — and
-  * STUBBED only for codec-REQUIRING formats (JPEG/MP3/H.264 — no
-  * codec libraries exist in this environment) with a deterministic
-  * byte-math fake, clearly marked below. Everything around either
-  * path is the real Spark shape:
+  * ([[Avi]]) — complete pure-JVM codecs, so header parse →
+  * luma/RMS/frame features → thumbnail/downsample/frame-sample run
+  * genuinely on executors — and STUBBED only for formats whose codecs
+  * genuinely require external libraries (MP3/H.264 — none exist in
+  * this environment) with a deterministic byte-math fake, clearly
+  * marked below. Everything around either path is the real Spark
+  * shape:
   *  - a fixed media schema (content bytes + mime + dimensions);
   *  - per-partition batch processing via `Dataset.mapPartitions` (the
   *    Scala analogue of a batched pandas UDF: one task consumes a whole
@@ -111,10 +113,14 @@ object MultiModal {
     * temporal sample re-encoded as valid AVI in `thumb`. PNG payloads
     * (8-bit gray/RGB/RGBA, non-interlaced) take the same image path
     * through the pure-JVM [[Png]] codec — a genuinely COMPRESSED
-    * format decoded for real, thumb re-encoded as PNG. Anything all
-    * four decoders reject (remaining codec-requiring formats,
-    * malformed payloads) falls back to the documented stub — a bad
-    * payload must degrade, never fail the task.
+    * format decoded for real, thumb re-encoded as PNG. JPEG payloads
+    * (baseline, extended-sequential and progressive SOF2) take the
+    * image path through [[Jpeg]], thumb re-encoded as JPEG. Anything
+    * all five decoders reject (remaining codec-requiring formats —
+    * MP3/H.264 — and malformed payloads) falls back to the documented
+    * stub — a bad payload must degrade, never fail the task.
+    * CodecContractSpec asserts these claims against the dispatch
+    * chain so the docs can't drift from the code again.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -133,9 +139,10 @@ object MultiModal {
         Ppm.decode(r.content).map(imageFeatures(_, Ppm.encode))
           // PNG: the COMPRESSED image path (pure-JVM inflate)
           .orElse(Png.decode(r.content).map(imageFeatures(_, Png.encode)))
-          // JPEG: baseline-sequential DCT decoded for real (pure-JVM
-          // Huffman + dequant + IDCT + YCbCr→RGB) — the dominant
-          // real-world image format; thumbnail re-encoded as JPEG
+          // JPEG: baseline, extended-sequential AND progressive (SOF2)
+          // DCT decoded for real (pure-JVM Huffman + dequant + IDCT +
+          // YCbCr→RGB) — the dominant real-world image format, web
+          // crawls included; thumbnail re-encoded as JPEG
           .orElse(Jpeg.decode(r.content)
             .map(imageFeatures(_, Jpeg.encode(_))))
           .orElse(Wav.decode(r.content).map(clip =>

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: training is one corpus-shaped explode feeding ONE
   * vocabulary-bounded aggregate (token counts combine map-side, so
   * the shuffle carries the vocabulary, not the corpus — Heaps' law
-  * keeps that sublinear in corpus size, the x96 type-table posture).
+  * keeps that sublinear in corpus size, the x124 type-table posture).
   * The model is a vocabulary-sized table carrying one Long per token;
   * scoring is one equi-join of the token stream against it (auto-
   * broadcast at demo vocabulary; at a production vocabulary it

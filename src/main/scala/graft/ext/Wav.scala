@@ -3,7 +3,7 @@ package graft.ext
 /** Minimal RIFF/WAVE PCM-16 codec — complete and pure JVM, so the
   * audio modality's decode → feature-extract → resample pipeline runs
   * genuinely on executors (the same upgrade [[Ppm]] gave images;
-  * after this only codec-REQUIRING formats — JPEG/MP3/H.264 — remain
+  * after this, and [[Jpeg]] covering images, only MP3/H.264 remain
   * stubs, and those genuinely cannot exist in a zero-dependency
   * environment).
   *

@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   * operator is for the bare-directory layout the harness uses, and the
   * staging write at least guarantees the data is fully materialized
   * and validated before the old files are touched — a failure before
-  * the swap leaves the source untouched.
+  * the swap leaves the source untouched. For tables that need the
+  * old-or-new reader guarantee DURING compaction, use
+  * [[compactVersioned]], which commits the rewrite through
+  * [[Versioned]]'s atomic snapshot pointer instead of the rename swap.
   */
 object Compact {
 
@@ -92,5 +95,55 @@ object Compact {
       fs.delete(retired, true)
       (before, parquetFiles(target), rows)
     }
+  }
+
+  /** TRANSACTIONAL compaction for [[Versioned]] snapshot-pointer tables
+    * — the upgrade path [[compact]]'s header documents. The committed
+    * snapshot is read, rewritten into ~`targetRowsPerFile`-sized files,
+    * and committed as the NEXT snapshot through [[Versioned.publishIf]]
+    * (compare-and-swap on the version the rewrite was computed from).
+    * The commit is Versioned's single atomic marker creation, so a
+    * concurrent reader resolves either the complete old snapshot or the
+    * complete new one — never [[compact]]'s mid-swap gap — and the old
+    * snapshot stays on disk for in-flight readers per Versioned
+    * retention. A writer that lands a new snapshot while the rewrite
+    * runs wins the CAS; the compaction re-reads and retries (bounded),
+    * so it can never roll back data it didn't compact.
+    *
+    * @return (files before, files after, rows) of the compacted snapshot
+    */
+  def compactVersioned(
+      spark: SparkSession, root: String, targetRowsPerFile: Long,
+      maxAttempts: Int = 3): (Int, Int, Long) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(maxAttempts > 0, "maxAttempts must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(hconf)
+    def parquetFiles(p: String): Int =
+      fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet"))
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v0 = Versioned.current(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no committed snapshot at $root"))
+      val dir0 = Versioned.versionPath(root, v0)
+      val df = spark.read.parquet(dir0)
+      val rows = df.count()
+      val before = parquetFiles(dir0)
+      val nFiles =
+        math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+      Versioned.publishIf(df.repartition(nFiles.toInt), root, v0) match {
+        case Some(v1) =>
+          return (before, parquetFiles(Versioned.versionPath(root, v1)), rows)
+        case None if attempt < maxAttempts => () // lost the CAS; recompute
+        case None =>
+          throw new SingleWriter.ConcurrentWriteException(
+            s"$root moved past v=$v0 on every one of $maxAttempts " +
+              "compaction attempts — a faster writer keeps winning the CAS")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

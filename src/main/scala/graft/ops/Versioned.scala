@@ -59,6 +59,33 @@ object Versioned {
   private def versionDir(root: Path, v: Long): Path =
     new Path(root, f"v=$v%08d")
 
+  /** Write + mark + retire-older, under the writer lock (the shared
+    * commit body of [[publish]] and [[publishIf]]).
+    */
+  private def commitLocked(fs: FileSystem, rootP: Path, df: DataFrame,
+      prev: Option[Long]): Long = {
+    val next = prev.getOrElse(0L) + 1L
+    val dir = versionDir(rootP, next)
+    fs.delete(dir, true) // debris from a crashed pre-commit attempt
+    df.write.parquet(dir.toString)
+    // COMMIT POINT: one atomic marker creation — from here readers
+    // resolve v=next
+    fs.create(new Path(rootP, f"$Marker$next%08d"), true).close()
+    // keep prev (+ its marker) for in-flight readers; drop older
+    fs.listStatus(rootP).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        val v =
+          if (n.startsWith("v=")) scala.util.Try(n.stripPrefix("v=").toLong).toOption
+          else if (n.startsWith(Marker)) scala.util.Try(n.stripPrefix(Marker).toLong).toOption
+          else None
+        v.map(_ -> p)
+      }
+      .filter { case (v, _) => v < next && !prev.contains(v) }
+      .foreach { case (_, p) => fs.delete(p, true) }
+    next
+  }
+
   /** Commit `df` as the next snapshot of `root`; returns the committed
     * version number.
     */
@@ -67,29 +94,41 @@ object Versioned {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     SingleWriter.withLock(fs, rootP) {
-      val prev = currentVersion(fs, rootP)
-      val next = prev.getOrElse(0L) + 1L
-      val dir = versionDir(rootP, next)
-      fs.delete(dir, true) // debris from a crashed pre-commit attempt
-      df.write.parquet(dir.toString)
-      // COMMIT POINT: one atomic marker creation — from here readers
-      // resolve v=next
-      fs.create(new Path(rootP, f"$Marker$next%08d"), true).close()
-      // keep prev (+ its marker) for in-flight readers; drop older
-      fs.listStatus(rootP).map(_.getPath)
-        .flatMap { p =>
-          val n = p.getName
-          val v =
-            if (n.startsWith("v=")) scala.util.Try(n.stripPrefix("v=").toLong).toOption
-            else if (n.startsWith(Marker)) scala.util.Try(n.stripPrefix(Marker).toLong).toOption
-            else None
-          v.map(_ -> p)
-        }
-        .filter { case (v, _) => v < next && !prev.contains(v) }
-        .foreach { case (_, p) => fs.delete(p, true) }
-      next
+      commitLocked(fs, rootP, df, currentVersion(fs, rootP))
     }
   }
+
+  /** Optimistic commit (compare-and-swap over the marker pointer):
+    * publish `df` as the next snapshot ONLY if the committed version is
+    * still `expected` once the writer lock is held. Returns the new
+    * version, or None if another writer committed in between — the
+    * caller re-reads the table and recomputes. This is what makes
+    * DERIVED rewrites safe ([[Compact.compactVersioned]]): the rewrite
+    * was computed FROM snapshot `expected`, so blindly committing it
+    * over a newer snapshot would silently roll that snapshot back.
+    * The check happens before any data is written, so a lost race
+    * costs nothing.
+    */
+  def publishIf(df: DataFrame, root: String, expected: Long): Option[Long] = {
+    val spark = df.sparkSession
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    SingleWriter.withLock(fs, rootP) {
+      val prev = currentVersion(fs, rootP)
+      if (!prev.contains(expected)) None
+      else Some(commitLocked(fs, rootP, df, prev))
+    }
+  }
+
+  /** The committed version, if any (readers and derived-rewrite
+    * writers resolve through this; [[versionPath]] names its data).
+    */
+  def current(spark: SparkSession, root: String): Option[Long] =
+    currentVersion(fsOf(spark, new Path(root)), new Path(root))
+
+  /** Data directory of a specific committed version. */
+  def versionPath(root: String, v: Long): String =
+    versionDir(new Path(root), v).toString
 
   /** Read the committed snapshot (the highest marker's directory). */
   def read(spark: SparkSession, root: String): DataFrame = {

@@ -23,6 +23,16 @@ import graft.ext.{Bloom, BradleyTerry, Cms, Components, Dedup, Drift, Dsir, Hll,
   */
 object ExtQueries {
 
+  /** x12's per-(source,lang)-block sample cap: blocks are truncated to
+    * their `X12SampleCap` lowest doc_ids before pair generation, so the
+    * pair mass is ≤ blocks·(cap choose 2) — constant in corpus size.
+    * Below ~cap docs/block the output is the exact pair statistics;
+    * above, a deterministic-sample estimate. Surfaced as the
+    * `sample_cap` output column so the regime is an explicit contract
+    * (round-13 advisor: don't bury the estimator switch in a literal).
+    */
+  val X12SampleCap = 256
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -289,11 +299,14 @@ object ExtQueries {
       // within blocks is n²/B — measured super-linear at 40× corpus
       // (21 s → 309 s for 4×). The audit's output is per-block
       // similarity STATISTICS, which a bounded deterministic sample
-      // estimates; capping each block at its 256 lowest doc_ids makes
-      // the pair mass ≤ B·(256 choose 2) — constant — at any corpus
-      // size. The cap binds only past ~25k docs per corpus (sf0.1: 50
-      // docs/block; sf1: ~500/block → capped), so small-SF outputs
-      // are the exact statistics and large-SF outputs the estimator.
+      // estimates; capping each block at its X12SampleCap lowest
+      // doc_ids makes the pair mass ≤ B·(cap choose 2) — constant — at
+      // any corpus size. The cap binds only past ~25k docs per corpus
+      // (sf0.1: 50 docs/block; sf1: ~500/block → capped), so small-SF
+      // outputs are the exact statistics and large-SF outputs the
+      // estimator. The regime is an explicit output contract: every
+      // row carries `sample_cap` so a consumer can tell estimator
+      // output from exact output (n_pairs < cap·(cap−1)/2 ⇒ exact).
       val wBlk = Window.partitionBy(col("source"), col("lang"))
         .orderBy(col("doc_id"))
       val sh = spread(t(s, dir, "documents"))
@@ -304,7 +317,7 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("lang"),
           Text.wordShingles(col("t")).as("s"))
         .withColumn("r", row_number().over(wBlk))
-        .filter(col("r") <= 256)
+        .filter(col("r") <= X12SampleCap)
         .drop("r")
       sh.as("a").hint("merge") // exchange reuse: one shingle pass
         .join(sh.as("b"),
@@ -319,6 +332,7 @@ object ExtQueries {
           sum(when(col("jac") >= 0.05, 1L).otherwise(0L)).as("n_similar"),
           round(max(col("jac")), 4).as("max_jac"),
           round(avg(col("jac")), 4).as("avg_jac"))
+        .withColumn("sample_cap", lit(X12SampleCap.toLong))
         .orderBy(col("source"), col("lang"))
     }),
     // Normalization-insensitive dedup: corpus = documents ∪ copies
@@ -2978,40 +2992,6 @@ object ExtQueries {
         .orderBy(col("quote_id"), col("doc_id"))
     }),
 
-    // BPE ENCODE — the missing half of x74 (r10 verdict, missing #1):
-    // x74 TRAINS a merge table; every real pipeline then runs the
-    // encode path ~1000× more often than training. Train on the
-    // doc_id % 10 == 0 subset (the production pattern: fit the
-    // vocabulary once on a sample), then tokenize the WHOLE corpus —
-    // including documents training never saw — by applying the merge
-    // rules in training order (BpeMerge.encode). Each rule is a 1-row
-    // broadcast + a narrow per-document array rewrite: no shuffle, no
-    // state, corpus-linear at any scale; the training-round argmaxes
-    // are the only aggregates, and they run over the 10% sample.
-    // Output is the deterministic fingerprint of the token stream —
-    // exact token count + md5 of the space-joined tokens — so the
-    // oracle verifies the ENTIRE encoded sequence of every document,
-    // not just its length. RoundElevenSpec pins the round trip:
-    // encode(training corpus) == mergeRounds' own rewrites row for
-    // row, and the left-greedy allowIdentical run rule on a
-    // hand-computed fixture.
-    "x85_bpe_encode" -> ((s, dir) => {
-      val docs = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      val merges = graft.ext.BpeMerge.trainPairs(
-        docs.filter(col("doc_id") % 10 === 0), rounds = 3)
-      graft.ext.BpeMerge.encode(docs, merges)
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          md5(array_join(col("toks"), " ")).as("tokens_md5"))
-        // the encode chain is narrow from the scan, so the output
-        // sort's range sampler would re-run tokenize + all three
-        // rewrites a second time just to pick partition bounds —
-        // materialize the 3-column fingerprints first (round-11)
-        .localCheckpoint()
-        .orderBy(col("doc_id"))
-    }),
-
     // Deterministic training-shard write-out (r10 verdict, missing
     // #2): the step AFTER selection/packing — a seeded global shuffle
     // of the kept set (here: dedup survivors with n_chars ≥ 200, the
@@ -3298,41 +3278,6 @@ object ExtQueries {
       priced(naive, "seeded_order")
         .unionByName(priced(bucketed, "length_bucketed"))
         .orderBy(col("strategy"))
-    }),
-
-    // BPE FAST TRAINER corpus-wide (round-12; implements the
-    // "incremental pair-count maintenance" design the r11 verdict
-    // left as missing #1): one corpus-shaped aggregate collapses the
-    // train split to its TYPE TABLE (distinct toks array ×
-    // multiplicity — vocabulary-bounded under Heaps' law), then every
-    // round runs on bounded state only: argmax off the MAINTAINED
-    // pair-count table, a narrow rewrite of just the types containing
-    // the merged pair, and an exact old-minus-new adjacency-histogram
-    // diff folded back into the counts. No per-round corpus recount
-    // anywhere. The DuckDB oracle states the full RECOUNT loop (the
-    // x85 template, one round deeper), so a green hash proves the
-    // maintained counts reproduce the recount argmax sequence —
-    // tie-breaks included — through the md5 of every document's full
-    // encoded token stream. Scale shape: training state is bounded by
-    // the content vocabulary (a duplicated corpus grows the weights,
-    // never the table — SCALE-BPEFAST measures per-round cost ~flat
-    // from sf0.1 to sf1 while the recount loop scales with the
-    // corpus); encode is the x85 narrow broadcast chain.
-    "x96_bpe_fast_train" -> ((s, dir) => {
-      val docs = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      val rules = graft.ext.BpeMerge.trainFast(
-        graft.ext.BpeMerge.typeTable(
-          docs.filter(col("doc_id") % 10 === 0).select(col("toks"))),
-        rounds = 4)
-      graft.ext.BpeMerge.encode(docs, rules)
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          md5(array_join(col("toks"), " ")).as("tokens_md5"))
-        // narrow chain from the scan — materialize the 3-column
-        // fingerprints before the output sort (the x85 discipline)
-        .localCheckpoint()
-        .orderBy(col("doc_id"))
     }),
 
     // HYBRID RETRIEVAL — BM25 (sparse) + exact cosine (dense) fused
@@ -6013,8 +5958,8 @@ object ExtQueries {
          |ORDER BY e.vec_id""".stripMargin,
 
     "x12_ngram_jaccard_blocked" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source, lang, string_split_regex(text, '\s+') AS t
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, lang, string_split_regex(text, '\\s+') AS t
         |  FROM documents),
         |sh0 AS (
         |  SELECT doc_id, source, lang,
@@ -6025,7 +5970,7 @@ object ExtQueries {
         |  SELECT doc_id, source, lang, s FROM (
         |    SELECT *, row_number() OVER (PARTITION BY source, lang
         |      ORDER BY doc_id) AS r FROM sh0)
-        |  WHERE r <= 256),
+        |  WHERE r <= $X12SampleCap),
         |p AS (
         |  SELECT a.source AS source, a.lang AS lang,
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -6037,7 +5982,8 @@ object ExtQueries {
         |  count(*) AS n_pairs,
         |  CAST(sum(CASE WHEN jac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
         |  round(max(jac), 4) AS max_jac,
-        |  round(avg(jac), 4) AS avg_jac
+        |  round(avg(jac), 4) AS avg_jac,
+        |  CAST($X12SampleCap AS BIGINT) AS sample_cap
         |FROM p
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
@@ -7317,51 +7263,6 @@ object ExtQueries {
         |WHERE round(CAST(n_common AS DOUBLE) / CAST(n_q AS DOUBLE), 4) >= 0.9
         |ORDER BY quote_id, doc_id""".stripMargin,
 
-    // x85: x74's training CTE rounds restricted to the doc_id % 10 = 0
-    // subset (tr_*), then the SAME rewrite applied to the full corpus
-    // (e_*) — the merge rules and the encode rewrites are one template,
-    // so the engines can only agree by computing identical token
-    // streams (md5-verified per document).
-    "x85_bpe_encode" -> {
-      def rewrite(src: String, out: String, m: String): String =
-        s"""$out AS (
-           |  SELECT doc_id,
-           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
-           |               AND toks[i+1] = m.mb
-           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
-           |     for i in range(1, len(toks) + 1)
-           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
-           |      AS toks
-           |  FROM $src, $m m)""".stripMargin
-      def pair(src: String, cur: Int): String =
-        s"""p_$cur AS (
-           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
-           |                 for i in range(1, len(toks))
-           |                 if toks[i] <> toks[i+1]]) AS ab
-           |  FROM $src),
-           |m_$cur AS (
-           |  SELECT string_split(ab, chr(1))[1] AS ma,
-           |         string_split(ab, chr(1))[2] AS mb
-           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
-           |  ORDER BY c DESC, ab LIMIT 1)""".stripMargin
-      s"""WITH t_0 AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-         |  FROM documents),
-         |tr_0 AS (SELECT doc_id, toks FROM t_0 WHERE doc_id % 10 = 0),
-         |${pair("tr_0", 1)},
-         |${rewrite("tr_0", "tr_1", "m_1")},
-         |${pair("tr_1", 2)},
-         |${rewrite("tr_1", "tr_2", "m_2")},
-         |${pair("tr_2", 3)},
-         |${rewrite("t_0", "e_1", "m_1")},
-         |${rewrite("e_1", "e_2", "m_2")},
-         |${rewrite("e_2", "e_3", "m_3")}
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
-         |FROM e_3
-         |ORDER BY doc_id""".stripMargin
-    },
-
     // x86: the oracle states the shard assignment the direct way — one
     // global row_number over the seeded md5 key — which the engine must
     // reproduce through its 2-level bucketed rank.
@@ -7725,54 +7626,6 @@ object ExtQueries {
         |    AS waste_ppm
         |FROM s
         |ORDER BY strategy""".stripMargin,
-
-    // x96: the oracle is the RECOUNT loop (x85's template, one round
-    // deeper) — DuckDB re-derives each round's argmax from a full
-    // pair recount of the rewritten corpus; the engine's maintained
-    // pair-count table must reproduce the same rule sequence or every
-    // downstream token stream md5 diverges.
-    "x96_bpe_fast_train" -> {
-      def rewrite(src: String, out: String, m: String): String =
-        s"""$out AS (
-           |  SELECT doc_id,
-           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
-           |               AND toks[i+1] = m.mb
-           |          THEN m.ma || '_' || m.mb ELSE toks[i] END
-           |     for i in range(1, len(toks) + 1)
-           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
-           |      AS toks
-           |  FROM $src, $m m)""".stripMargin
-      def pair(src: String, cur: Int): String =
-        s"""p_$cur AS (
-           |  SELECT unnest([toks[i] || chr(1) || toks[i+1]
-           |                 for i in range(1, len(toks))
-           |                 if toks[i] <> toks[i+1]]) AS ab
-           |  FROM $src),
-           |m_$cur AS (
-           |  SELECT string_split(ab, chr(1))[1] AS ma,
-           |         string_split(ab, chr(1))[2] AS mb
-           |  FROM (SELECT ab, count(*) AS c FROM p_$cur GROUP BY ab)
-           |  ORDER BY c DESC, ab LIMIT 1)""".stripMargin
-      s"""WITH t_0 AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-         |  FROM documents),
-         |tr_0 AS (SELECT doc_id, toks FROM t_0 WHERE doc_id % 10 = 0),
-         |${pair("tr_0", 1)},
-         |${rewrite("tr_0", "tr_1", "m_1")},
-         |${pair("tr_1", 2)},
-         |${rewrite("tr_1", "tr_2", "m_2")},
-         |${pair("tr_2", 3)},
-         |${rewrite("tr_2", "tr_3", "m_3")},
-         |${pair("tr_3", 4)},
-         |${rewrite("t_0", "e_1", "m_1")},
-         |${rewrite("e_1", "e_2", "m_2")},
-         |${rewrite("e_2", "e_3", "m_3")},
-         |${rewrite("e_3", "e_4", "m_4")}
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  md5(list_aggregate(toks, 'string_agg', ' ')) AS tokens_md5
-         |FROM e_4
-         |ORDER BY doc_id""".stripMargin
-    },
 
     // x93: every row's interleaved key recomputed bit-exactly (the
     // x41 normalize/interleave arithmetic — floor-before-BIGINT
@@ -8996,16 +8849,22 @@ object ExtQueries {
     // then encodes the full corpus through the same 16 rules.
     "x124_bpe_depth_train" -> {
       val depth = 16
+      // LEFT JOIN + null-safe predicates: if a round finds no pair
+      // left to merge (degenerate/small corpus), its m_r is EMPTY and
+      // a cross join would silently empty the corpus while the engine
+      // (trainFast with < depth rules) passes it through — so a missing
+      // rule row must be a no-op rewrite (round-13 advisor finding)
       def rewrite(src: String, out: String, m: String): String =
         s"""$out AS MATERIALIZED (
            |  SELECT doc_id,
-           |    [CASE WHEN toks[i] = m.ma AND i < len(toks)
-           |               AND toks[i+1] = m.mb
+           |    [CASE WHEN m.ma IS NOT NULL AND toks[i] = m.ma
+           |               AND i < len(toks) AND toks[i+1] = m.mb
            |          THEN m.ma || '_' || m.mb ELSE toks[i] END
            |     for i in range(1, len(toks) + 1)
-           |     if NOT (i > 1 AND toks[i-1] = m.ma AND toks[i] = m.mb)]
+           |     if NOT (i > 1 AND m.ma IS NOT NULL
+           |             AND toks[i-1] = m.ma AND toks[i] = m.mb)]
            |      AS toks
-           |  FROM $src, $m m)""".stripMargin
+           |  FROM $src LEFT JOIN $m m ON TRUE)""".stripMargin
       def pair(src: String, cur: Int): String =
         s"""p_$cur AS MATERIALIZED (
            |  SELECT unnest([toks[i] || chr(1) || toks[i+1]

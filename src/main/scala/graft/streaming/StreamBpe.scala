@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{BpeMerge, Text}
 
-/** Streaming BPE encode — x85's tokenizer hot path made continuous:
+/** Streaming BPE encode — the x124 tokenizer hot path made continuous:
   * documents arriving on a stream are tokenized with a FROZEN trained
   * merge table (train once offline with [[BpeMerge.trainPairs]],
   * resolve to plain rules with [[BpeMerge.collectRules]], freeze).
@@ -22,7 +22,7 @@ import graft.ext.{BpeMerge, Text}
 object StreamBpe {
 
   /** Tokenize + encode `textCol` under the frozen rules; adds `toks`,
-    * `n_tokens`, and `tokens_md5` (the x85 fingerprint columns).
+    * `n_tokens`, and `tokens_md5` (the x124 fingerprint columns).
     *
     * Round-12: encodes via the native [[BpeMerge.encodeNative]]
     * single-expression form — bit-identical to the HOF chain

@@ -117,12 +117,104 @@ class JpegSpec extends AnyFunSuite {
     (4 until good.length by 8).foreach { cut =>
       Jpeg.decode(good.take(cut)) // must not throw
     }
-    // flip the SOF0 marker to SOF2 (progressive) → out of profile
+    // flip the SOF0 marker to SOF2: the stream becomes a MALFORMED
+    // progressive (a sequential scan header's Ss=0,Se=63 band is
+    // illegal under G.1 — DC scans are exactly [0,0]) → None, no throw
     val prog = good.clone()
     val sof = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     assert(Jpeg.decode(prog).isEmpty)
+  }
+
+  // ---------------------------------------------- progressive (SOF2)
+
+  private def countMarkers(b: Array[Byte], code: Int): Int =
+    (0 until b.length - 1).count(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == code)
+
+  private def structured(w: Int, h: Int): Ppm.Image = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      px(i) = (((x / 3) % 2) * 170 + 40).toByte
+      px(i + 1) = ((x * 7 + y * 13) % 256).toByte
+      px(i + 2) = (((x + y) / 5 % 2) * 150 + 60).toByte
+    }
+    Ppm.Image(w, h, px)
+  }
+
+  test("progressive encode→decode is pixel-identical to the sequential form") {
+    // same quant → same coefficients → once every refinement lands the
+    // two decodes must agree byte-for-byte (spectral selection + EOB
+    // runs + ZRL + AC/DC refinement all on the line here)
+    for (q <- Seq(90, 50); dims <- Seq((32, 24), (19, 13))) {
+      val (w, h) = dims
+      val img = structured(w, h)
+      val seqPx = Jpeg.decode(Jpeg.encode(img, q)).get
+      val prog = Jpeg.encodeProgressive(img, q)
+      assert(countMarkers(prog, 0xc2) === 1, "SOF2 present")
+      assert(countMarkers(prog, 0xda) >= 6, "multi-scan script")
+      val progPx = Jpeg.decode(prog).get
+      assert(progPx.width === w && progPx.height === h)
+      assert(progPx.pixels.toSeq === seqPx.pixels.toSeq, s"q=$q ${w}x$h")
+    }
+  }
+
+  test("progressive restart intervals (eobrun+dcPred reset) decode identically") {
+    val img = structured(37, 22)
+    val plain = Jpeg.decode(Jpeg.encodeProgressive(img, 75)).get
+    val rst = Jpeg.encodeProgressive(img, 75, restartInterval = 3)
+    assert((0xd0 to 0xd7).map(countMarkers(rst, _)).sum > 0, "RSTn emitted")
+    assert(Jpeg.decode(rst).get.pixels.toSeq === plain.pixels.toSeq)
+  }
+
+  test("grayscale progressive: uniform gray exact, gradient bounded") {
+    val img = gray(16, 16, 130)
+    val back = Jpeg.decode(Jpeg.encodeProgressive(img, 50, grayscale = true)).get
+    assert(back.pixels.toSeq === img.pixels.toSeq)
+    val w = 24; val h = 17
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px((y * w + x) * 3 + c) = (x * 6 + y * 4 + 30).toByte
+    val g = Ppm.Image(w, h, px)
+    val back2 = Jpeg.decode(Jpeg.encodeProgressive(g, 90, grayscale = true)).get
+    val meanErr = g.pixels.zip(back2.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble /
+      px.length
+    assert(meanErr <= 3.0, s"mean channel error $meanErr")
+  }
+
+  test("grayscale with declared sampling >1 decodes non-interleaved (A.2)") {
+    // some encoders write H=V=2 on a single-component frame; the scan
+    // data is non-interleaved either way, so the decode must not change
+    val img = structured(21, 14)
+    val b = Jpeg.encodeProgressive(img, 80, grayscale = true)
+    val want = Jpeg.decode(b).get
+    val sof = (0 until b.length - 1).find(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2).get
+    // SOF layout: ff c2 L L | P hh hh ww ww Nf | C1 HV Tq
+    assert((b(sof + 11) & 0xff) === 0x11)
+    val patched = b.clone()
+    patched(sof + 11) = 0x22.toByte
+    assert(Jpeg.decode(patched).get.pixels.toSeq === want.pixels.toSeq)
+  }
+
+  test("0xFF fill bytes before markers are tolerated (B.1.1.2)") {
+    val good = Jpeg.encode(structured(16, 16), 85)
+    val want = Jpeg.decode(good).get
+    def padBefore(b: Array[Byte], code: Int): Array[Byte] = {
+      val at = (0 until b.length - 1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == code).get
+      b.take(at) ++ Array(0xff.toByte, 0xff.toByte) ++ b.drop(at)
+    }
+    val padded = padBefore(padBefore(good, 0xc0), 0xda)
+    assert(Jpeg.decode(padded).get.pixels.toSeq === want.pixels.toSeq)
+    // and in a progressive stream, between scans
+    val prog = Jpeg.encodeProgressive(structured(16, 16), 85)
+    val wantP = Jpeg.decode(prog).get
+    assert(Jpeg.decode(padBefore(prog, 0xd9)).get.pixels.toSeq ===
+      wantP.pixels.toSeq)
   }
 
   test("PNG and PPM decoders reject JPEG payloads (router stays unambiguous)") {

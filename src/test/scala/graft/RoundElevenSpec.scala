@@ -32,8 +32,14 @@ class RoundElevenSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
-  test("x85 covers the full corpus, not just the training subset") {
-    val out = ExtQueriesAccess.run(spark, dir, "x85_bpe_encode").cache()
+  test("encode covers the full corpus, not just the training subset " +
+      "(the retired-x85 form, spec-only since round 14; x124 is the " +
+      "registered depth anchor)") {
+    val merges = BpeMerge.trainPairs(
+      docs.filter(col("doc_id") % 10 === 0), rounds = 3)
+    val out = BpeMerge.encode(docs, merges)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens")).cache()
     assert(out.count() === docs.count())
     // encoding can only shorten (each merge fuses two tokens into one)
     val before = docs.select(col("doc_id"),
