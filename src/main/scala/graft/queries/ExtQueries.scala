@@ -4498,6 +4498,12 @@ object ExtQueries {
         .select(col("doc_id"), col("ttr_ppm"), col("stop_ppm"),
           col("wlen_ppm"), col("r1"), col("r2"), col("r3"),
           col("blend_ppm"), col("keep"))
+        // NOT checkpointed before the sort: the checkpoint-before-sort
+        // lever was A/B'd in r14 (fresh-JVM min-of-3/4 at sf1: 2.72 s
+        // without vs 2.55 s with — flat within this host's ±40% rep
+        // noise) because AQE already reuses the three rank windows'
+        // shuffle stages for the range sampler; the extra job buys
+        // nothing measurable, so the plainer form stays
         .orderBy(col("doc_id"))
     }),
 
