@@ -26,6 +26,48 @@ import org.apache.spark.sql.SparkSession
   * job; the one-shot number extrapolates to nothing.
   */
 object Bench {
+  /** Fixed CPU-anchor calibration (r14 verdict task #3): a pinned
+    * single-threaded 64-bit mix loop (splitmix64 finalizer, constant
+    * iteration count) whose wall-time depends ONLY on host speed and
+    * load — never on the registry or the data. BENCH_r14.json recorded
+    * 511 s for a suite a quiet machine runs in 170 s, and nothing in
+    * the artifact distinguished contamination from regression; this
+    * anchor (PLANS.md threshold: quiet hosts here measure ~0.6–1.3 s,
+    * >2× the round ledger's value ⇒ treat the totals as contaminated)
+    * plus the /proc/loadavg captures make the run's machine state part
+    * of the emission itself.
+    */
+  private[graft] def cpuAnchorSec(): Double = {
+    def mixRun(iters: Long): Long = {
+      var z = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < iters) {
+        z += 0x9e3779b97f4a7c15L
+        var x = z
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        z ^= x ^ (x >>> 31)
+        i += 1
+      }
+      z
+    }
+    var sink = mixRun(5_000_000L) // JIT warmup, untimed
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      sink ^= mixRun(200_000_000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (sink == 42L) System.err.println("anchor sink") // defeat DCE
+    times.min
+  }
+
+  /** First three fields of /proc/loadavg ("1m 5m 15m"), or "" off-Linux. */
+  private[graft] def loadAvg(): String =
+    try {
+      val s = Files.readString(Paths.get("/proc/loadavg")).trim
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Exception => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +126,11 @@ object Bench {
     // sentinel -1, the query is excluded from the total, and the JSON
     // carries an explicit failures list so the driver (and the judge)
     // see red instead of fast.
+    // Machine-state capture (r14 verdict task #3): anchor + loadavg
+    // BEFORE the timed suite, loadavg again after — a contaminated run
+    // is now detectable from the artifact alone.
+    val loadBefore = loadAvg()
+    val anchorSec = cpuAnchorSec()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -131,8 +178,11 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedArr = failed.toSeq.map(jstr).mkString("[", ",", "]")
+    val loadAfter = loadAvg()
+    val calib =
+      s""""anchor_sec":${f3(anchorSec)},"loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadAfter)}"""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_failed":${failed.size},"failed":$failedArr,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_failed":${failed.size},"failed":$failedArr,$calib,"sf":${jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val outPath = Paths.get(out)
     if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
@@ -159,8 +209,14 @@ object Bench {
     // don't break on a missing key; `bench_out` tells any reader where
     // the per-query detail went.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Top-5 slowest queries ride in the stdout line's spare budget
+    // (r14 verdict task #3): five full names at ~35 B each keep the
+    // line ~600 B under the window while letting the judge see WHERE a
+    // fat total went without the bench_out file.
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => jstr(k) + ":" + f2(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_failed":${failed.size},"reps":$reps,"bench_out":${jstr(out)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_failed":${failed.size},"reps":$reps,"top5":$top5,$calib,"bench_out":${jstr(out)},"sf":${jstr(sfDir)}}"""
     require(line.length <= 1880,
       s"bench stdout line ${line.length} B exceeds the ~1925 B driver " +
         "tail window (minus margin) — shrink the encoding before the " +

@@ -23,10 +23,9 @@ object PlanAudit {
       ("rank<=20 hits LimitPushDownThroughWindow: the plan is" +
         " TakeOrderedAndProject(20) -> Window, so the single-partition" +
         " frame is exactly 20 rows at any corpus size"),
-    "x41_zorder_layout" ->
-      ("metric-harness ntile(64) only — the LAYOUT path at scale is" +
-        " repartitionByRange(z)+sortWithinPartitions (ZOrder.scala" +
-        " guard note); the harness quantifies pruning on a bounded demo"),
+    // (x41_zorder_layout's ntile(64) adjudication left with its query —
+    // retired to spec-only in round 15; x93 is the registered form and
+    // uses repartitionByRange, no global window.)
     "x64_token_budget_select" ->
       ("score domain <= 1e6+1 rows by ppm quantization; boundary window" +
         " sees ONE score class"),

@@ -28,7 +28,7 @@ import graft.ext.MultiModal.MediaRecord
   * for contexts that want the compact fingerprint itself.
   *
   * Decode rides [[MultiModal]]'s real pure-JVM codecs (P6 + PNG +
-  * baseline JPEG);
+  * JPEG + GIF);
   * undecodable payloads yield no hash row — a gate must not invent
   * fingerprints for bytes it cannot read.
   */
@@ -133,6 +133,7 @@ object ImageHash {
       batch.flatMap { rec =>
         Ppm.decode(rec.content).orElse(Png.decode(rec.content))
           .orElse(Jpeg.decode(rec.content))
+          .orElse(Gif.decode(rec.content))
           .map(img => (rec.doc_id, dHash256(img).toSeq))
       }
     }.toDF("doc_id", "dhash")

@@ -163,17 +163,29 @@ object Jpeg {
   private final class MarkerHit(val m: Int) extends Exception
   private final class Malformed extends Exception
 
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  private final class BitReader(data: Array[Byte], var pos: Int,
+      tolerant: Boolean = false) {
     private var buf = 0
     private var cnt = 0
+    // libjpeg truncation tolerance (jdhuff.c jpeg_fill_bit_buffer): a
+    // marker met mid-entropy-data in TOLERANT mode records its 0xFF
+    // position and feeds zero bits from then on, so the caller can
+    // finish its block grid deterministically and resume parsing AT
+    // the marker — slightly truncated progressive scans decode instead
+    // of falling to the stub path (r14 ADVICE). Sequential decode
+    // keeps the strict MarkerHit throw.
+    private var markerAt = -1
+    def hitMarker: Int = markerAt
     def nextBit(): Int = {
       if (cnt == 0) {
+        if (markerAt >= 0) return 0 // padding past an early marker
         if (pos >= data.length) throw new Malformed
         var b = data(pos) & 0xff; pos += 1
         if (b == 0xff) {
           if (pos >= data.length) throw new Malformed
           val b2 = data(pos) & 0xff
           if (b2 == 0x00) pos += 1 // stuffed 0xFF data byte
+          else if (tolerant) { markerAt = pos - 1; return 0 }
           else throw new MarkerHit(b2)
         }
         buf = b; cnt = 8
@@ -197,6 +209,7 @@ object Jpeg {
     /** Byte-align and consume an expected RSTn marker. */
     def restart(): Unit = {
       cnt = 0
+      if (markerAt >= 0) return // padding: nothing real left to consume
       if (pos + 1 >= data.length || (data(pos) & 0xff) != 0xff) throw new Malformed
       val m = data(pos + 1) & 0xff
       if (m < 0xd0 || m > 0xd7) throw new Malformed
@@ -376,7 +389,7 @@ object Jpeg {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
 
-    val br = new BitReader(bytes, sosPos + 2 + len)
+    val br = new BitReader(bytes, sosPos + 2 + len, tolerant = true)
     var eobrun = 0
     val dcPred = new Array[Int](ns)
 
@@ -535,8 +548,9 @@ object Jpeg {
     }
 
     // advance to the next marker: skip residual entropy padding, RSTn,
-    // stuffed bytes, and fill bytes
-    var q = br.pos
+    // stuffed bytes, and fill bytes; a marker hit mid-scan (tolerant
+    // zero-bit padding above) resumes AT that marker's 0xFF
+    var q = if (br.hitMarker >= 0) br.hitMarker else br.pos
     while (q + 1 < bytes.length && !((bytes(q) & 0xff) == 0xff && {
           val m2 = bytes(q + 1) & 0xff
           m2 != 0x00 && m2 != 0xff && (m2 < 0xd0 || m2 > 0xd7)

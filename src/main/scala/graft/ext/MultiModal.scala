@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata (north-star extension surface).
   *
-  * The decode step is REAL for PPM/P6 and PNG ([[Ppm]], [[Png]]) and
+  * The decode step is REAL for PPM/P6, PNG and GIF ([[Ppm]], [[Png]],
+  * [[Gif]] — LZW + frame-1 composition) and
   * JPEG images ([[Jpeg]] — baseline, extended-sequential AND
   * progressive SOF2, pure-JVM Huffman + dequant + IDCT), RIFF/WAVE
   * PCM-16 audio ([[Wav]]) and uncompressed RIFF/AVI BI_RGB video
@@ -115,10 +116,13 @@ object MultiModal {
     * through the pure-JVM [[Png]] codec — a genuinely COMPRESSED
     * format decoded for real, thumb re-encoded as PNG. JPEG payloads
     * (baseline, extended-sequential and progressive SOF2) take the
-    * image path through [[Jpeg]], thumb re-encoded as JPEG. Anything
-    * all five decoders reject (remaining codec-requiring formats —
-    * MP3/H.264 — and malformed payloads) falls back to the documented
-    * stub — a bad payload must degrade, never fail the task.
+    * image path through [[Jpeg]], thumb re-encoded as JPEG. GIF
+    * payloads (87a/89a, LZW, interlace, transparency, frame-1
+    * composition) take the image path through [[Gif]], thumb
+    * re-encoded as GIF. Anything all six decoders reject (remaining
+    * codec-requiring formats — MP3/H.264 — and malformed payloads)
+    * falls back to the documented stub — a bad payload must degrade,
+    * never fail the task.
     * CodecContractSpec asserts these claims against the dispatch
     * chain so the docs can't drift from the code again.
     */
@@ -145,6 +149,11 @@ object MultiModal {
           // crawls included; thumbnail re-encoded as JPEG
           .orElse(Jpeg.decode(r.content)
             .map(imageFeatures(_, Jpeg.encode(_))))
+          // GIF: LZW decoded for real (pure-JVM), frame-1 composition
+          // onto the logical screen; thumb re-encoded as GIF (exact
+          // palette — resize introduces no colors beyond the source's)
+          .orElse(Gif.decode(r.content)
+            .map(imageFeatures(_, Gif.encodeRgb)))
           .orElse(Wav.decode(r.content).map(clip =>
             MediaFeatures(r.doc_id, r.content.length.toLong,
               checksum(r.content), Wav.rmsMilli(clip) / 1000.0,

@@ -129,19 +129,43 @@ object Compact {
         throw new java.io.FileNotFoundException(
           s"no committed snapshot at $root"))
       val dir0 = Versioned.versionPath(root, v0)
-      val df = spark.read.parquet(dir0)
-      val rows = df.count()
-      val before = parquetFiles(dir0)
-      val nFiles =
-        math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
-      Versioned.publishIf(df.repartition(nFiles.toInt), root, v0) match {
-        case Some(v1) =>
-          return (before, parquetFiles(Versioned.versionPath(root, v1)), rows)
-        case None if attempt < maxAttempts => () // lost the CAS; recompute
+      // The read runs OUTSIDE the writer lock: if two writers commit
+      // between Versioned.current above and the scan below, retention
+      // may have deleted dir0 already. That race is semantically a
+      // lost CAS (the snapshot we planned to compact is gone because a
+      // newer one superseded it), so a vanished-snapshot read failure
+      // takes the same bounded re-read-and-retry path as publishIf
+      // returning None — only genuine exhaustion surfaces as an error.
+      val readOk =
+        try {
+          val df = spark.read.parquet(dir0)
+          val rows = df.count()
+          val before = parquetFiles(dir0)
+          val nFiles =
+            math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+          Some((df, rows, before, nFiles))
+        } catch {
+          case _: java.io.FileNotFoundException |
+               _: org.apache.spark.sql.AnalysisException => None
+        }
+      readOk match {
+        case Some((df, rows, before, nFiles)) =>
+          Versioned.publishIf(df.repartition(nFiles.toInt), root, v0) match {
+            case Some(v1) =>
+              return (before, parquetFiles(Versioned.versionPath(root, v1)),
+                rows)
+            case None if attempt < maxAttempts => () // lost the CAS; recompute
+            case None =>
+              throw new SingleWriter.ConcurrentWriteException(
+                s"$root moved past v=$v0 on every one of $maxAttempts " +
+                  "compaction attempts — a faster writer keeps winning the CAS")
+          }
+        case None if attempt < maxAttempts => () // snapshot vanished mid-read
         case None =>
           throw new SingleWriter.ConcurrentWriteException(
-            s"$root moved past v=$v0 on every one of $maxAttempts " +
-              "compaction attempts — a faster writer keeps winning the CAS")
+            s"$root's snapshot v=$v0 vanished under the reader on every " +
+              s"one of $maxAttempts compaction attempts — concurrent " +
+              "writers plus retention keep outrunning the rewrite")
       }
     }
     throw new IllegalStateException("unreachable")

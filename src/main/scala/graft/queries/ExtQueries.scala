@@ -1088,44 +1088,16 @@ object ExtQueries {
         .orderBy(col("rnk"))
     }),
 
-    // Z-order layout clustering (ext/ZOrder): measure how much a
-    // Morton-interleaved sort key improves file-level pruning over a
-    // single-column sort. 64 equal buckets model the table's files;
-    // the probe is a date-slab box (all customers, 1/8 of the date
-    // range) — the worst case for a custkey-sorted layout, which must
-    // scan EVERY file because each spans the full date range, while
-    // the z-sorted layout confines the slab to the files whose
-    // rectangle intersects it. All integer bit arithmetic, so the
-    // oracle reproduces the layout exactly. (The global ntile here is
-    // the metric harness; writing the layout at scale is
-    // `repartitionByRange(z)` + sortWithinPartitions, no global
-    // window.)
-    "x41_zorder_layout" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"),
-        unix_date(col("o_orderdate").cast("date")).as("od"))
-      val bounds = o.agg(
-        min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
-        min(col("od")).as("dmin"), max(col("od")).as("dmax"))
-      val n = o.crossJoin(broadcast(bounds))
-        .withColumn("nx",
-          ZOrder.normalize255(col("o_custkey"), col("cmin"), col("cmax")))
-        .withColumn("ny", ZOrder.normalize255(col("od"), col("dmin"), col("dmax")))
-        .withColumn("z", ZOrder.interleave8(col("nx"), col("ny")))
-      def scanCost(stats: DataFrame, layout: String) = stats
-        .withColumn("hit", col("y_max") >= 32L && col("y_min") <= 63L)
-        .groupBy()
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("n_buckets_scanned"),
-          sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
-        .select(lit(layout).as("layout"), col("n_buckets"),
-          col("n_buckets_scanned"), col("rows_scanned"))
-      scanCost(ZOrder.bucketStats(n, 64, "nx", "ny",
-          col("nx"), col("o_orderkey")), "custkey_sorted")
-        .unionByName(scanCost(ZOrder.bucketStats(n, 64, "nx", "ny",
-          col("z"), col("o_orderkey")), "zorder"))
-        .orderBy(col("layout"))
-    }),
+    // x41_zorder_layout (Z-order PRUNING-METRIC harness) was RETIRED
+    // to spec-only in round 15 on the x85/x96 precedent (r14 verdict
+    // task #6): it priced the 64-bucket global-ntile measurement
+    // harness (adjudicated 5× DuckDB at sf1 — two global windows over
+    // the fact table that exist only to METER pruning), while x93 is
+    // the registered DEPLOYMENT form of the operator
+    // (repartitionByRange(z) + sortWithinPartitions, faster than
+    // DuckDB at sf1). Coverage unchanged: ZOrderSpec pins the
+    // bijection, bit placement, and pruning-vs-linear-sort win;
+    // ext/ZOrder.bucketStats remains the spec-tested metric API.
 
     // Incremental LSH index maintenance (ext/Dedup.bandIndex +
     // incrementalPairs): the new batch (truncated variants) probes the
@@ -3154,10 +3126,13 @@ object ExtQueries {
     }),
 
     // BPE ENCODE, SERVE FORM (r11 verdict task 1a — the x87/x88
-    // serve-twin discipline applied to x85): x85 registers train AND
-    // encode in one entry, so its cost carries training's sequential
-    // fixed latency (3 argmax jobs + 2 corpus checkpoints) that a
-    // deployed tokenizer pays ONCE per vocabulary, not per corpus.
+    // serve-twin discipline applied to the toy-depth train+encode
+    // demo that used to be registered as x85; x85 retired to
+    // spec-only in r14, with registered train+encode coverage now
+    // held by x124): a combined train-and-encode entry carries
+    // training's sequential fixed latency (argmax jobs + corpus
+    // checkpoints) that a deployed tokenizer pays ONCE per
+    // vocabulary, not per corpus.
     // Here the rule table is built by BpeMerge.topPairs — ONE
     // aggregate pass over the 10% sample producing the ranked merge
     // table a deployment would load from disk — checkpointed (the
@@ -6097,56 +6072,8 @@ object ExtQueries {
         |SELECT rnk, gram, exact_df, cms_est, cms_est - exact_df AS overest
         |FROM est ORDER BY rnk""".stripMargin,
 
-    // The same integer normalize/interleave/ntile layout arithmetic;
-    // floor() (not CAST) before BIGINT because DuckDB's double→int
-    // cast rounds where Spark's truncates.
-    "x41_zorder_layout" ->
-      """WITH o AS (
-        |  SELECT o_orderkey, o_custkey,
-        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS od
-        |  FROM orders),
-        |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
-        |             min(od) AS dmin, max(od) AS dmax FROM o),
-        |n AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN cmax = cmin THEN 0
-        |         ELSE CAST(floor((o_custkey - cmin) * 255.0 / (cmax - cmin)) AS BIGINT)
-        |    END AS nx,
-        |    CASE WHEN dmax = dmin THEN 0
-        |         ELSE CAST(floor((od - dmin) * 255.0 / (dmax - dmin)) AS BIGINT)
-        |    END AS ny
-        |  FROM o, b),
-        |z AS (
-        |  SELECT o_orderkey, nx, ny,
-        |    CAST(list_sum([(((nx >> i) & 1) << (2*i + 1)) + (((ny >> i) & 1) << (2*i))
-        |                   for i in range(0, 8)]) AS BIGINT) AS zv
-        |  FROM n),
-        |linstats AS (
-        |  SELECT bucket, count(*) AS n_rows, min(ny) AS y_min, max(ny) AS y_max
-        |  FROM (SELECT ntile(64) OVER (ORDER BY nx, o_orderkey) AS bucket, ny FROM z)
-        |  GROUP BY bucket),
-        |zstats AS (
-        |  SELECT bucket, count(*) AS n_rows, min(ny) AS y_min, max(ny) AS y_max
-        |  FROM (SELECT ntile(64) OVER (ORDER BY zv, o_orderkey) AS bucket, ny FROM z)
-        |  GROUP BY bucket),
-        |res AS (
-        |  SELECT 'custkey_sorted' AS layout,
-        |    CAST(count(*) AS BIGINT) AS n_buckets,
-        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN 1 ELSE 0 END)
-        |         AS BIGINT) AS n_buckets_scanned,
-        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN n_rows ELSE 0 END)
-        |         AS BIGINT) AS rows_scanned
-        |  FROM linstats
-        |  UNION ALL
-        |  SELECT 'zorder',
-        |    CAST(count(*) AS BIGINT),
-        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN 1 ELSE 0 END)
-        |         AS BIGINT),
-        |    CAST(sum(CASE WHEN y_max >= 32 AND y_min <= 63 THEN n_rows ELSE 0 END)
-        |         AS BIGINT)
-        |  FROM zstats)
-        |SELECT layout, n_buckets, n_buckets_scanned, rows_scanned
-        |FROM res ORDER BY layout""".stripMargin,
+    // (x41_zorder_layout's oracle left with its query — retired to
+    // spec-only in round 15; x93 carries the registered z-order form.)
 
     // x02's full-corpus recompute, restricted to pairs that TOUCH the
     // new batch (doc_b >= 10000 — any pair with a batch member has its

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Avi, Jpeg, MultiModal, Png, Ppm, Wav}
+import graft.ext.{Avi, Gif, Jpeg, MultiModal, Png, Ppm, Wav}
 
 /** Codec contract: the round-13 verdict found the MultiModal header
   * still calling JPEG "stubbed" after the real decoder landed. This
@@ -28,9 +28,9 @@ class CodecContractSpec extends AnyFunSuite {
 
   test("header's STUBBED claim names no format the dispatch chain decodes") {
     // decoders actually wired into featurize's orElse chain
-    val dispatched = raw"(Ppm|Png|Jpeg|Wav|Avi)\.decode".r
+    val dispatched = raw"(Ppm|Png|Jpeg|Gif|Wav|Avi)\.decode".r
       .findAllMatchIn(src).map(_.group(1)).toSet
-    assert(dispatched === Set("Ppm", "Png", "Jpeg", "Wav", "Avi"),
+    assert(dispatched === Set("Ppm", "Png", "Jpeg", "Gif", "Wav", "Avi"),
       "dispatch chain changed — update this spec AND the header")
     // the claim sentence: between "STUBBED only for" and "marked below"
     val claimStart = src.indexOf("STUBBED only for")
@@ -38,7 +38,7 @@ class CodecContractSpec extends AnyFunSuite {
     val claim = src.substring(claimStart,
       src.indexOf("marked below", claimStart)).toUpperCase
     val formatName = Map("Ppm" -> "PPM", "Png" -> "PNG", "Jpeg" -> "JPEG",
-      "Wav" -> "WAV", "Avi" -> "AVI")
+      "Gif" -> "GIF", "Wav" -> "WAV", "Avi" -> "AVI")
     dispatched.foreach { d =>
       assert(!claim.contains(formatName(d)),
         s"header claims ${formatName(d)} is stubbed but featurize decodes it")
@@ -69,13 +69,13 @@ class CodecContractSpec extends AnyFunSuite {
 
   test("payloads no decoder accepts (MP3-shaped bytes) degrade to the stub") {
     import spark.implicits._
-    // an MPEG audio frame header: 0xFFFB… — none of the five decoders
+    // an MPEG audio frame header: 0xFFFB… — none of the six decoders
     // may claim it, and the task must not fail
     val fake = Array(0xff, 0xfb, 0x90, 0x64).map(_.toByte) ++
       Array.tabulate(412)(i => (i * 37 % 251).toByte)
     assert(Ppm.decode(fake).isEmpty && Png.decode(fake).isEmpty &&
-      Jpeg.decode(fake).isEmpty && Wav.decode(fake).isEmpty &&
-      Avi.decode(fake).isEmpty)
+      Jpeg.decode(fake).isEmpty && Gif.decode(fake).isEmpty &&
+      Wav.decode(fake).isEmpty && Avi.decode(fake).isEmpty)
     val media = Seq(
       MultiModal.MediaRecord(2L, "audio/mpeg", 0, 0, fake)).toDS()
     val f = MultiModal.featurize(media).head()

@@ -217,6 +217,46 @@ class JpegSpec extends AnyFunSuite {
       wantP.pixels.toSeq)
   }
 
+  test("truncated progressive entropy data decodes via zero-bit padding") {
+    // libjpeg behavior (r14 ADVICE): a marker met mid-entropy-data in a
+    // progressive scan pads the remaining block grid with zero bits and
+    // resumes AT the marker, instead of aborting the whole decode — so
+    // a slightly truncated real-world file still yields a raster. Cut
+    // bytes from the LAST scan's tail (the following EOI then arrives
+    // early, mid-scan) and decode must still succeed with the right
+    // geometry; the untouched earlier scans bound the damage.
+    val img = structured(32, 24)
+    val prog = Jpeg.encodeProgressive(img, 85)
+    val want = Jpeg.decode(prog).get
+    // cuts must stay inside the LAST scan's entropy bytes — cutting
+    // into the preceding scan header is marker corruption, which
+    // rightly degrades to None
+    val lastSos = (0 until prog.length - 1).filter(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda).max
+    val sosLen = ((prog(lastSos + 2) & 0xff) << 8) | (prog(lastSos + 3) & 0xff)
+    val avail = prog.length - 2 - (lastSos + 2 + sosLen) // entropy bytes
+    assert(avail >= 3, s"last scan carries only $avail entropy bytes")
+    for (cut <- Seq(1, avail / 2, avail - 1).distinct) {
+      val truncated = prog.dropRight(2 + cut) ++
+        Array(0xff.toByte, 0xd9.toByte)
+      val got = Jpeg.decode(truncated)
+      assert(got.isDefined, s"cut=$cut must decode, not stub-fall")
+      assert(got.get.width === 32 && got.get.height === 24)
+      // zero-bit padding only LOSES refinement detail; most pixels
+      // still match the full decode (sanity that we decoded content,
+      // not garbage)
+      val same = got.get.pixels.zip(want.pixels).count { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) <= 8 }
+      assert(same >= want.pixels.length / 2,
+        s"cut=$cut: only $same/${want.pixels.length} pixels near the full decode")
+    }
+    // sequential decode keeps the strict contract: same surgery on a
+    // baseline stream still degrades to None
+    val base = Jpeg.encode(img, 85)
+    assert(Jpeg.decode(base.dropRight(6) ++
+      Array(0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
   test("PNG and PPM decoders reject JPEG payloads (router stays unambiguous)") {
     val jb = Jpeg.encode(gray(16, 16, 90))
     assert(graft.ext.Png.decode(jb).isEmpty)
