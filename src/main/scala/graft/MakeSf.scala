@@ -43,22 +43,26 @@ import graft.ext.Text
   * a single file splittable for Spark-side parallelism.
   */
 object MakeSf {
-  private val Shift = 10000000L
+  // 10⁸ (round-15, was 10⁷): k=100 copies of 600k-row tables need
+  // distinct shift bands up to 6·10⁷. Both engines read whatever ids
+  // the files carry, so the band width is invisible to every
+  // query/oracle pair — only the safe-range require below cares.
+  private val Shift = 100000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val k = args(2).toInt
     require(k >= 1 && k * 600000L < Shift, s"k=$k out of the safe shift range")
-    // Single-writer bound (round-8 verdict task #8): write() funnels
-    // each table through coalesce(1) because the driver layout is ONE
-    // <name>.parquet FILE per table — that final write serializes on
-    // one task, ~90s/10 GB locally. k=10 (≈ sf1 from sf0.1: ~6 GB of
-    // lineitem) is comfortably inside that; past k≈16 the sequential
-    // write dominates the whole run and the right move is a
-    // partitioned directory layout + a Tables-side glob, not a bigger
-    // coalesce. Fail loudly instead of degrading quietly.
-    require(k <= 16, s"k=$k: the single-file-per-table layout " +
-      "(coalesce(1) in write()) serializes beyond ~sf1.6; switch to a " +
-      "partitioned layout before scaling further")
+    // Single-writer bound (round-8 verdict task #8), lifted to a
+    // LAYOUT SWITCH (round-15, for the k=100 sf10 receipt): up to
+    // k=16 each table lands as the driver's ONE <name>.parquet FILE
+    // (coalesce(1) — that final write serializes on one task,
+    // ~90s/10 GB, fine to ~sf1.6 and keeps scripts/check.py's DuckDB
+    // read trivially working). Past k=16 the sequential write would
+    // dominate the run, so <name>.parquet becomes a DIRECTORY of part
+    // files — spark.read.parquet (Tables) reads a directory path
+    // transparently, and DuckDB's read_parquet takes a glob if an
+    // oracle pass is ever wanted at that scale.
+    val singleFile = k <= 16
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -85,15 +89,21 @@ object MakeSf {
 
     def write(df: DataFrame, name: String): Unit = {
       val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(out, s"_staging_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = fs.listStatus(staging)
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file for $name"))
       val dest = new Path(out, s"$name.parquet")
-      fs.delete(dest, false)
-      require(fs.rename(part, dest), s"rename failed for $name")
-      fs.delete(staging, true)
+      if (singleFile) {
+        val staging = new Path(out, s"_staging_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+        fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename failed for $name")
+        fs.delete(staging, true)
+      } else {
+        // directory layout: parallel write, file count = task count
+        fs.delete(dest, true)
+        df.write.mode("overwrite").parquet(dest.toString)
+      }
       println(s"MAKESF $name rows=${spark.read.parquet(dest.toString).count()}")
     }
 

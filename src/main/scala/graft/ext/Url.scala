@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + eTLD+1 grouping — the companion of the HTML
+  * extraction head (r14 verdict task #7): crawl dedup, per-host
+  * quality statistics, and robots/host-level policies all key on a
+  * CANONICAL url, not the raw string the crawler saw. Rules (the
+  * standard normalization set, RFC 3986 §6 plus tracking-param
+  * hygiene):
+  *   - scheme and host lowercase;
+  *   - default port stripped (http:80, https:443), explicit
+  *     non-default ports kept;
+  *   - empty path → "/", trailing slash stripped otherwise;
+  *   - tracking query params removed (utm_*, gclid, fbclid, msclkid,
+  *     ref), the rest SORTED so param order can't split a URL's
+  *     identity;
+  *   - fragment dropped (never sent to the server).
+  *
+  * eTLD+1 ("registrable domain") uses a BOUNDED public-suffix subset
+  * — the pattern, not the full Mozilla list (which is a data file a
+  * deployment ships alongside; the lookup shape is identical at any
+  * list size: a tiny broadcast/literal set probed per host, narrow).
+  *
+  * Everything is per-row string work in the RE2∩Java regex subset —
+  * a narrow map with no shuffle (x133's per-host stats add one keyed
+  * aggregation on the canonical host, the natural partitioning key of
+  * every crawl pipeline).
+  */
+object Url {
+
+  /** Multi-label public suffixes the demo recognizes (a subset of the
+    * public-suffix list; the real list swaps in without changing the
+    * expression shape).
+    */
+  val SuffixSubset: Seq[String] =
+    Seq("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp", "com.br")
+
+  /** Query params that never identify content. */
+  private val TrackingRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** host[:port] — everything between :// and the first /, ?, or #. */
+  private def hostPort(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  def host(url: Column): Column =
+    lower(regexp_extract(hostPort(url), "^([^:]+)", 1))
+
+  /** ":" + port when explicit AND non-default for the scheme, else "". */
+  def canonicalPort(url: Column): Column = {
+    val p = regexp_extract(hostPort(url), ":([0-9]+)$", 1)
+    val s = scheme(url)
+    when(p === "", "")
+      .when(s === "http" && p === "80", "")
+      .when(s === "https" && p === "443", "")
+      .otherwise(concat(lit(":"), p))
+  }
+
+  /** "/" for an empty path; trailing slash stripped otherwise. */
+  def canonicalPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    when(p === "" || p === "/", "/")
+      .otherwise(regexp_replace(p, "/+$", ""))
+  }
+
+  /** "?" + kept params sorted, or "" when none survive. */
+  def canonicalQuery(url: Column): Column = {
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(qs, "&"),
+      p => p =!= "" && regexp_extract(p, TrackingRe, 0) === "")
+    when(size(params) === 0, "")
+      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
+  }
+
+  /** The full canonical form (fragment dropped by construction). */
+  def canonicalize(url: Column): Column =
+    concat(scheme(url), lit("://"), host(url), canonicalPort(url),
+      canonicalPath(url), canonicalQuery(url))
+
+  /** Registrable domain: last 3 labels when the last 2 are a listed
+    * public suffix, else last 2 labels.
+    */
+  def etld1(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    val isMulti = SuffixSubset.foldLeft(lit(false))((acc, s) => acc || last2 === s)
+    when(n <= 2, hostCol)
+      .when(isMulti && n >= 3,
+        concat(element_at(labels, -3), lit("."), last2))
+      .otherwise(last2)
+  }
+
+  /** Deterministic synthetic URL for a document — x133 and its oracle
+    * generate the same string (same CASE arithmetic) so the
+    * canonicalizer is verified end-to-end without crawl fixtures.
+    * Exercises: mixed-case scheme/host, default and non-default
+    * ports, trailing slashes, shuffled+tracking-polluted params,
+    * fragments, and multi-label public suffixes.
+    */
+  def synthUrl(docId: Column, lang: Column, source: Column): Column = {
+    val id = docId.cast("string")
+    val sch = when(docId % 3 === 0, "HTTPS")
+      .when(docId % 3 === 1, "http").otherwise("https")
+    val hst = when(docId % 5 === 0, "WWW.Example.COM")
+      .when(docId % 5 === 1, "news.example.co.uk")
+      .when(docId % 5 === 2, "Blog.Sample.ORG")
+      .when(docId % 5 === 3, "cdn.media.example.com")
+      .otherwise("shop.example.co.uk")
+    val prt = when(docId % 4 === 0, ":443").when(docId % 4 === 1, ":80")
+      .when(docId % 4 === 2, ":8080").otherwise("")
+    val path = concat(lit("/"), lang, lit("/item/"),
+      (docId % 97).cast("string"),
+      when(docId % 2 === 0, "/").otherwise(""))
+    val idp = concat(lit("id="), (docId % 50).cast("string"))
+    val camp = concat(lit("utm_campaign=q"), (docId % 4).cast("string"))
+    val src = concat(lit("src="), source)
+    val qs = when(docId % 2 === 0,
+      concat(lit("?utm_source=feed&"), idp, lit("&gclid=abc"), id,
+        lit("&"), src, lit("&"), camp))
+      .otherwise(concat(lit("?"), src, lit("&"), idp, lit("&ref=tw")))
+    val frag = when(docId % 3 === 0,
+      concat(lit("#frag"), (docId % 7).cast("string"))).otherwise("")
+    concat(sch, lit("://"), hst, prt, path, qs, frag)
+  }
+}
