@@ -3502,12 +3502,19 @@ object ExtQueries {
         .select(col("source"),
           explode(sequence(lit(1L), col("repeat_factor") - 1)).as("epoch"),
           col("doc_id"), col("n_toks"))
+      // selection fingerprint in a BOUNDED residue (doc_id mod a
+      // prime): raw doc_id² overflowed a long the moment MakeSf's
+      // shift band widened to 10⁸ for the sf10 receipt (round-15) —
+      // (9.9e9)² alone exceeds Long.Max. The residue keeps fp² ≤
+      // ~1e12, so the per-group sum is exact to ~9e6 docs/group at
+      // any corpus size, and the fingerprint still pins membership.
+      val fp = pmod(col("doc_id"), lit(1000003L))
       full.unionByName(partial)
         .groupBy(col("source"), col("epoch"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
-          sum(col("doc_id")).as("fp_sum"),
-          sum(col("doc_id") * col("doc_id")).as("fp_sq"))
+          sum(fp).as("fp_sum"),
+          sum(fp * fp).as("fp_sq"))
         .orderBy(col("source"), col("epoch"))
     }),
 
@@ -7892,8 +7899,9 @@ object ExtQueries {
         |SELECT source, epoch,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        |  CAST(sum(doc_id) AS BIGINT) AS fp_sum,
-        |  CAST(sum(doc_id * doc_id) AS BIGINT) AS fp_sq
+        |  CAST(sum(doc_id % 1000003) AS BIGINT) AS fp_sum,
+        |  CAST(sum((doc_id % 1000003) * (doc_id % 1000003)) AS BIGINT)
+        |    AS fp_sq
         |FROM sel GROUP BY source, epoch
         |ORDER BY source, epoch""".stripMargin,
 
