@@ -66,6 +66,21 @@ object Similarity {
   def hyperplane(j: Int, dims: Int): Seq[Int] =
     (0 until dims).map(i => ((i * 37 + j * 101) % 13) - 6)
 
+  /** Corpus-proportional sign-LSH code width (round-15, from the sf10
+    * receipt): smallest P ≥ 8 with n ≤ 256·2^P, capped at 24 — mean
+    * bucket population stays ≤ 256 as the corpus grows, so
+    * within-bucket candidate mass is ~n·128, LINEAR in n, where a
+    * FIXED width is n²/2^P (x10 measured 172× time for 10× data at
+    * width 8). Stated as an integer step ladder —
+    * 8 + Σ_{t∈[8,24)} [n > 256·2^t] — so the oracle can compute the
+    * identical width with no float log anywhere. At the demo corpus
+    * sizes (n ≤ 65536: every SF through sf1) this resolves to 8, the
+    * historical width, so small-SF results are unchanged by
+    * construction.
+    */
+  def planesFor(n: Long): Int =
+    8 + (8 until 24).count(t => n > 256L * (1L << t))
+
   /** Sign-LSH bucket id in [0, 2^planes): bit j = sign of the projection
     * onto hyperplane j. Near-identical vectors agree on every sign with
     * high probability, so near-dup candidate generation becomes an

@@ -248,18 +248,25 @@ object ExtQueries {
 
     // Embedding near-dup detection: corpus = embeddings ∪ perturbed
     // copies (×1.02 + tiny per-dim offset, id+10000). Candidates come
-    // from an equi-join on the 8-plane sign-LSH bucket; cosine ≥ 0.999
+    // from an equi-join on the sign-LSH bucket; cosine ≥ 0.999
     // confirms. (Sign-LSH trades recall for never doing all-pairs; the
     // oracle computes the identical buckets, so results agree exactly.)
+    // The code WIDTH is corpus-proportional (round-15, the sf10
+    // receipt's one genuine quadratic: fixed 8-plane buckets gave
+    // within-bucket mass ∝ n²/256 — 172× time for 10× data): one
+    // cheap count() picks planesFor(n) at plan time, the x58 cells-∝-
+    // corpus discipline applied to sign-LSH; ≤ sf1 it resolves to the
+    // historical 8, so small-SF results are unchanged.
     "x10_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val base = e.select(col("vec_id"), toD(col("embedding")).as("v"))
+      val planes = Similarity.planesFor(2L * e.count())
       val pert = base.select(
         (col("vec_id") + 10000).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * 1.02 + (pmod(i, lit(7)) - 3).cast("double") * 0.0001).as("v"))
       val corpus = spread(base.unionByName(pert))
-        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .withColumn("bucket", Similarity.signBucket(col("v"), planes, 64))
       // merge hint → identical shuffle subtrees → ReuseExchange computes
       // the bucket pipeline once (see Dedup.nearDupPairs)
       corpus.as("a").hint("merge")
@@ -4719,17 +4726,22 @@ object ExtQueries {
     // scale the bucket join swaps for the x87 IVF serve join — same
     // margin arithmetic downstream.
     "x126_bitext_margin" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings")
-        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val e126 = t(s, dir, "embeddings")
+      val base = e126.select(col("vec_id"), toD(col("embedding")).as("v"))
+      // corpus-proportional code width (round-15, the x10 fix shared
+      // here): join corpus = src half + tgt half + planted quarter =
+      // 5n/4 rows; ≤ sf1 the ladder resolves to the historical 8
+      val nE = e126.count()
+      val planes126 = Similarity.planesFor(nE + nE / 4)
       val planted = base.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => round(x * 1024) / 1024).as("v"))
       val srcB = spread(base.filter(col("vec_id") % 2 === 0))
-        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .withColumn("bucket", Similarity.signBucket(col("v"), planes126, 64))
         .localCheckpoint()
       val tgtB = spread(base.filter(col("vec_id") % 2 === 1)
         .unionByName(planted))
-        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .withColumn("bucket", Similarity.signBucket(col("v"), planes126, 64))
         .localCheckpoint()
       val cand = srcB.as("a")
         .join(tgtB.as("b"), col("a.bucket") === col("b.bucket"))
@@ -5338,17 +5350,35 @@ object ExtQueries {
          |FROM r WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
 
+    // bucket width = the same integer step ladder as
+    // Similarity.planesFor (8 + Σ[n > 256·2^t]); the per-plane
+    // coefficient is the hyperplane FORMULA inline (((i-1)·37 +
+    // j·101) mod 13) − 6, identical to the literal planes bucketSql
+    // unrolls — so the oracle scales its code width with the corpus
+    // exactly as the engine does.
     "x10_embed_neardup" ->
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT 2 * count(*) AS n FROM embeddings),
+         |par AS (
+         |  SELECT CAST(8 + list_sum(
+         |    [CASE WHEN n > 256 * (CAST(1 AS BIGINT) << t) THEN 1 ELSE 0 END
+         |     for t in range(8, 24)]) AS INT) AS planes
+         |  FROM nn),
          |pert AS (
          |  SELECT vec_id + 10000 AS vec_id,
          |    [v[i] * 1.02 + CAST(((i - 1) % 7) - 3 AS DOUBLE) * 0.0001
          |     for i in range(1, len(v)+1)] AS v
          |  FROM base),
          |corpus AS (
-         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
-         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(
+         |      [CASE WHEN list_sum(
+         |         [v[i] * ((((i-1)*37 + j*101) % 13) - 6)
+         |          for i in range(1, len(v)+1)]) > 0
+         |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |       for j in range(0, planes)]) AS BIGINT) AS bucket
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert), par),
          |cand AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round(${cosineSql("a.v", "b.v")}, 6) AS cos6
@@ -8948,18 +8978,34 @@ object ExtQueries {
     // (the x58 quantization), same integer margin arithmetic — the
     // `//` floor-div equals Spark's `div` because every operand here
     // is non-negative.
+    // code width scales with the join corpus (5n/4 rows) exactly as
+    // the engine's planesFor does — same integer ladder, hyperplane
+    // formula inline (see the x10 oracle note).
     "x126_bitext_margin" -> {
+      val varBucket =
+        """CAST(list_sum(
+          |      [CASE WHEN list_sum(
+          |         [v[i] * ((((i-1)*37 + j*101) % 13) - 6)
+          |          for i in range(1, len(v)+1)]) > 0
+          |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+          |       for j in range(0, planes)]) AS BIGINT)""".stripMargin
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT count(*) + count(*) // 4 AS n FROM embeddings),
+         |par AS (
+         |  SELECT CAST(8 + list_sum(
+         |    [CASE WHEN n > 256 * (CAST(1 AS BIGINT) << t) THEN 1 ELSE 0 END
+         |     for t in range(8, 24)]) AS INT) AS planes
+         |  FROM nn),
          |src AS (
-         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
-         |  FROM base WHERE vec_id % 2 = 0),
+         |  SELECT vec_id, v, $varBucket AS bucket
+         |  FROM base, par WHERE vec_id % 2 = 0),
          |tgt0 AS (
          |  SELECT vec_id, v FROM base WHERE vec_id % 2 = 1
          |  UNION ALL
          |  SELECT vec_id + 1000000, [round(x * 1024) / 1024 for x in v]
          |  FROM base WHERE vec_id % 4 = 0),
-         |tgt AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM tgt0),
+         |tgt AS (SELECT vec_id, v, $varBucket AS bucket FROM tgt0, par),
          |cand AS (
          |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
          |    CAST(floor((${cosineSql("a.v", "b.v")}) * 1000000 + 0.5)
