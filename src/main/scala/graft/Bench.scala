@@ -215,12 +215,21 @@ object Bench {
     // fat total went without the bench_out file.
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + f2(v) }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_failed":${failed.size},"reps":$reps,"top5":$top5,$calib,"bench_out":${jstr(out)},"sf":${jstr(sfDir)}}"""
-    require(line.length <= 1880,
-      s"bench stdout line ${line.length} B exceeds the ~1925 B driver " +
-        "tail window (minus margin) — shrink the encoding before the " +
-        "driver records parsed:null")
+    // Degrade-don't-throw (round-16): a long SPARK_GRAFT_SF_DIR or
+    // bench-out path must not discard the whole timed run AFTER it
+    // finished — shorten paths to basenames, then drop top5, and keep
+    // the require only as a last-resort guard on the fixed skeleton.
+    def assemble(top5s: String, sfS: String, outS: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_failed":${failed.size},"reps":$reps,"top5":$top5s,$calib,"bench_out":${jstr(outS)},"sf":${jstr(sfS)}}"""
+    def base(p: String): String = new java.io.File(p).getName
+    val line = Seq(
+      assemble(top5, sfDir, out),
+      assemble(top5, base(sfDir), base(out)),
+      assemble("{}", base(sfDir), base(out)))
+      .find(_.length <= 1880)
+      .getOrElse(throw new IllegalStateException(
+        "bench stdout skeleton exceeds the ~1925 B driver tail window " +
+          "even with top5 dropped and paths shortened — shrink the encoding"))
     // Stop Spark BEFORE the raw write so any shutdown chatter cannot
     // land after the JSON line and push it out of the tail window.
     spark.stop()

@@ -108,7 +108,13 @@ object Gif {
           if (pos >= bytes.length) return None
           val minCode = bytes(pos) & 0xff
           pos += 1
-          if (minCode < 1 || minCode > 11) return None
+          // floor of 2 matches encodeIndexed and the GIF89a minimum;
+          // at minCode=1 (end+1 = 4 = 1<<2) the decoder's width-growth
+          // check desynchronizes from any conforming encoder's
+          // schedule on the first post-clear code, so such streams
+          // fall to the documented stub path instead of decoding to
+          // garbage with Some(...)
+          if (minCode < 2 || minCode > 11) return None
           val data = new ByteArrayOutputStream()
           var p = pos
           var done = false

@@ -145,8 +145,22 @@ object Compact {
             math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
           Some((df, rows, before, nFiles))
         } catch {
-          case _: java.io.FileNotFoundException |
-               _: org.apache.spark.sql.AnalysisException => None
+          case _: java.io.FileNotFoundException => None
+          // Only the PATH-VANISHED analysis failure is the CAS race;
+          // any other AnalysisException (corrupt footer, unreadable
+          // schema) is a real error and must surface on first
+          // occurrence, not masquerade as a concurrent-writer loss
+          // after maxAttempts identical retries.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" || {
+                var c: Throwable = e.getCause
+                var fnf = false
+                while (c != null && !fnf) {
+                  fnf = c.isInstanceOf[java.io.FileNotFoundException]
+                  c = c.getCause
+                }
+                fnf
+              } => None
         }
       readOk match {
         case Some((df, rows, before, nFiles)) =>

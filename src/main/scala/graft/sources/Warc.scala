@@ -94,9 +94,17 @@ object Warc {
           out += rec(path, recordIdx, headers, declared = 0L,
             truncated = true, payload = Array.emptyByteArray)
           done = true
+        } else if (declared > Int.MaxValue.toLong - 8) {
+          // declared length exceeds the JVM array cap: the payload
+          // cannot be materialized OR skipped reliably, so nothing
+          // after this record can be located — degrade exactly like a
+          // short read (truncated=true, stop) instead of emitting a
+          // silently capped payload as clean
+          out += rec(path, recordIdx, headers, declared,
+            truncated = true, payload = Array.emptyByteArray)
+          done = true
         } else {
-          val payload = new Array[Byte](
-            math.min(declared, Int.MaxValue.toLong - 8).toInt)
+          val payload = new Array[Byte](declared.toInt)
           val got = if (truncated) 0 else reader.readFully(payload)
           val cut = truncated || got < payload.length
           out += rec(path, recordIdx, headers, declared,
