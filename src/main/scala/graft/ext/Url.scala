@@ -81,10 +81,23 @@ object Url {
     concat(scheme(url), lit("://"), host(url), canonicalPort(url),
       canonicalPath(url), canonicalQuery(url))
 
-  /** Registrable domain: last 3 labels when the last 2 are a listed
-    * public suffix, else last 2 labels.
+  /** Registrable domain against the REAL public-suffix list (ICANN
+    * section, bundled — [[Psl]]): full longest-match semantics with
+    * wildcard (`*.ck`) and exception (`!www.ck`) rules, as a native
+    * codegen'd expression ([[org.apache.spark.sql.graft.PslEtld1]]) —
+    * O(labels) hash probes per row, narrow, no shuffle.
     */
-  def etld1(hostCol: Column): Column = {
+  def etld1(hostCol: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.PslEtld1(
+        org.apache.spark.sql.GraftExpressionBridge.expression(hostCol)))
+
+  /** The pre-round-16 bounded-subset form, kept as the UrlSpec fixture
+    * demonstrating the pure-Column shape (last 3 labels when the last
+    * 2 are a listed suffix, else last 2): the swap-in claim the demo
+    * subset always made is now DEMONSTRATED by [[etld1]] above.
+    */
+  def etld1Subset(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
     val last2 = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
@@ -106,11 +119,17 @@ object Url {
     val id = docId.cast("string")
     val sch = when(docId % 3 === 0, "HTTPS")
       .when(docId % 3 === 1, "http").otherwise("https")
-    val hst = when(docId % 5 === 0, "WWW.Example.COM")
-      .when(docId % 5 === 1, "news.example.co.uk")
-      .when(docId % 5 === 2, "Blog.Sample.ORG")
-      .when(docId % 5 === 3, "cdn.media.example.com")
-      .otherwise("shop.example.co.uk")
+    // %8 hosts (round-16, was %5): the last three exercise the real
+    // PSL's exception (!www.ck), wildcard (*.ck), and deepest exact
+    // (pvt.k12.ma.us, 4 labels) rules through the oracle-checked path
+    val hst = when(docId % 8 === 0, "WWW.Example.COM")
+      .when(docId % 8 === 1, "news.example.co.uk")
+      .when(docId % 8 === 2, "Blog.Sample.ORG")
+      .when(docId % 8 === 3, "cdn.media.example.com")
+      .when(docId % 8 === 4, "shop.example.co.uk")
+      .when(docId % 8 === 5, "media.WWW.CK")
+      .when(docId % 8 === 6, "a.b.zzz.Ck")
+      .otherwise("site.pvt.K12.ma.us")
     val prt = when(docId % 4 === 0, ":443").when(docId % 4 === 1, ":80")
       .when(docId % 4 === 2, ":8080").otherwise("")
     val path = concat(lit("/"), lang, lit("/item/"),

@@ -920,9 +920,14 @@ object ExtQueries {
     // similarity. Eval set plants leaks (perturbed copies of even
     // corpus vectors — near-identical direction) and fresh items
     // (dimension-reversed vectors — independent direction for random
-    // embeddings). Candidates come ONLY from the 8-plane sign-LSH
-    // bucket equi-join (x10's machinery): the shuffle pairs each eval
+    // embeddings). Candidates come ONLY from the sign-LSH bucket
+    // equi-join (x10's machinery): the shuffle pairs each eval
     // vector with its bucket's corpus vectors, never eval × corpus.
+    // The code WIDTH is corpus-proportional (round-16, closing the
+    // sf10 receipt's quadratic: eval×corpus within-bucket mass is
+    // n²/2^P at a fixed width) — planesFor over the 2n bucketized
+    // rows, the exact x10 treatment; ≤ sf1 the ladder resolves to
+    // the historical 8, so small-SF results are unchanged.
     // Output is integer hit counts against the 0.99 threshold, not a
     // float max: planted cosines sit at ≈0.9998 (leaks) vs ≤0.5
     // (bucket noise), so the predicate is immune to the ~1e-6
@@ -931,6 +936,7 @@ object ExtQueries {
     "x34_semantic_contamination" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val base = e.select(col("vec_id"), toD(col("embedding")).as("v"))
+      val planes34 = Similarity.planesFor(2L * e.count())
       val evalSet = base.select(
         (col("vec_id") + 50000).as("eval_id"),
         when(pmod(col("vec_id"), lit(2)) === 0, lit("leaked"))
@@ -939,9 +945,9 @@ object ExtQueries {
           transform(col("v"), (x, i) =>
             x * 1.02 + (pmod(i, lit(7)) - 3).cast("double") * 0.0001))
           .otherwise(reverse(col("v"))).as("ev"))
-        .withColumn("bucket", Similarity.signBucket(col("ev"), 8, 64))
+        .withColumn("bucket", Similarity.signBucket(col("ev"), planes34, 64))
       val corpus = spread(base)
-        .withColumn("bucket", Similarity.signBucket(col("v"), 8, 64))
+        .withColumn("bucket", Similarity.signBucket(col("v"), planes34, 64))
       evalSet.join(corpus, Seq("bucket"), "left")
         .withColumn("hit",
           when(col("v").isNotNull &&
@@ -5059,7 +5065,9 @@ object ExtQueries {
     // then canonicalize: lowercase scheme/host, strip default ports,
     // strip trailing slash, drop tracking params, SORT survivors,
     // drop the fragment; eTLD+1 groups hosts by registrable domain
-    // over a bounded suffix subset. Per-host doc counts ride a KEYED
+    // against the REAL bundled public-suffix list (round-16 — Psl /
+    // PslEtld1; hosts exercise exception, wildcard, and 4-label exact
+    // rules). Per-host doc counts ride a KEYED
     // window on the canonical host — the natural crawl partitioning
     // key. Narrow map + one keyed exchange.
     "x133_url_canonical" -> ((s, dir) => {
@@ -5089,15 +5097,6 @@ object ExtQueries {
   // ---------------------------------------------------------------- oracles
 
   private val stoplistSql = Text.Stopwords.map(w => s"'$w'").mkString(", ")
-
-  /** Sign-LSH bucket expression over DuckDB DOUBLE[] column `v` —
-    * hyperplane literals shared with [[Similarity.hyperplane]].
-    */
-  private def bucketSql(v: String): String =
-    (0 until 8).map { j =>
-      val plane = Similarity.hyperplane(j, 64).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([$v[i] * ($plane)[i] for i in range(1, len($v)+1)]) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
 
   private def cosineSql(a: String, b: String): String =
     s"""list_sum([$a[i] * $b[i] for i in range(1, len($a)+1)]) /
@@ -5353,9 +5352,9 @@ object ExtQueries {
     // bucket width = the same integer step ladder as
     // Similarity.planesFor (8 + Σ[n > 256·2^t]); the per-plane
     // coefficient is the hyperplane FORMULA inline (((i-1)·37 +
-    // j·101) mod 13) − 6, identical to the literal planes bucketSql
-    // unrolls — so the oracle scales its code width with the corpus
-    // exactly as the engine does.
+    // j·101) mod 13) − 6, identical to Similarity.hyperplane — so the
+    // oracle scales its code width with the corpus exactly as the
+    // engine does.
     "x10_embed_neardup" ->
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5953,9 +5952,25 @@ object ExtQueries {
         |GROUP BY 1, 2
         |ORDER BY lang, bucket""".stripMargin,
 
-    "x34_semantic_contamination" ->
+    // x34: code width scales with the 2n bucketized rows exactly as
+    // the engine's planesFor does — same integer ladder, hyperplane
+    // formula inline (see the x10 oracle note).
+    "x34_semantic_contamination" -> {
+      def varBucket(v: String): String =
+        s"""CAST(list_sum(
+           |      [CASE WHEN list_sum(
+           |         [$v[i] * ((((i-1)*37 + j*101) % 13) - 6)
+           |          for i in range(1, len($v)+1)]) > 0
+           |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+           |       for j in range(0, planes)]) AS BIGINT)""".stripMargin
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT 2 * count(*) AS n FROM embeddings),
+         |par AS (
+         |  SELECT CAST(8 + list_sum(
+         |    [CASE WHEN n > 256 * (CAST(1 AS BIGINT) << t) THEN 1 ELSE 0 END
+         |     for t in range(8, 24)]) AS INT) AS planes
+         |  FROM nn),
          |ev AS (
          |  SELECT vec_id + 50000 AS eval_id,
          |    CASE WHEN vec_id % 2 = 0 THEN 'leaked' ELSE 'fresh' END AS origin,
@@ -5964,8 +5979,9 @@ object ExtQueries {
          |               for i in range(1, len(v)+1)]
          |         ELSE list_reverse(v) END AS ev
          |  FROM base),
-         |evb AS (SELECT eval_id, origin, ev, ${bucketSql("ev")} AS bucket FROM ev),
-         |cb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM base),
+         |evb AS (SELECT eval_id, origin, ev, ${varBucket("ev")} AS bucket
+         |        FROM ev, par),
+         |cb AS (SELECT vec_id, v, ${varBucket("v")} AS bucket FROM base, par),
          |j AS (
          |  SELECT e.eval_id, e.origin, c.vec_id,
          |    CASE WHEN c.vec_id IS NOT NULL
@@ -5977,7 +5993,8 @@ object ExtQueries {
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  (sum(hit) > 0) AS contaminated
          |FROM j GROUP BY eval_id, origin
-         |ORDER BY eval_id""".stripMargin,
+         |ORDER BY eval_id""".stripMargin
+    },
 
     // Same signature construction as x02's oracle (8-hex chunk h%4 of
     // md5(shingle + '#' + h/4), min over the shingle set).
@@ -8974,7 +8991,7 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    // x126: same bucket expression (bucketSql), same planted twins
+    // x126: same ladder bucket expression, same planted twins
     // (the x58 quantization), same integer margin arithmetic — the
     // `//` floor-div equals Spark's `div` because every operand here
     // is non-negative.
@@ -9338,17 +9355,31 @@ object ExtQueries {
 
     // x133: identical URL generation (same CASE arithmetic), identical
     // canonicalization (anchored RE2∩Java regexes, literal splits,
-    // lexicographic param sort), identical bounded suffix subset.
-    "x133_url_canonical" ->
-      """WITH u AS (
+    // lexicographic param sort). eTLD+1 evaluates the published PSL
+    // algorithm (exception > most-labels > implicit `*`; wildcard
+    // `*.B` needs a label left of B) over the SAME bundled ICANN rule
+    // list the engine parses — injected below as a 7,380-row literal
+    // table straight from graft.ext.Psl's parsed sets, so engine and
+    // oracle cannot drift on the data OR the algorithm.
+    "x133_url_canonical" -> {
+      import graft.ext.Psl
+      val ruleRows = (
+        Psl.exactRules.toSeq.sorted.map(s => s"('$s','x')") ++
+          Psl.wildcardBases.toSeq.sorted.map(s => s"('$s','w')") ++
+          Psl.exceptionRules.toSeq.sorted.map(s => s"('$s','e')")
+        ).mkString(",")
+      s"""WITH u AS (
         |  SELECT doc_id,
         |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
         |      ELSE 'https' END) || '://' ||
-        |    (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+        |    (CASE doc_id % 8 WHEN 0 THEN 'WWW.Example.COM'
         |      WHEN 1 THEN 'news.example.co.uk'
         |      WHEN 2 THEN 'Blog.Sample.ORG'
         |      WHEN 3 THEN 'cdn.media.example.com'
-        |      ELSE 'shop.example.co.uk' END) ||
+        |      WHEN 4 THEN 'shop.example.co.uk'
+        |      WHEN 5 THEN 'media.WWW.CK'
+        |      WHEN 6 THEN 'a.b.zzz.Ck'
+        |      ELSE 'site.pvt.K12.ma.us' END) ||
         |    (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
         |      WHEN 2 THEN ':8080' ELSE '' END) ||
         |    '/' || lang || '/item/' || CAST(doc_id % 97 AS VARCHAR) ||
@@ -9371,14 +9402,14 @@ object ExtQueries {
         |      AS hp,
         |    regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+        |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
         |  FROM u),
         |canon AS (
         |  SELECT doc_id, url, sch,
         |    lower(regexp_extract(hp, '^([^:]+)', 1)) AS host,
-        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(hp, ':([0-9]+)$$', 1) AS port,
         |    CASE WHEN rawpath = '' OR rawpath = '/' THEN '/'
-        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |         ELSE regexp_replace(rawpath, '/+$$', '') END AS path,
         |    list_sort([p for p in string_split(qs, '&') if p <> ''
         |      AND NOT regexp_matches(p,
         |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=')]) AS params
@@ -9394,16 +9425,34 @@ object ExtQueries {
         |    (CASE WHEN len(params) = 0 THEN ''
         |          ELSE '?' || array_to_string(params, '&') END) AS canonical,
         |    string_split(host, '.') AS ls
-        |  FROM canon)
-        |SELECT doc_id, url, canonical,
-        |  CASE WHEN len(ls) <= 2 THEN host
-        |       WHEN (ls[-2] || '.' || ls[-1]) IN
-        |         ('co.uk','ac.uk','gov.uk','com.au','co.jp','com.br')
-        |         AND len(ls) >= 3
-        |       THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-        |       ELSE ls[-2] || '.' || ls[-1] END AS etld1,
-        |  CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_docs
-        |FROM c2 ORDER BY doc_id""".stripMargin,
+        |  FROM canon),
+        |rules(suffix, kind) AS (VALUES $ruleRows),
+        |hosts AS (SELECT DISTINCT host, ls, len(ls) AS n FROM c2),
+        |cand AS (
+        |  SELECT host, n, L,
+        |    array_to_string(ls[n - L + 1:n], '.') AS suf
+        |  FROM hosts, range(1, 5) t(L) WHERE n >= L),
+        |m AS (
+        |  SELECT c.host,
+        |    max(CASE WHEN r.kind = 'e' THEN c.L - 1 END) AS exc_ps,
+        |    max(CASE WHEN r.kind = 'x' THEN c.L
+        |             WHEN r.kind = 'w' AND c.n > c.L THEN c.L + 1 END)
+        |      AS norm_ps
+        |  FROM cand c JOIN rules r ON c.suf = r.suffix
+        |  GROUP BY c.host),
+        |e1 AS (
+        |  SELECT h.host,
+        |    CASE WHEN h.n <= coalesce(m.exc_ps, m.norm_ps, 1) THEN h.host
+        |         ELSE array_to_string(
+        |           h.ls[h.n - coalesce(m.exc_ps, m.norm_ps, 1):h.n], '.')
+        |    END AS etld1
+        |  FROM hosts h LEFT JOIN m ON h.host = m.host)
+        |SELECT c2.doc_id, c2.url, c2.canonical, e1.etld1,
+        |  CAST(count(*) OVER (PARTITION BY c2.host) AS BIGINT)
+        |    AS n_host_docs
+        |FROM c2 JOIN e1 ON c2.host = e1.host
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // x114: same ppm shares, pow(·, 0.5) through the round-6 lift.
     "x114_temperature_mix" ->

@@ -69,6 +69,62 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://example.co.uk/x").head._2 === "example.co.uk")
   }
 
+  test("eTLD+1 real PSL: wildcard rules (*.ck) add a suffix label") {
+    // *.ck makes zzz.ck a public suffix, so the registrable domain is
+    // one label deeper than a plain ccTLD would give
+    assert(canon("https://a.b.zzz.ck/x").head._2 === "b.zzz.ck")
+    assert(canon("https://b.zzz.ck/x").head._2 === "b.zzz.ck")
+    // a host that IS a wildcard-made public suffix has no registrable
+    // domain — it comes back unchanged (the documented convention)
+    assert(canon("https://zzz.ck/x").head._2 === "zzz.ck")
+  }
+
+  test("eTLD+1 real PSL: exception rules (!www.ck) beat the wildcard") {
+    // !www.ck: the public suffix is ck, so www.ck itself registers
+    assert(canon("https://www.ck/x").head._2 === "www.ck")
+    assert(canon("https://a.www.ck/x").head._2 === "www.ck")
+    assert(canon("https://deep.a.www.ck/x").head._2 === "www.ck")
+    // the Japanese city exceptions under *.kawasaki.jp
+    assert(canon("https://sub.city.kawasaki.jp/x").head._2 ===
+      "city.kawasaki.jp")
+    // while a non-excepted sibling stays under the wildcard
+    assert(canon("https://sub.other.kawasaki.jp/x").head._2 ===
+      "sub.other.kawasaki.jp")
+  }
+
+  test("eTLD+1 real PSL: deepest exact rules (4 labels) and defaults") {
+    // pvt.k12.ma.us is a 4-label exact rule
+    assert(canon("https://site.pvt.k12.ma.us/x").head._2 ===
+      "site.pvt.k12.ma.us")
+    assert(canon("https://deep.site.pvt.k12.ma.us/x").head._2 ===
+      "site.pvt.k12.ma.us")
+    // an unknown TLD falls to the implicit `*` default rule: 1-label
+    // public suffix, 2-label registrable domain
+    assert(canon("https://foo.bar.unknowntld/x").head._2 ===
+      "bar.unknowntld")
+    // a bare public suffix (exact rule) comes back unchanged
+    assert(canon("https://co.uk/x").head._2 === "co.uk")
+  }
+
+  test("the pre-round-16 bounded-subset fixture keeps its shape") {
+    import spark.implicits._
+    val got = Seq("news.example.co.uk", "a.example.com", "example.org",
+      "x.y.site.com.br").toDF("h")
+      .select(Url.etld1Subset(col("h"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq(
+      "example.co.uk", "example.com", "example.org", "site.com.br"))
+  }
+
+  test("Psl parsed the bundled ICANN list, not a stub") {
+    import graft.ext.Psl
+    assert(Psl.exactRules.size > 7000, Psl.exactRules.size)
+    assert(Psl.wildcardBases.contains("ck"))
+    assert(Psl.exceptionRules.contains("www.ck"))
+    assert(Psl.exactRules.contains("pvt.k12.ma.us"))
+    // the three sets are disjoint encodings of distinct rule kinds
+    assert((Psl.exactRules & Psl.exceptionRules).isEmpty)
+  }
+
   test("synthUrl canonicalizes to one identity per content id") {
     import spark.implicits._
     // doc_ids 6 and 36: same host slot (%5==1), same path id (%97),
