@@ -52,6 +52,29 @@ object MakeSf {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val k = args(2).toInt
     require(k >= 1 && k * 600000L < Shift, s"k=$k out of the safe shift range")
+    // Optional key=value flags after the three positionals (round-16):
+    //  tables=a,b  — write only the named tables (fixture runs that
+    //                need ONE axis scaled — e.g. the planes≥9 LSH
+    //                proof needs only a >65k-row embeddings table —
+    //                shouldn't pay for 18M lineitem rows);
+    //  stretch=1   — scale the EVENT TIME WINDOW with k instead of
+    //                packing k× the events into the same window: copy
+    //                c shifts ts by c×(span days), so temporal density
+    //                stays production-shaped (10× events span 10× the
+    //                time — the way event volume actually grows).
+    //                Without it, every window/range query's match
+    //                volume grows k² by construction (q25's sf10
+    //                receipt measured 100× output for 10× data);
+    //  single=1    — force the one-file-per-table driver layout past
+    //                k=16 (small table subsets write fast regardless).
+    val flags = args.drop(3).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"flag '$a' is not key=value")
+      (a.substring(0, i), a.substring(i + 1))
+    }.toMap
+    val tablesFilter: Option[Set[String]] =
+      flags.get("tables").map(_.split(",").toSet)
+    val stretch = flags.get("stretch").contains("1")
     // Single-writer bound (round-8 verdict task #8), lifted to a
     // LAYOUT SWITCH (round-15, for the k=100 sf10 receipt): up to
     // k=16 each table lands as the driver's ONE <name>.parquet FILE
@@ -62,7 +85,7 @@ object MakeSf {
     // files — spark.read.parquet (Tables) reads a directory path
     // transparently, and DuckDB's read_parquet takes a glob if an
     // oracle pass is ever wanted at that scale.
-    val singleFile = k <= 16
+    val singleFile = k <= 16 || flags.get("single").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -87,7 +110,8 @@ object MakeSf {
     def shifted(df: DataFrame, c: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, key) => d.withColumn(key, col(key) + c * Shift))
 
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: => DataFrame, name: String): Unit = {
+      if (!tablesFilter.forall(_.contains(name))) return
       val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dest = new Path(out, s"$name.parquet")
       if (singleFile) {
@@ -115,7 +139,27 @@ object MakeSf {
     write(copies("orders")(shifted(_, _, "o_orderkey", "o_custkey")), "orders")
     write(copies("lineitem")(
       shifted(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    write(copies("events")(shifted(_, _, "event_id", "user_id")), "events")
+    write({
+      if (!stretch) copies("events")(shifted(_, _, "event_id", "user_id"))
+      else {
+        // stride = whole-day span of the base window + 1 day margin,
+        // computed ONCE (a bounded 2-value aggregate): copy c lands in
+        // its own disjoint window, so per-window event density — and
+        // with it every range-join's matches-per-interval — is k-invariant
+        val r = Tables(spark, src, "events")
+          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+          .selectExpr(
+            "CAST(datediff(CAST(mx AS DATE), CAST(mn AS DATE)) AS INT) + 1" +
+              " AS stride")
+          .head()
+        val strideDays = r.getInt(0)
+        copies("events") { (df, c) =>
+          shifted(df, c, "event_id", "user_id")
+            .withColumn("ts",
+              col("ts") + expr(s"INTERVAL ${c.toLong * strideDays} DAYS"))
+        }
+      }
+    }, "events")
 
     write(copies("documents") { (df, c) =>
       val base = shifted(df, c, "doc_id")
