@@ -1910,11 +1910,15 @@ object ExtQueries {
     //
     // Scale shape: one narrow assign pass (k d2 evaluations per row),
     // one cell-keyed window for rank + population. Cells are the
-    // partition key; driver state is the k·d centroid grid.
+    // partition key — and therefore the WINDOW's parallelism, so k
+    // rides corpusK (round-16): a literal 16 kept the whole corpus's
+    // rank sort on 16 partitions forever; cells ∝ corpus keep ~500
+    // rows per window partition at any scale.
     "x61_embed_outliers" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
+        corpusK(base.count()), iters = 1)
       graft.ext.Outliers.scored(base, "vec_id", "v", cents)
         .select(col("vec_id"), col("cell"), col("d2_6"), col("rnk"),
           col("pop"), col("outlier"))
@@ -2771,12 +2775,17 @@ object ExtQueries {
     // discipline — one cell equi-join, never n²), ties to the lowest
     // label, distances in integer micro-units. The output carries the
     // held-out true label so the query IS its own accuracy audit.
-    // Scale: identical to x73 — O(n·cell) candidates with k∝corpus;
+    // Scale: k∝corpus (round-16 — this site still passed a literal 16
+    // while its comment claimed the x73 discipline; the r16 sized-heap
+    // cohort caught it: the masked×voters equi-join on a FIXED cell
+    // count carries n²/16 candidate mass — the x10 quadratic class.
+    // corpusK holds cell population ~500, so candidates are O(n·500));
     // both windows are keyed by src_id.
     "x80_label_propagation" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"), col("label"))
-      val cents = KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
+      val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
+        corpusK(base.count()), iters = 1)
       val assigned = base.withColumn("cell", KMeansLite.assign(col("v"), cents))
       val masked = assigned.filter(col("vec_id") % 5 === 0)
         .select(col("cell"), col("vec_id").as("src_id"),
@@ -6711,8 +6720,10 @@ object ExtQueries {
         |FROM corpus c LEFT JOIN scored s ON c.doc_id = s.doc_id
         |ORDER BY c.doc_id""".stripMargin,
 
+    // x61: same derived-k treatment as x80 (the window partition count
+    // is the cell count — it must scale with the corpus).
     "x61_embed_outliers" ->
-      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+      s"""WITH ${kmeans1SqlK(derivedKSql("pts"), dims = 64)},
          |r AS (
          |  SELECT vec_id, cell, round(d, 6) AS d2_6,
          |    CAST(row_number() OVER (PARTITION BY cell
@@ -7221,10 +7232,13 @@ object ExtQueries {
     // (kmeans1Sql), masked/voter split by vec_id % 5, within-cell
     // micro-unit distances, top-5 labeled neighbors, majority vote
     // with ties to the lowest label.
+    // x80: cell count = the same ceil(n/500) scalar subquery the
+    // engine's corpusK computes (round-16, closing the fixed-16 cell
+    // quadratic the sized-heap cohort caught).
     "x80_label_propagation" -> {
       val d2 = "list_sum([(pa.v[i] - pb.v[i]) * (pa.v[i] - pb.v[i]) " +
         "for i in range(1, 65)])"
-      s"""WITH ${kmeans1Sql(k = 16, dims = 64)},
+      s"""WITH ${kmeans1SqlK(derivedKSql("pts"), dims = 64)},
          |lbl AS (SELECT vec_id, label FROM embeddings),
          |m AS (
          |  SELECT a.vec_id AS src_id, a.cell, l.label AS true_label

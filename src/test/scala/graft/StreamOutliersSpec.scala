@@ -26,8 +26,12 @@ class StreamOutliersSpec extends AnyFunSuite {
     .select(col("vec_id"),
       graft.ext.Similarity.toDoubleArray(col("embedding")).as("v"))
 
-  private lazy val cents =
-    KMeansLite.fitQuantized(base, "vec_id", "v", 16, iters = 1)
+  // same data-proportional cell count as x61 (round-16: the batch
+  // query moved from a literal 16 to corpusK, so the monitor's
+  // batch-fit must follow or the cross-check below compares different
+  // cell structures)
+  private lazy val cents = KMeansLite.fitQuantized(
+    base, "vec_id", "v", ExtQueries.corpusK(base.count()), iters = 1)
 
   test("batch-derived thresholds reproduce the x61 rank flags exactly") {
     val thr = StreamOutliers.thresholds(base, "vec_id", "v", cents)
