@@ -35,6 +35,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Codegen class cache sized to the registry (round-16 measurement:
+  // the default 100 entries thrashes across 176 queries × ~5
+  // WholeStageCodegen/comparator units × 3 reps — every rep re-runs
+  // Janino on plans whose generated source is identical, pure fixed
+  // cost at any data scale). A long-lived multi-query engine JVM wants
+  // the compiled-class cache to cover its working set; entries are
+  // classes, not data, so the memory cost is a few hundred MB at most.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   // 24g default: the single-JVM bench runs 110+ queries × 3 reps in
   // one session; at 8g the old gen fills with broadcast/codegen debris
   // and the embedding-heavy queries (per-row double[] allocation)

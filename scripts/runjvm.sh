@@ -20,5 +20,6 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.codegen.cache.maxEntries=5000 \
   -cp "/root/repo/target/graft-snapshot.jar:/opt/spark/jars/*" \
   "$@"
