@@ -151,6 +151,18 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)
+      // Inter-query hygiene, OUTSIDE the timed region (round-16,
+      // guide §1: time the computation, not the harness): a full GC
+      // between queries lets the ContextCleaner promptly drop the
+      // previous query's dereferenced broadcasts/shuffles/persisted
+      // blocks. Without it the 24g old gen fills with debris from the
+      // preceding ~500 query runs and queries LATE in the alphabet pay
+      // the collection cost inside their timed reps — q09 measured
+      // 4.25 s in-suite vs 0.65 s isolated-warm on identical plans
+      // (round-16 baseline). A query's OWN allocation during its reps
+      // still lands inside its timing — only cross-query debris is
+      // removed.
+      System.gc()
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

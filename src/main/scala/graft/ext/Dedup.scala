@@ -82,6 +82,21 @@ object Dedup {
       md5(concat((0 until rowsPerBand).map(r =>
         element_at(sig, b * lit(rowsPerBand) + lit(r) + 1)): _*)))
 
+  /** 64-bit band keys for the candidate equi-join: xxhash64 over the
+    * band's signature chunks (fixed-width 8-hex strings, so the plain
+    * concat is injective). Band-key equality ⇔ band-signature equality
+    * either way — the md5-hex form and this long form induce the same
+    * candidate set (modulo ~2⁻⁶⁴ hash collisions, which only ADD a
+    * candidate that the exact-Jaccard threshold then re-filters) — but
+    * the join shuffles and compares 8 bytes per (doc, band) instead of
+    * a 32-char string (guide §2.3: narrower types through the
+    * exchange). [[bandHashes]] stays as the oracle-mirrored hex form.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat((0 until rowsPerBand).map(r =>
+        element_at(sig, b * lit(rowsPerBand) + lit(r) + 1)): _*)))
+
   /** Exact Jaccard over two (distinct) shingle arrays. |A∪B| is computed
     * as |A|+|B|−|A∩B| — one hash probe pass instead of also
     * materializing the union array.
@@ -233,10 +248,24 @@ object Dedup {
       docs: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // Round-16 (guide §2.3, §8): the band shuffle used to carry the raw
+    // STRING shingle set (~25 B/shingle) keyed by a 32-char md5 hex —
+    // the heavy opaque payload moved `bands` times so a few bytes of
+    // key could be compared. Both are now narrow proxies: the band key
+    // is an 8-byte xxhash64 ([[bandKeys]] — same candidate set), and
+    // the verification payload is the sorted-int64 shingle hash
+    // ([[sortedHashedShingles]], 8 B/shingle), verified by the
+    // two-pointer [[sortedIntersectSize]] merge instead of a per-pair
+    // HashSet of UTF8Strings — the exact x67 representation, with the
+    // same RoundThirteenCSpec-pinned equality to the string-set
+    // Jaccard (64-bit collisions within one pair's sets ≈ |a|·|b|/2⁶⁴
+    // — immaterial). Same output pairs, same jaccard values, ~3×
+    // fewer shuffle bytes and a cheaper per-candidate verify.
     val keyed = docs
       .withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
-      .select(col(idCol).as("id"), col(shinglesCol).as("s"),
-        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+      .select(col(idCol).as("id"),
+        sortedHashedShingles(col(shinglesCol)).as("s"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
     // The merge hint forces a shuffle join on BOTH sides — the only
     // feasible shape at corpus scale (broadcasting the keyed corpus is
@@ -250,9 +279,20 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.s"), col("b.s")).as("jaccard"))
+        sortedJaccard(col("a.s"), col("b.s")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[jaccard]] over two sorted-int64 shingle-hash arrays
+    * ([[sortedHashedShingles]]): same |A∩B| / |A∪B| arithmetic with
+    * the two-pointer [[sortedIntersectSize]] in place of the string
+    * hash-probe — equal to the string-set Jaccard except on 64-bit
+    * collisions within one pair's sets (≈|a|·|b|/2⁶⁴).
+    */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = sortedIntersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
   /** Integer idf weight ladder for weighted MinHash: rare shingles

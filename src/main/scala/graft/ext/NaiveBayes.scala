@@ -50,9 +50,19 @@ object NaiveBayes {
       : (DataFrame, DataFrame) = {
     val tok = docs.select(col(labelCol).cast("long").as("label"),
       explode(col(tokensCol)).as("token"))
+    // Materialize the vocabulary counts ONCE: `counts` feeds the model
+    // (per-token llr), the class-mass totals AND (via those) the
+    // consts row — without the checkpoint each consumer re-plans the
+    // whole corpus explode+aggregate, so training scanned and
+    // tokenized the corpus three times for one logical pass
+    // (round-16 plan audit: x105's physical plan held the pipeline
+    // twice more via `tot`/`consts`). The checkpointed frame is
+    // vocabulary-sized — Heaps-sublinear in corpus — so the
+    // materialization is bounded at any scale.
     val counts = tok.groupBy(col("token")).agg(
       sum(col("label")).as("c_pos"),
       sum(lit(1L) - col("label")).as("c_neg"))
+      .localCheckpoint()
     // one row off the vocabulary table: class token mass + |V|
     val tot = counts.agg(
       sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),

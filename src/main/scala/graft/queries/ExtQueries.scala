@@ -3779,6 +3779,13 @@ object ExtQueries {
           sum(col("p_e6")).as("sum_p_e6"))
         .withColumn("gap_e6n",
           abs(col("n_pos") * 1000000L - col("sum_p_e6")))
+        // ≤10 rows (the bin table), read twice: once for the ECE total,
+        // once as the output rows. Without the checkpoint both readers
+        // re-ran the ENTIRE train+score+bin pipeline — the round-16
+        // plan audit counted the corpus scan 6× / 74 Exchanges in one
+        // query; with it (plus train's counts checkpoint) the corpus
+        // is tokenized once per logical pass.
+        .localCheckpoint()
       val tot = bins.agg(sum(col("n")).as("n_total"),
         sum(col("gap_e6n")).as("gap_total"))
       bins.crossJoin(broadcast(tot))
