@@ -320,12 +320,24 @@ object BpeMerge {
     // count: narrow, no shuffle, and per-round cost goes flat.
     val nParts = math.max(types.rdd.getNumPartitions, 1)
     var counts = pairCounts(types, allowIdentical).localCheckpoint()
+    import types0.sparkSession.implicits._
     val rules = (1 to rounds).map { r =>
       val tR = System.nanoTime()
-      val p = counts
+      // Collect the round's winning pair ONCE and re-wrap it as a
+      // 1-row (or 0-row, corpus exhausted) LOCAL relation. The lazy
+      // TakeOrdered subtree used to re-execute as a separate Spark job
+      // every time `p` was consumed — the counts checkpoint's
+      // broadcast build, the types checkpoint's broadcast build, and
+      // collectRules later — three jobs per round for one top-1 row
+      // (round-16; ~2 jobs × rounds saved, and collectRules on a
+      // LocalRelation no longer launches jobs at all). Same winning
+      // pair: the collect runs the identical orderBy/limit plan.
+      val topRow = counts
         .orderBy(col("c").desc, col("ab")).limit(1)
         .select(split(col("ab"), sep).getItem(0).as("ma"),
-          split(col("ab"), sep).getItem(1).as("mb"))
+          split(col("ab"), sep).getItem(1).as("mb")).collect()
+      val p = topRow.toSeq.map(row => (row.getString(0), row.getString(1)))
+        .toDF("ma", "mb")
       if (r < rounds) {
         val packed = concat(col("ma"), lit(sep), col("mb"))
         val tagged = types.join(broadcast(p), lit(true), "left")
@@ -344,16 +356,33 @@ object BpeMerge {
             .select(explode(packedAdjacent(allowIdentical)).as("ab"),
               (-col("w")).as("d")))
           .filter(col("ab").isNotNull)
+        // The two round outputs are independent given the OLD
+        // (checkpointed) types/counts — materialize them as
+        // CONCURRENT jobs (guide §2.6: overlap independent jobs) so
+        // the round's wall time is max(counts, types) instead of the
+        // sum. Each action still recomputes the tagged/rewrite
+        // subtree, but at vocabulary-table size that recompute is
+        // cheaper than a third checkpoint to share it (the x56
+        // scan-twice-materialize-never receipt).
         val tC = System.nanoTime()
-        counts = counts.select(col("ab"), col("c").as("d"))
-          .unionByName(delta)
-          .groupBy(col("ab")).agg(sum(col("d")).as("c"))
-          .filter(col("c") > 0)
-          .localCheckpoint()
+        val oldCounts = counts
+        val countsF = scala.concurrent.Future {
+          oldCounts.select(col("ab"), col("c").as("d"))
+            .unionByName(delta)
+            .groupBy(col("ab")).agg(sum(col("d")).as("c"))
+            .filter(col("c") > 0)
+            .localCheckpoint()
+        }(scala.concurrent.ExecutionContext.global)
+        val typesF = scala.concurrent.Future {
+          untouched.unionByName(touchedNew)
+            .coalesce(nParts).localCheckpoint()
+        }(scala.concurrent.ExecutionContext.global)
+        counts = scala.concurrent.Await.result(
+          countsF, scala.concurrent.duration.Duration.Inf)
         val dtC = (System.nanoTime() - tC) / 1e9
         val tT = System.nanoTime()
-        types = untouched.unionByName(touchedNew)
-          .coalesce(nParts).localCheckpoint()
+        types = scala.concurrent.Await.result(
+          typesF, scala.concurrent.duration.Duration.Inf)
         val dtT = (System.nanoTime() - tT) / 1e9
         if (dbg) println(f"BPEFAST-DBG round=$r counts_ckpt=$dtC%6.2fs " +
           f"types_ckpt=$dtT%6.2fs counts_n=${counts.count()}%8d " +

@@ -163,7 +163,7 @@ object Dedup {
     val keyed = docs
       .withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
       .select(col(idCol).as("id"),
-        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
     keyed.as("a").hint("merge")
       .join(keyed.as("b"),
@@ -185,9 +185,15 @@ object Dedup {
       docs: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int = 12, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The stored index rides the narrow representation end-to-end
+    // (round-16): 8-byte band keys and the sorted-int64 shingle hash
+    // as the verification payload — a ~3× smaller persisted index,
+    // and probes verify with the two-pointer merge. Probe and index
+    // agree on the format because both are built by this function.
     docs.withColumn("sig", minhashSignature(col(shinglesCol), numHashes))
-      .select(col(idCol).as("id"), col(shinglesCol).as("s"),
-        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+      .select(col(idCol).as("id"),
+        sortedHashedShingles(col(shinglesCol)).as("s"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
   }
 
@@ -215,7 +221,7 @@ object Dedup {
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
-        jaccard(col("a.s"), col("b.s")).as("jaccard"))
+        sortedJaccard(col("a.s"), col("b.s")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
     // in-batch pairs come from self-joining the SAME band index the
@@ -228,7 +234,7 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.s"), col("b.s")).as("jaccard"))
+        sortedJaccard(col("a.s"), col("b.s")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
     cross.unionByName(inBatch).distinct()
@@ -369,13 +375,21 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       thresholdPpm: Long = 250000L, ubiquityCap: Long = 64L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // Same narrow-proxy treatment as [[nearDupPairs]] (round-16, guide
+    // §2.3): the signature is computed from the STRING expanded set,
+    // then both verification payloads ride the band shuffle as
+    // sorted-int64 hashes and the band key as one xxhash64 long —
+    // identical intersect counts (and so identical ppm outputs) with
+    // ~3× fewer shuffled bytes and two-pointer verifies.
     val keyed = weightedShingles(docs, idCol, shinglesCol, ubiquityCap)
       .withColumn("sig", minhashSignature(col("exp"), numHashes))
-      .select(col("id"), col("s"), col("exp"),
-        posexplode(bandHashes(col("sig"), bands, numHashes / bands))
+      .select(col("id"),
+        sortedHashedShingles(col("s")).as("s"),
+        sortedHashedShingles(col("exp")).as("exp"),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
           .as(Seq("band_idx", "band_hash")))
-    val wmin = intersectSize(col("a.exp"), col("b.exp")).cast("long")
-    val inter = intersectSize(col("a.s"), col("b.s")).cast("long")
+    val wmin = sortedIntersectSize(col("a.exp"), col("b.exp")).cast("long")
+    val inter = sortedIntersectSize(col("a.s"), col("b.s")).cast("long")
     keyed.as("a").hint("merge")
       .join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
