@@ -69,61 +69,67 @@ object Components {
       maxIter: Int = 25): DataFrame = {
     val spark = nodes.sparkSession
 
-    // Eagerly compute `df` into a persisted RDD and wrap it back into a
-    // leaf DataFrame: truncated lineage for Catalyst, deterministic
-    // block release for us. The label/edge rows are a few longs each —
-    // the Row round-trip is noise next to a per-round shuffle.
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-
+    // Round-16 rewrite (guide §2.4: remove shuffles outright): the
+    // per-round dataflow drops from Catalyst to co-partitioned RDDs.
+    // The symmetrized edge list is hash-partitioned by src ONCE and
+    // persisted; the label table lives under the SAME partitioner, so
+    // each round's edge⋈label join is NARROW on both sides — the only
+    // shuffle per round is the message aggregation (dst-keyed
+    // reduceByKey into the same partitioner), where the DataFrame
+    // formulation re-exchanged the edge list AND the label union
+    // every round and paid an AQE re-plan per shuffle on top. The
+    // arithmetic is unchanged: label(id) ← min(label(id), heard
+    // labels), convergence = zero strict decreases.
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(spark.sessionState.conf.numShufflePartitions, 1))
     val e = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // Symmetrize once and keep the (tiny relative to the corpus) edge
-    // list materialized across rounds instead of re-deriving it from
-    // the candidate-generation pipeline every iteration.
-    val (sym, symRdd) = materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
-    var (labels, labelsRdd) = materialize(
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val sym = e.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // Seeding covers nodes ∪ edge endpoints (the closed id set the
+    // convergence check needs); reduceByKey doubles as the distinct.
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] =
       nodes.select(col(idCol).cast("long").as("id"))
-        .union(sym.select(col("src").as("id")))
-        .distinct()
-        .withColumn("lbl", col("id")))
+        .rdd.map(r => (r.getLong(0), r.getLong(0)))
+        .union(sym.mapPartitions(
+          _.map { case (src, _) => (src, src) }, preservesPartitioning = true))
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var prevPersisted: org.apache.spark.rdd.RDD[_] = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; a node's new label is the min
-      // of its own and everything it heard
-      val msgs = sym.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      // Tag the self row's label as `prev` before the union: seeding
-      // closed the id set, so every id has exactly one self row and
-      // min(prev) recovers the old label in the SAME aggregate that
-      // computes the new one — the convergence check rides along
-      // instead of costing a second join + pass over the labels.
-      val nextDf = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
-        .union(msgs.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
+      // neighbor labels flow along edges (narrow join: both sides
+      // already live under `part`); a node's new label is the min of
+      // its own and everything it heard — carried next to the old
+      // label so the convergence count rides the SAME materializing
+      // pass instead of a second join.
+      val msgs = sym.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val next = labels.cogroup(msgs, part)
+        .mapValues { case (self, heard) =>
+          val old = self.head // closed id set: every id has a self row
+          (heard.foldLeft(old)(math.min), old)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // One action materializes the round AND counts strict decreases
-      // ("changed"): labels only ever shrink, so lbl < prev iff the
+      // ("changed"): labels only ever shrink, so new < old iff the
       // node heard a smaller label this round.
-      val nextRdd = nextDf.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = nextRdd.mapPartitions { it =>
+      val changed = next.mapPartitions { it =>
         var n = 0L
-        while (it.hasNext) { val r = it.next(); if (r.getLong(1) < r.getLong(2)) n += 1 }
+        while (it.hasNext) { val kv = it.next(); if (kv._2._1 < kv._2._2) n += 1 }
         Iterator.single(n)
       }.sum().toLong
-      labelsRdd.unpersist(blocking = false)
-      labels = spark.createDataFrame(nextRdd, nextDf.schema)
-        .select(col("id"), col("lbl"))
-      labelsRdd = nextRdd
+      prevPersisted.unpersist(blocking = false)
+      labels = next.mapValues(_._1)
+      prevPersisted = next
       converged = changed == 0
       iter += 1
     }
-    symRdd.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     // one INFO line per invocation: rounds ≈ graph diameter — the
     // number to watch if cluster chains ever lengthen (pointer-jumping
     // halves rounds but doubles per-round joins; it only pays past
@@ -131,11 +137,16 @@ object Components {
     org.slf4j.LoggerFactory.getLogger(getClass)
       .info(s"connectedComponents converged in $iter rounds")
     if (!converged) {
-      labelsRdd.unpersist(blocking = false)
+      prevPersisted.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "raise maxIter (rounds needed = graph diameter)")
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      labels.map { case (id, lbl) => Row(id, lbl) },
+      StructType(Seq(StructField(idCol, LongType, nullable = false),
+        StructField("cluster_id", LongType, nullable = false))))
   }
 }

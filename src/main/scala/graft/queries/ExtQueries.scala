@@ -1817,6 +1817,7 @@ object ExtQueries {
       val m = 4; val sub = 16; val k = 16; val topK = 5; val nQ = 20
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       // the m subspace fits are independent — submit them as
       // concurrent Spark jobs instead of serializing m× the fit's
       // job-launch latency
@@ -1917,6 +1918,7 @@ object ExtQueries {
     "x61_embed_outliers" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
         corpusK(base.count()), iters = 1)
       graft.ext.Outliers.scored(base, "vec_id", "v", cents)
@@ -1941,6 +1943,7 @@ object ExtQueries {
       val k = 8
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       val cents = KMeansLite.fitQuantized(base, "vec_id", "v", k, iters = 1)
       val assigned = base.select(col("vec_id"),
         KMeansLite.assign(col("v"), cents).cast("long").as("cell"))
@@ -2188,8 +2191,17 @@ object ExtQueries {
         .select(col("doc_id"), Text.wordShingles(col("t")).as("s"))
         .withColumn("n", size(col("s")).cast("long"))
         .withColumn("hs", graft.ext.Dedup.sortedHashedShingles(col("s")))
+      // the canonical PPJoin order rides the 8-byte token hash: the
+      // prefix-filter guarantee (a θ-pair shares ≥1 prefix token) and
+      // the positional bound hold for ANY consistent total order, and
+      // the final pair set is decided by the exact hs verify — so
+      // ordering by (df, xxhash64) instead of (df, string) changes
+      // only the candidate mass, never the output, while the freq
+      // aggregate, the df join and the prefix self-join all shuffle
+      // longs instead of shingle strings (round-16, guide §2.3)
       val ex = sh.select(col("doc_id"), col("n"),
-        explode(col("s")).as("token"))
+        explode(col("s")).as("tok0"))
+        .select(col("doc_id"), col("n"), xxhash64(col("tok0")).as("token"))
       val freq = ex.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val wD = Window.partitionBy(col("doc_id"))
       val ordered = ex.join(freq, "token")
@@ -2479,6 +2491,7 @@ object ExtQueries {
     "x72_ivfpq_ann" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       val approx = graft.ext.AnnIndex.ivfPqTopK(
         base, m = 4, sub = 16, kc = 8, kq = 16,
         nProbe = 2, topK = 5, nQ = 20)
@@ -2517,6 +2530,7 @@ object ExtQueries {
     "x73_knn_graph" -> ((s, dir) => {
       val corpus = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       // k∝corpus (round-11): the demo runs the deployment discipline
       graft.ext.AnnIndex.knnGraph(corpus, k = corpusK(corpus.count()),
         topK = 5, nProbe = 1)
@@ -2581,6 +2595,7 @@ object ExtQueries {
     "x75_incremental_knn" -> ((s, dir) => {
       val corpus = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       val old = corpus.filter(col("vec_id") % 10 =!= 0)
       // k∝corpus (round-11): cells derive from the OLD corpus — the
       // side the frozen index was fit on, matching the oracle's
@@ -2784,6 +2799,7 @@ object ExtQueries {
     "x80_label_propagation" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"), col("label"))
+        .localCheckpoint()
       val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
         corpusK(base.count()), iters = 1)
       val assigned = base.withColumn("cell", KMeansLite.assign(col("v"), cents))
@@ -2846,6 +2862,7 @@ object ExtQueries {
     "x82_power_iteration" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       val pc1 = typedlit(graft.ext.PowerIter.fit(base, "v", dims = 64, iters = 2))
       val w = Window.orderBy(col("abs_proj").desc, col("vec_id"))
       base
@@ -3029,6 +3046,7 @@ object ExtQueries {
     "x87_ivfpq_serve" -> ((s, dir) => {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .localCheckpoint()
       graft.ext.AnnIndex.ivfPqTopK(
         base, m = 4, sub = 16, kc = 8, kq = 16,
         nProbe = 2, topK = 5, nQ = 20)
