@@ -593,7 +593,11 @@ object ExtQueries {
       val vocab = spread(docs)
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= 5)
-        .select(explode(Text.wordShingles(col("t"), 5)).as("gram"))
+        // the gram is ONLY a join key (never output): hash it to a
+        // long so the distinct and the overlap join shuffle 8 bytes
+        // per gram instead of the 5-token string (round-16 §2.3)
+        .select(explode(Text.wordShingles(col("t"), 5)).as("g0"))
+        .select(xxhash64(col("g0")).as("gram"))
         .distinct()
       val evalGrams = spread(docs)
         .withColumn("t", Text.tokens(col("text")))
@@ -605,7 +609,8 @@ object ExtQueries {
         .select((col("doc_id") + 50000).as("eval_id"),
           when(pmod(col("doc_id"), lit(2)) === 0, lit("leaked"))
             .otherwise(lit("fresh")).as("origin"),
-          explode(Text.wordShingles(col("et"), 5)).as("gram"))
+          explode(Text.wordShingles(col("et"), 5)).as("g0"))
+        .select(col("eval_id"), col("origin"), xxhash64(col("g0")).as("gram"))
       evalGrams.join(vocab.withColumn("hit", lit(1L)), Seq("gram"), "left")
         .groupBy(col("eval_id"), col("origin"))
         .agg(count(lit(1)).as("n_grams"),
@@ -1173,14 +1178,21 @@ object ExtQueries {
         .withColumn("t", Text.tokens(col("text")))
       val vsize = toksDf.select(explode(col("t")).as("token"))
         .agg(countDistinct(col("token")).as("v"))
+      // Round-16: the bigram/unigram keys are grouping-only (never
+      // output) — hash them to longs, and take both counts as WINDOW
+      // aggregates instead of groupBy+join-back: the exploded bigram
+      // stream is computed once and crosses two exchanges (b, then
+      // w1) where the join formulation recomputed it three times and
+      // shuffled it four (§2.3/§2.4; the x55 window-aggregate lesson).
       val bg = toksDf.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t)-1)," +
-            " i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("b"))
-        .withColumn("w1", element_at(split(col("b"), " "), 1))
-      val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-      val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-      bg.join(cb, "b").join(cw, "w1").crossJoin(broadcast(vsize))
+            " i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("b0"))
+        .select(col("doc_id"), xxhash64(col("b0")).as("b"),
+          xxhash64(element_at(split(col("b0"), " "), 1)).as("w1"))
+      bg.withColumn("cb", count(lit(1)).over(Window.partitionBy(col("b"))))
+        .withColumn("cw", count(lit(1)).over(Window.partitionBy(col("w1"))))
+        .crossJoin(broadcast(vsize))
         .withColumn("lp_e6",
           round(round(log((col("cb").cast("double") + lit(1.0)) /
             (col("cw").cast("double") + col("v").cast("double"))), 6) * 1e6)
@@ -1549,8 +1561,11 @@ object ExtQueries {
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), posexplode(expr(
+          // the window hash is ONLY a grouping key (never output):
+          // an 8-byte xxhash64 shuffles ~4x fewer bytes than the
+          // md5 hex string at identical grouping (round-16 §2.3)
           s"transform(sequence(0, size(t) - $w)," +
-            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+            s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
       // "repeats across documents" only needs ≥2 DISTINCT docs per
       // window hash, and min(doc_id) ≠ max(doc_id) decides that with
@@ -1610,8 +1625,11 @@ object ExtQueries {
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), posexplode(expr(
+          // the window hash is ONLY a grouping key (never output):
+          // an 8-byte xxhash64 shuffles ~4x fewer bytes than the
+          // md5 hex string at identical grouping (round-16 §2.3)
           s"transform(sequence(0, size(t) - $w)," +
-            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+            s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
       val wH = Window.partitionBy(col("h"))
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
@@ -1877,8 +1895,9 @@ object ExtQueries {
       val wins = corpus.withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), explode(expr(
+          // grouping-only key: 8-byte xxhash64, not an md5 hex (x55)
           s"array_distinct(transform(sequence(0, size(t) - $w)," +
-            s" i -> md5(array_join(slice(t, i + 1, $w), ' '))))")).as("h"))
+            s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' '))))")).as("h"))
       // first-claim = min(doc_id) per window hash — as a window
       // aggregate (constant per-group state) it rides one shuffle on
       // h; the aggregate+join formulation paid the explode twice
@@ -4401,8 +4420,11 @@ object ExtQueries {
         .withColumn("t", Text.tokens(col("text")))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), posexplode(expr(
+          // the window hash is ONLY a grouping key (never output):
+          // an 8-byte xxhash64 shuffles ~4x fewer bytes than the
+          // md5 hex string at identical grouping (round-16 §2.3)
           s"transform(sequence(0, size(t) - $w)," +
-            s" i -> md5(array_join(slice(t, i + 1, $w), ' ')))")))
+            s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
       val wFirst = Window.partitionBy(col("doc_id"), col("h"))
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
