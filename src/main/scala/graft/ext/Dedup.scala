@@ -341,8 +341,13 @@ object Dedup {
   def weightedShingles(docs: DataFrame, idCol: String,
       shinglesCol: String, ubiquityCap: Long = 64L): DataFrame = {
     val ex = docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("sh"))
-    val dfTbl = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val expanded = ex.join(dfTbl, "sh")
+    // df as a WINDOW aggregate (round-16, the x44/x55 treatment):
+    // shingles are distinct per doc, so count-over-partition(sh) IS
+    // the document frequency, and the exploded stream crosses ONE
+    // exchange instead of an aggregate shuffle plus a join-back of
+    // both sides (§2.4).
+    val expanded = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("w", idfWeight(col("df"), ubiquityCap))
       // the df-cut: ubiquitous shingles leave the expanded set (and a
       // doc that is ALL boilerplate leaves the weighted universe — it
