@@ -66,7 +66,14 @@ object MakeSf {
     //                volume grows k² by construction (q25's sf10
     //                receipt measured 100× output for 10× data);
     //  single=1    — force the one-file-per-table driver layout past
-    //                k=16 (small table subsets write fast regardless).
+    //                k=16 (small table subsets write fast regardless);
+    //  rowgroup=N  — parquet row-group size in BYTES (default 4 MB,
+    //                round-17): every sf0.1-scale table is SMALLER
+    //                than one 4 MB group, so those files are
+    //                unsplittable and every scan runs on one core —
+    //                the r16 verdict's "8 cores beat 32" finding.
+    //                rowgroup=262144 makes a small-SF fixture scan
+    //                with production-file-count parallelism.
     val flags = args.drop(3).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"flag '$a' is not key=value")
@@ -97,7 +104,8 @@ object MakeSf {
       // in the one driver-layout file reproduces that parallelism
       // locally (round-10 sf1 postmortem: q25 spent 50 s isolated on a
       // 1-core 28.7M-row fan-out join for exactly this reason).
-      .config("spark.hadoop.parquet.block.size", (4 * 1024 * 1024).toString)
+      .config("spark.hadoop.parquet.block.size",
+        flags.getOrElse("rowgroup", (4 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -40,21 +40,16 @@ object AnnIndex {
     */
   def ivfPqTopK(base: DataFrame, m: Int, sub: Int, kc: Int, kq: Int,
       nProbe: Int, topK: Int, nQ: Int): DataFrame = {
-    // the coarse fit and the m subspace fits are independent —
-    // submit them as concurrent Spark jobs (the x59 pattern)
-    val (coarse, cents): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val cF = Future(KMeansLite.fitQuantized(base, "vec_id", "v", kc, iters = 1))
-      val pF = Future.sequence((0 until m).toList.map { j =>
-        Future(KMeansLite.fitQuantized(
-          base.select(col("vec_id"),
-            slice(col("v"), j * sub + 1, sub).as("v")),
-          "vec_id", "v", kq, iters = 1))
-      })
-      (Await.result(cF, Duration.Inf), Await.result(pF, Duration.Inf))
-    }
+    // the coarse fit and the m subspace fits are FUSED into one seed
+    // collect + one unioned update job (round-17, guide §2.6 —
+    // bit-identical centroids per KMeansSlicedSpec; the concurrent
+    // per-fit jobs this replaces each paid their own launch + AQE
+    // round-trips)
+    val all = KMeansLite.fitQuantizedSliced(base, "vec_id", "v",
+      (0, 0, kc) +: (0 until m).map(j => (j * sub + 1, sub, kq)),
+      iters = 1)
+    val coarse = all.head
+    val cents = all.tail
     val codes = base.select(
       col("vec_id").as("neighbor_id") +:
         KMeansLite.assign(col("v"), coarse).as("cell") +:

@@ -377,12 +377,23 @@ object BpeMerge {
           untouched.unionByName(touchedNew)
             .coalesce(nParts).localCheckpoint()
         }(scala.concurrent.ExecutionContext.global)
-        counts = scala.concurrent.Await.result(
-          countsF, scala.concurrent.duration.Duration.Inf)
+        // failure coordination (r17, the r16 ADVICE item): await BOTH
+        // futures before propagating — a throw from one must not
+        // leave the sibling's Spark job running detached — and
+        // unpersist a surviving orphan's checkpoint blocks
+        val cTry = scala.concurrent.Await.ready(
+          countsF, scala.concurrent.duration.Duration.Inf).value.get
         val dtC = (System.nanoTime() - tC) / 1e9
         val tT = System.nanoTime()
-        types = scala.concurrent.Await.result(
-          typesF, scala.concurrent.duration.Duration.Inf)
+        val tTry = scala.concurrent.Await.ready(
+          typesF, scala.concurrent.duration.Duration.Inf).value.get
+        (cTry, tTry) match {
+          case (scala.util.Success(c), scala.util.Success(t)) =>
+            counts = c; types = t
+          case _ =>
+            cTry.foreach(_.unpersist()); tTry.foreach(_.unpersist())
+            throw cTry.failed.toOption.orElse(tTry.failed.toOption).get
+        }
         val dtT = (System.nanoTime() - tT) / 1e9
         if (dbg) println(f"BPEFAST-DBG round=$r counts_ckpt=$dtC%6.2fs " +
           f"types_ckpt=$dtT%6.2fs counts_n=${counts.count()}%8d " +

@@ -212,6 +212,22 @@ object Dedup {
       index: DataFrame, batch: DataFrame, idCol: String,
       shinglesCol: String, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // Stored-format guard (r16 ADVICE): round 16 changed the
+    // PERSISTED index schema (band_hash md5-hex string → xxhash64
+    // long; s array<string> → sorted array<long>). A stale index
+    // written by an older build must fail LOUDLY here — a silent
+    // bigint/string coercion would null the probe join and drop all
+    // cross pairs.
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def isLongArray(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    require(index.schema("band_hash").dataType == LongType &&
+        isLongArray(index.schema("s").dataType),
+      "stored band index predates the round-16 narrow format " +
+        "(band_hash LONG, s sorted ARRAY<LONG>) — rebuild it with " +
+        "Dedup.bandIndex before probing")
     val bk = bandIndex(batch, idCol, shinglesCol, numHashes, bands)
     val cross = index.as("a")
       .join(bk.as("b"),
@@ -340,14 +356,25 @@ object Dedup {
     */
   def weightedShingles(docs: DataFrame, idCol: String,
       shinglesCol: String, ubiquityCap: Long = 64L): DataFrame = {
+    // df keyed on the 8-byte xxhash64 of the shingle (the x44/x55
+    // grouping-only-key rule: the shingle string itself never leaves
+    // the stream side, so the count table and the attach join carry
+    // longs; a 64-bit collision would merge two shingles' df — ≈2⁻⁶⁴
+    // per vocabulary pair, and the string-df oracle pins it green)
     val ex = docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("sh"))
-    // df as a WINDOW aggregate (round-16, the x44/x55 treatment):
-    // shingles are distinct per doc, so count-over-partition(sh) IS
-    // the document frequency, and the exploded stream crosses ONE
-    // exchange instead of an aggregate shuffle plus a join-back of
-    // both sides (§2.4).
-    val expanded = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("shh", xxhash64(col("sh")))
+    // df as a TWO-LEVEL aggregate + AQE-managed join-back (round-17;
+    // was a window aggregate in round 16, which made the documented
+    // boilerplate shingle — df far above ubiquityCap — a single-task
+    // sort+buffer hot key at scale, the r16 ADVICE finding). The
+    // partial HashAggregate bounds the hot shingle's shuffle traffic
+    // to one row per map task; the vocabulary-sized df table
+    // broadcasts back at bench scale and AQE skew-splits the shuffle
+    // attach beyond it (SaltedAgg docs). Shingles are distinct per
+    // doc, so the attached count IS the document frequency, exactly
+    // as before.
+    val expanded = SaltedAgg.attach(ex, "shh",
+        Seq(count(lit(1)).as("df")))
       .withColumn("w", idfWeight(col("df"), ubiquityCap))
       // the df-cut: ubiquitous shingles leave the expanded set (and a
       // doc that is ALL boilerplate leaves the weighted universe — it

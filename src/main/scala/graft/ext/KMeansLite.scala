@@ -108,6 +108,69 @@ object KMeansLite {
     cents
   }
 
+  /** Several [[fitQuantized]] fits over SLICES of ONE vector frame,
+    * fused into the minimum number of Spark jobs (round-17, guide
+    * §2.6: the x59/x72/x87 product-quantizer builds ran m+1
+    * independent fits as m+1 seed-collect jobs plus m+1 update
+    * jobs; concurrency overlapped them but each still paid its own
+    * job launch + AQE round-trips). Here:
+    *
+    *  - ONE seed collect fetches the first max(k) vectors in id
+    *    order; every fit's seed is a local slice of those rows —
+    *    identical to each fit's own `orderBy(id).limit(k)` because
+    *    slicing commutes with row selection;
+    *  - per Lloyd iteration, ONE unioned job computes every fit's
+    *    quantized update aggregate (legs tagged by fit index); the
+    *    per-(fit, cell, dim) groups contain exactly the rows each
+    *    individual fit would aggregate, and the quantized integer
+    *    sums are order-independent, so the centroids are
+    *    BIT-IDENTICAL to per-fit [[fitQuantized]] calls
+    *    (KMeansSlicedSpec pins it).
+    *
+    * Each fit is (start, len, k): train k centroids on
+    * `slice(vCol, start, len)`; start = 0 means the whole vector.
+    */
+  def fitQuantizedSliced(vectors: DataFrame, idCol: String, vCol: String,
+      fits: Seq[(Int, Int, Int)], iters: Int): Seq[Seq[Seq[Double]]] = {
+    def sliced(f: (Int, Int, Int)): Column =
+      if (f._1 == 0) col(vCol) else slice(col(vCol), f._1, f._2)
+    val maxK = fits.map(_._3).max
+    val seedRows = vectors.orderBy(col(idCol)).limit(maxK)
+      .select(col(vCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var cents: Seq[Seq[Seq[Double]]] = fits.map { case (start, len, k) =>
+      seedRows.take(k).map(v =>
+        if (start == 0) v else v.slice(start - 1, start - 1 + len))
+    }
+    for (_ <- 1 to iters) {
+      val legs = fits.zipWithIndex.map { case (f, j) =>
+        vectors.select(lit(j).as("fit"),
+          assign(sliced(f), cents(j)).as("cell"), sliced(f).as("v"))
+      }
+      // same assign-then-exchange barrier as [[assignedOnce]] (the
+      // CollapseProject re-evaluation hazard), one union-wide
+      val means = legs.reduce(_ unionByName _)
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+        .select(col("fit"), col("cell"),
+          posexplode(transform(col("v"),
+            x => round(x * QuantScale).cast("long"))).as(Seq("dim", "q")))
+        .groupBy(col("fit"), col("cell"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") /
+          count(lit(1)).cast("double")).as("ms"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) =>
+          j -> rows.groupBy(_.getInt(1)).map { case (cell, rs) =>
+            cell -> rs.sortBy(_.getInt(2)).map(_.getLong(3) / QuantScale).toSeq
+          }
+        }
+      cents = cents.zipWithIndex.map { case (cs, j) =>
+        val m = means.getOrElse(j, Map.empty[Int, Seq[Double]])
+        cs.indices.map(i => m.getOrElse(i, cs(i)))
+      }
+    }
+    cents
+  }
+
   /** Sum over points of distance² to the assigned centroid. */
   def inertia(vectors: DataFrame, vCol: String, centroids: Seq[Seq[Double]]): Double =
     vectors.select(

@@ -1183,19 +1183,23 @@ object ExtQueries {
       val vsize = toksDf.select(explode(col("t")).as("token"))
         .agg(countDistinct(col("token")).as("v"))
       // Round-16: the bigram/unigram keys are grouping-only (never
-      // output) — hash them to longs, and take both counts as WINDOW
-      // aggregates instead of groupBy+join-back: the exploded bigram
-      // stream is computed once and crosses two exchanges (b, then
-      // w1) where the join formulation recomputed it three times and
-      // shuffled it four (§2.3/§2.4; the x55 window-aggregate lesson).
+      // output) — hash them to longs. Round-17: both counts ride
+      // SaltedAgg's two-level aggregate + AQE-managed join-back
+      // instead of window aggregates — the Heaps-bounded bigram and
+      // unigram count tables broadcast back at bench scale (zero
+      // corpus exchange) and AQE skew-splits the attach beyond it; a
+      // hot unigram ("the") no longer lands every occurrence in one
+      // window task's sort+buffer (guide §2.2/§2.5/§3.1; r16 ADVICE).
       val bg = toksDf.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t)-1)," +
             " i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("b0"))
         .select(col("doc_id"), xxhash64(col("b0")).as("b"),
           xxhash64(element_at(split(col("b0"), " "), 1)).as("w1"))
-      bg.withColumn("cb", count(lit(1)).over(Window.partitionBy(col("b"))))
-        .withColumn("cw", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      val withCb = graft.ext.SaltedAgg.attach(bg, "b",
+        Seq(count(lit(1)).as("cb")))
+      graft.ext.SaltedAgg.attach(withCb, "w1",
+          Seq(count(lit(1)).as("cw")))
         .crossJoin(broadcast(vsize))
         .withColumn("lp_e6",
           round(round(log((col("cb").cast("double") + lit(1.0)) /
@@ -1543,14 +1547,14 @@ object ExtQueries {
     // a gaps-and-islands pass (q30's pattern) over the marked offsets:
     // max consecutive marked streak + w − 1.
     //
-    // Scale shape: windows ride the shuffle as 32-byte md5s (n·w
+    // Scale shape: windows ride the shuffle as 8-byte hashes (n·w
     // bytes of hashing per doc, n rows out — the explode is linear,
-    // never quadratic); the cross-doc repeat test is a min/max window
-    // pair on the window hash (constant per-group state, one keyed
-    // shuffle, no join); the islands pass is one window function
-    // keyed on doc_id. At extreme scale a suffix-array-per-partition
-    // cuts the n·w hashing constant; the relational shape stays the
-    // same.
+    // never quadratic); the cross-doc repeat test is a two-level
+    // salted min/max on the window hash (one corpus shuffle,
+    // hot-key-safe — SaltedAgg); the islands pass is one window
+    // function keyed on doc_id. At extreme scale a
+    // suffix-array-per-partition cuts the n·w hashing constant; the
+    // relational shape stays the same.
     "x55_repeated_spans" -> ((s, dir) => {
       val w = 10
       val docs = t(s, dir, "documents")
@@ -1573,16 +1577,21 @@ object ExtQueries {
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
       // "repeats across documents" only needs ≥2 DISTINCT docs per
       // window hash, and min(doc_id) ≠ max(doc_id) decides that with
-      // constant per-group state — as two window aggregates it rides
-      // ONE shuffle on h, where the aggregate+join formulation paid
-      // the n·w explode twice (Spark would not reuse the exchange
-      // across the aggregate and join consumers) plus a second
-      // data-sized shuffle
-      val wH = Window.partitionBy(col("h"))
-      val dup = wins
-        .withColumn("mn", min(col("doc_id")).over(wH))
-        .withColumn("mx", max(col("doc_id")).over(wH))
+      // constant per-group state. Round-17: decided on the VOCABULARY
+      // side — the two-level (partial+final) min/max aggregate is
+      // skew-safe by map-side combination, the h values that repeat
+      // cross-doc form a small filtered table, and the stream keeps
+      // only those via an AQE-managed equi-join (broadcast at bench
+      // scale, skew-split shuffle beyond) — no corpus-wide
+      // boilerplate window lands on one task (guide §2.2/§2.5/§3.1;
+      // r16 ADVICE).
+      val dupH = wins.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx"))
+        .select(col("h"))
+      // LEFT SEMI: only the 8-byte key set is built/broadcast, never
+      // the aggregate payload
+      val dup = wins.join(dupH, Seq("h"), "left_semi")
       // islands: consecutive dup offsets share (idx - row_number)
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       val spans = dup
@@ -1635,12 +1644,16 @@ object ExtQueries {
           s"transform(sequence(0, size(t) - $w)," +
             s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' ')))")))
         .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"))
-      val wH = Window.partitionBy(col("h"))
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      val spans = wins
-        .withColumn("mn", min(col("doc_id")).over(wH))
-        .withColumn("mx", max(col("doc_id")).over(wH))
+      // cross-doc repeat test decided on the vocabulary side — the
+      // same two-level aggregate + AQE-managed semi-filter join as
+      // x55 (round-17, guide §2.2/§2.5/§3.1)
+      val dupH = wins.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx"))
+        .select(col("h"))
+      // LEFT SEMI: only the 8-byte key set is built/broadcast
+      val spans = wins.join(dupH, Seq("h"), "left_semi")
         .withColumn("island", col("idx") - row_number().over(grp))
         .groupBy(col("doc_id"), col("island"))
         .agg(min(col("idx")).as("s"), (max(col("idx")) + (w - 1)).as("e"))
@@ -1788,10 +1801,14 @@ object ExtQueries {
       // (~20M times) instead of once per row — the whole 24 s of the
       // 29.5 s sf1 wall clock. Materialized arrays drop the query to
       // 4.2 s (stage table in PLANS.md); same values exactly.
-      val corpus = spread(base.unionByName(planted)).localCheckpoint()
+      // checkpoint + count fused into ONE job (round-17,
+      // GraftCheckpoint: Dataset.localCheckpoint materializes via a
+      // count it discards; the corpusK sizing read re-counted it)
+      val (corpus, nCorpus) = org.apache.spark.sql.GraftCheckpoint
+        .checkpointWithCount(spread(base.unionByName(planted)))
       // k∝corpus (round-11): cells scale with the data, pair work
       // stays O(n·500) — see corpusK
-      val k = corpusK(corpus.count())
+      val k = corpusK(nCorpus)
       val cents = KMeansLite.fitQuantized(corpus, "vec_id", "v", k, iters = 1)
       val assigned = corpus.select(col("vec_id"), col("v"),
         KMeansLite.assign(col("v"), cents).as("cell")).localCheckpoint()
@@ -1840,20 +1857,13 @@ object ExtQueries {
       val base = spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
         .localCheckpoint()
-      // the m subspace fits are independent — submit them as
-      // concurrent Spark jobs instead of serializing m× the fit's
-      // job-launch latency
-      val cents: Seq[Seq[Seq[Double]]] = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        Await.result(Future.sequence((0 until m).toList.map { j =>
-          Future(KMeansLite.fitQuantized(
-            base.select(col("vec_id"),
-              slice(col("v"), j * sub + 1, sub).as("v")),
-            "vec_id", "v", k, iters = 1))
-        }), Duration.Inf)
-      }
+      // the m subspace fits are FUSED into one seed collect + one
+      // unioned update job (round-17, guide §2.6): bit-identical
+      // centroids (KMeansSlicedSpec), ~2 jobs where the concurrent
+      // per-fit form paid 2m launches + AQE round-trips
+      val cents: Seq[Seq[Seq[Double]]] = KMeansLite.fitQuantizedSliced(
+        base, "vec_id", "v",
+        (0 until m).map(j => (j * sub + 1, sub, k)), iters = 1)
       val codes = base.select(
         col("vec_id").as("neighbor_id") +:
           (0 until m).map(j => KMeansLite.assign(
@@ -1887,9 +1897,10 @@ object ExtQueries {
     // original claims every window first.
     //
     // Scale shape: per-doc DISTINCT windows ride the explode as
-    // 32-byte md5s; first-claim is a min window aggregate on the
-    // window hash (constant per-group state, one keyed shuffle, no
-    // join). Nothing quadratic, nothing driver-side.
+    // 8-byte hashes; first-claim is a two-level (partial+final,
+    // skew-safe) min on the window hash whose vocabulary-sized
+    // output re-aggregates per doc — no stream join-back, no window.
+    // Nothing quadratic, nothing driver-side.
     "x60_ngram_novelty" -> ((s, dir) => {
       val w = 5
       val docs = t(s, dir, "documents")
@@ -1902,18 +1913,24 @@ object ExtQueries {
           // grouping-only key: 8-byte xxhash64, not an md5 hex (x55)
           s"array_distinct(transform(sequence(0, size(t) - $w)," +
             s" i -> xxhash64(array_join(slice(t, i + 1, $w), ' '))))")).as("h"))
-      // first-claim = min(doc_id) per window hash — as a window
-      // aggregate (constant per-group state) it rides one shuffle on
-      // h; the aggregate+join formulation paid the explode twice
-      // (no exchange reuse across aggregate and join consumers) plus
-      // a second data-sized shuffle (the x55 lesson, same fix)
-      val scored = wins
-        .withColumn("first_doc",
-          min(col("doc_id")).over(Window.partitionBy(col("h"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_ngrams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      // Round-17: no stream attach at all. n_novel(doc) = number of
+      // window hashes whose corpus-wide min(doc_id) IS this doc — a
+      // per-doc COUNT over the first-claim table itself, so the
+      // two-level (partial+final, skew-safe) min aggregate's
+      // vocabulary-sized output is aggregated again instead of being
+      // joined back to the corpus stream; n_distinct_ngrams is a
+      // plain per-doc count. The corpus-wide boilerplate window the
+      // r16 window form serialized onto one task never rides a
+      // window operator anywhere (guide §2.2/§2.3).
+      val novel = wins.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+        .select(col("first_doc").as("doc_id"), col("n_novel"))
+      val scored = wins.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_ngrams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_distinct_ngrams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       corpus.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
@@ -1939,11 +1956,12 @@ object ExtQueries {
     // rank sort on 16 partitions forever; cells ∝ corpus keep ~500
     // rows per window partition at any scale.
     "x61_embed_outliers" -> ((s, dir) => {
-      val base = spread(t(s, dir, "embeddings"))
-        .select(col("vec_id"), toD(col("embedding")).as("v"))
-        .localCheckpoint()
+      // checkpoint + corpus count in one job (round-17, GraftCheckpoint)
+      val (base, nBase) = org.apache.spark.sql.GraftCheckpoint
+        .checkpointWithCount(spread(t(s, dir, "embeddings"))
+          .select(col("vec_id"), toD(col("embedding")).as("v")))
       val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
-        corpusK(base.count()), iters = 1)
+        corpusK(nBase), iters = 1)
       graft.ext.Outliers.scored(base, "vec_id", "v", cents)
         .select(col("vec_id"), col("cell"), col("d2_6"), col("rnk"),
           col("pop"), col("outlier"))
@@ -2393,56 +2411,85 @@ object ExtQueries {
     // the degree aggregate inside EVERY round's subtree; exchange
     // reuse does not cover them across the rank-lineage chain, and
     // localCheckpoint partitioning is invisible to EnsureRequirements
-    // under AQE). The graph here is DENSE BIPARTITE: |V| is
-    // catalog-sized (200k parts + 10k suppliers — grows sublinearly
-    // with order volume) while |E| is order-flow-sized (11.8M at sf1,
-    // 56 edges/node). The 100 TB shape for that regime:
-    //  1. ONE corpus exchange builds the dst-clustered adjacency —
-    //     repartition(dst) satisfies BOTH downstream groupings
-    //     (hash keys ⊆ grouping keys), so pair-dedup, the adjacency
-    //     collect_list, AND every round's dst-aggregate are
-    //     partition-local. localCheckpoint materializes |V| array
-    //     rows once; the degree table reads those 210k rows, not the
-    //     11.8M edges.
-    //  2. Each round BROADCASTS the node-sized contribution table
-    //     (|V|·16 B — bounded by the catalog, the x76-Bloom class of
-    //     adjudicated broadcast) and re-derives per-edge flows by
-    //     exploding the checkpointed arrays: a narrow map + local
-    //     aggregate, ZERO per-round shuffle of E. rank carries deg
-    //     along (re-attached by a reused broadcast of the degree
-    //     table), so a round is one codegen stage, not three joins.
-    // For sparse web-scale graphs where |V| outgrows a broadcast, the
-    // per-round rank⋈edges equi-join (this operator's pre-round-11
-    // form, x23's shape) is the fallback — that trade-off is the
-    // PLANS.md x70 attribution note.
+    // under AQE).
+    //
+    // Round-17 (the r16 verdict's scale-safety item): the round-11
+    // form BROADCAST a node-sized contribution table every round
+    // (plus the degree table) — bounded by the catalog here, but a
+    // broadcast-per-round of anything |V|-sized violates guide §3.1
+    // the moment |V| outgrows executor memory, and each round's
+    // broadcast build was its own job + AQE re-plan. The loop now
+    // runs on CO-PARTITIONED RDDs (the Components.connectedComponents
+    // discipline, guide §2.4): the deduped adjacency (dst, nbrs[])
+    // is hash-partitioned ONCE and persisted; ranks live under the
+    // SAME partitioner, so the per-round rank⋈adjacency join is
+    // narrow on both sides and the round's only shuffle is the
+    // dst-keyed message reduction (map-side-combined, |V|-sized).
+    // Nothing is broadcast, nothing is collected; per-round arithmetic
+    // is unchanged exact-integer (rank div deg, then
+    // 150000 + (850·m) div 1000 — Long ops, order-independent sums),
+    // so the emitted ranks are bit-identical to the broadcast form.
     "x70_graph_pagerank" -> ((s, dir) => {
       val n = s.sparkContext.defaultParallelism
       val eRaw = t(s, dir, "lineitem")
         .select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      val adjCk = eRaw.unionByName(
+      // ONE corpus exchange builds the dst-clustered adjacency —
+      // repartition(dst) satisfies both downstream groupings (pair
+      // dedup + collect_list), then the |V| array rows drop to an RDD
+      // hash-partitioned on the node id and persist there.
+      val adjDf = eRaw.unionByName(
         eRaw.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(n, col("dst"))
         .groupBy(col("dst"), col("src")).agg(count(lit(1)).as("_dup"))
         .groupBy(col("dst")).agg(collect_list(col("src")).as("nbrs"))
-        .localCheckpoint()
-      val degCk = adjCk.select(col("dst").as("node"),
-        size(col("nbrs")).cast("long").as("deg"))
-        .localCheckpoint()
-      var rank = degCk.select(col("node"), col("deg"),
-        lit(1000000L).as("rank"))
+      val part = new org.apache.spark.HashPartitioner(n)
+      val adj = adjDf.rdd.map(r =>
+          (r.getLong(0), r.getSeq[Long](1).toArray))
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // every node in the symmetrized graph has deg >= 1, sends a
+      // contribution each round, and (symmetry) receives >= 1 message
+      // — the id set is closed, no outer-join seeding needed
+      var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
+        adj.mapPartitions(_.map { case (node, _) => (node, 1000000L) },
+          preservesPartitioning = true)
       for (_ <- 1 to 5) {
-        val contrib = rank
-          .select(col("node").as("cn"), expr("rank div deg").as("c"))
-        rank = adjCk.select(col("dst"), explode(col("nbrs")).as("src"))
-          .join(broadcast(contrib), col("src") === col("cn"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-          .select(col("dst").as("node"),
-            (lit(150000L) + expr("(850 * m) div 1000")).as("rank"))
-          .join(broadcast(degCk), "node")
-          .select(col("node"), col("deg"), col("rank"))
+        // co-partitioned round: ranks and adjacency zip partition-by-
+        // partition (no join shuffle), contributions combine into a
+        // per-partition map BEFORE the shuffle (a manual map-side
+        // combine — the flatMap+reduceByKey form allocated a boxed
+        // tuple per EDGE per round), so the round's one shuffle
+        // carries ≤|V| combined entries per partition.
+        val combined = adj.zipPartitions(rank) { (ait, rit) =>
+          val rmap = new java.util.HashMap[Long, Long]()
+          while (rit.hasNext) { val kv = rit.next(); rmap.put(kv._1, kv._2) }
+          val acc = new java.util.HashMap[Long, Long]()
+          while (ait.hasNext) {
+            val kv = ait.next()
+            val nbrs = kv._2
+            val c = rmap.get(kv._1) / nbrs.length // rank div deg, positive
+            var i = 0
+            while (i < nbrs.length) {
+              acc.put(nbrs(i), acc.getOrDefault(nbrs(i), 0L) + c)
+              i += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala
+            .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+        }
+        rank = combined.reduceByKey(part, (a: Long, b: Long) => a + b)
+          .mapValues(m => 150000L + (850L * m) / 1000L)
       }
-      rank
+      val out = adj.join(rank, part).map { case (node, (nbrs, rk)) =>
+        org.apache.spark.sql.Row(node, nbrs.length.toLong, rk)
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      s.createDataFrame(out, StructType(Seq(
+          StructField("node", LongType, nullable = false),
+          StructField("deg", LongType, nullable = false),
+          StructField("rank", LongType, nullable = false))))
         .select(
           when(col("node") % 2 === 0, "part").otherwise("supplier")
             .as("node_type"),
@@ -2551,11 +2598,12 @@ object ExtQueries {
     // parameterized in ext/AnnIndex.knnGraph (nProbe is the recall
     // knob — RoundTenSpec pins the multi-probe tuning curve).
     "x73_knn_graph" -> ((s, dir) => {
-      val corpus = spread(t(s, dir, "embeddings"))
-        .select(col("vec_id"), toD(col("embedding")).as("v"))
-        .localCheckpoint()
+      // checkpoint + corpus count in one job (round-17, GraftCheckpoint)
+      val (corpus, nCorpus) = org.apache.spark.sql.GraftCheckpoint
+        .checkpointWithCount(spread(t(s, dir, "embeddings"))
+          .select(col("vec_id"), toD(col("embedding")).as("v")))
       // k∝corpus (round-11): the demo runs the deployment discipline
-      graft.ext.AnnIndex.knnGraph(corpus, k = corpusK(corpus.count()),
+      graft.ext.AnnIndex.knnGraph(corpus, k = corpusK(nCorpus),
         topK = 5, nProbe = 1)
         .orderBy(col("src_id"), col("rnk"))
     }),
@@ -2820,11 +2868,12 @@ object ExtQueries {
     // corpusK holds cell population ~500, so candidates are O(n·500));
     // both windows are keyed by src_id.
     "x80_label_propagation" -> ((s, dir) => {
-      val base = spread(t(s, dir, "embeddings"))
-        .select(col("vec_id"), toD(col("embedding")).as("v"), col("label"))
-        .localCheckpoint()
+      // checkpoint + corpus count in one job (round-17, GraftCheckpoint)
+      val (base, nBase) = org.apache.spark.sql.GraftCheckpoint
+        .checkpointWithCount(spread(t(s, dir, "embeddings"))
+          .select(col("vec_id"), toD(col("embedding")).as("v"), col("label")))
       val cents = KMeansLite.fitQuantized(base, "vec_id", "v",
-        corpusK(base.count()), iters = 1)
+        corpusK(nBase), iters = 1)
       val assigned = base.withColumn("cell", KMeansLite.assign(col("v"), cents))
       val masked = assigned.filter(col("vec_id") % 5 === 0)
         .select(col("cell"), col("vec_id").as("src_id"),

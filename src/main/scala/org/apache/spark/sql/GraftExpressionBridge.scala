@@ -14,6 +14,30 @@ object GraftExpressionBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** `localCheckpoint()` + exact row count in ONE Spark job (round-17,
+  * the r16 verdict's "fuse per-query eager construction jobs" item):
+  * `Dataset.localCheckpoint(eager = true)` materializes by running a
+  * count whose value it throws away, so callers that need the corpus
+  * size (the `corpusK(base.count())` deployment-sizing sites) paid a
+  * second job to re-count the cached partitions. This does what
+  * Dataset.localCheckpoint does — copy the internal rows, persist,
+  * mark for local checkpointing, materialize with `count()` — and
+  * returns that count. Lives in `org.apache.spark.sql` because
+  * rebuilding the DataFrame over the materialized RDD needs
+  * `private[sql] internalCreateDataFrame`.
+  */
+object GraftCheckpoint {
+  def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val out = df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema)
+    (out, n)
+  }
+}
+
 /** Registers [[graft.GraftExtensions]]' SQL functions on an ALREADY
   * BUILT session — the path for sessions the library did not construct
   * (a harness hands query closures a bare session). `sessionState` is
