@@ -373,8 +373,8 @@ object Dedup {
     // attach beyond it (SaltedAgg docs). Shingles are distinct per
     // doc, so the attached count IS the document frequency, exactly
     // as before.
-    val expanded = SaltedAgg.attach(ex, "shh",
-        Seq(count(lit(1)).as("df")))
+    val expanded = SaltedAgg.attach(ex, "shh", Seq(col("id")),
+        Seq(count(lit(1)).as("p_df")), Seq(sum(col("p_df")) -> "df"))
       .withColumn("w", idfWeight(col("df"), ubiquityCap))
       // the df-cut: ubiquitous shingles leave the expanded set (and a
       // doc that is ALL boilerplate leaves the weighted universe — it

@@ -1197,9 +1197,11 @@ object ExtQueries {
         .select(col("doc_id"), xxhash64(col("b0")).as("b"),
           xxhash64(element_at(split(col("b0"), " "), 1)).as("w1"))
       val withCb = graft.ext.SaltedAgg.attach(bg, "b",
-        Seq(count(lit(1)).as("cb")))
+        Seq(col("doc_id")),
+        Seq(count(lit(1)).as("p_cb")), Seq(sum(col("p_cb")) -> "cb"))
       graft.ext.SaltedAgg.attach(withCb, "w1",
-          Seq(count(lit(1)).as("cw")))
+          Seq(col("doc_id"), col("b")),
+          Seq(count(lit(1)).as("p_cw")), Seq(sum(col("p_cw")) -> "cw"))
         .crossJoin(broadcast(vsize))
         .withColumn("lp_e6",
           round(round(log((col("cb").cast("double") + lit(1.0)) /
@@ -1585,13 +1587,11 @@ object ExtQueries {
       // scale, skew-split shuffle beyond) — no corpus-wide
       // boilerplate window lands on one task (guide §2.2/§2.5/§3.1;
       // r16 ADVICE).
-      val dupH = wins.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-        .select(col("h"))
-      // LEFT SEMI: only the 8-byte key set is built/broadcast, never
-      // the aggregate payload
-      val dup = wins.join(dupH, Seq("h"), "left_semi")
+      val dup = graft.ext.SaltedAgg.filterKeys(wins, "h",
+        Seq(col("doc_id"), col("idx")),
+        Seq(min(col("doc_id")).as("p_mn"), max(col("doc_id")).as("p_mx")),
+        Seq(min(col("p_mn")) -> "mn", max(col("p_mx")) -> "mx"),
+        col("mn") =!= col("mx"))
       // islands: consecutive dup offsets share (idx - row_number)
       val grp = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       val spans = dup
@@ -1648,12 +1648,11 @@ object ExtQueries {
       // cross-doc repeat test decided on the vocabulary side — the
       // same two-level aggregate + AQE-managed semi-filter join as
       // x55 (round-17, guide §2.2/§2.5/§3.1)
-      val dupH = wins.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-        .select(col("h"))
-      // LEFT SEMI: only the 8-byte key set is built/broadcast
-      val spans = wins.join(dupH, Seq("h"), "left_semi")
+      val spans = graft.ext.SaltedAgg.filterKeys(wins, "h",
+          Seq(col("doc_id"), col("idx")),
+          Seq(min(col("doc_id")).as("p_mn"), max(col("doc_id")).as("p_mx")),
+          Seq(min(col("p_mn")) -> "mn", max(col("p_mx")) -> "mx"),
+          col("mn") =!= col("mx"))
         .withColumn("island", col("idx") - row_number().over(grp))
         .groupBy(col("doc_id"), col("island"))
         .agg(min(col("idx")).as("s"), (max(col("idx")) + (w - 1)).as("e"))

@@ -32,8 +32,17 @@ object GraftCheckpoint {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.localCheckpoint()
     val n = rdd.count()
-    val out = df.sparkSession.asInstanceOf[classic.SparkSession]
-      .internalCreateDataFrame(rdd, df.schema)
+    // LogicalRDD.fromDataset, not internalCreateDataFrame: the latter
+    // builds a stats-less leaf (defaultSizeInBytes = huge), which
+    // silently demoted every downstream broadcast of the checkpointed
+    // corpus to a sort-merge join (measured: x73 2 BroadcastHashJoin →
+    // 2 SortMergeJoin, +0.5 s). fromDataset keeps the origin plan's
+    // stats and ordering exactly like Dataset.localCheckpoint does.
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val out = classic.Dataset.ofRows(
+      ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        rdd, ds, isStreaming = false))
     (out, n)
   }
 }

@@ -31,7 +31,8 @@ class SaltedAggSpec extends AnyFunSuite {
     val win = df.withColumn("c",
         count(lit(1)).over(Window.partitionBy(col("k"))))
       .select(col("id"), col("k"), col("c"))
-    val salted = SaltedAgg.attach(df, "k", Seq(count(lit(1)).as("c")))
+    val salted = SaltedAgg.attach(df, "k", Seq(col("id")),
+        Seq(count(lit(1)).as("p_c")), Seq(sum(col("p_c")) -> "c"))
       .select(col("id"), col("k"), col("c"))
     assert(salted.except(win).isEmpty && win.except(salted).isEmpty)
     assert(salted.count() === df.count()) // attach keeps every row
@@ -43,17 +44,43 @@ class SaltedAggSpec extends AnyFunSuite {
       .withColumn("mn", min(col("id")).over(Window.partitionBy(col("k"))))
       .withColumn("mx", max(col("id")).over(Window.partitionBy(col("k"))))
       .select(col("id"), col("k"), col("mn"), col("mx"))
-    val salted = SaltedAgg.attach(df, "k",
-        Seq(min(col("id")).as("mn"), max(col("id")).as("mx")))
+    val salted = SaltedAgg.attach(df, "k", Seq(col("id")),
+        Seq(min(col("id")).as("p_mn"), max(col("id")).as("p_mx")),
+        Seq(min(col("p_mn")) -> "mn", max(col("p_mx")) -> "mx"))
       .select(col("id"), col("k"), col("mn"), col("mx"))
     assert(salted.except(win).isEmpty && win.except(salted).isEmpty)
   }
 
-  test("plan: two-level aggregate (map-side partial), no WindowExec") {
-    val out = SaltedAgg.attach(fixture, "k", Seq(count(lit(1)).as("c")))
+  test("plan: salted two-level aggregate, shuffled-hash attach") {
+    val out = SaltedAgg.attach(fixture, "k", Seq(col("id")),
+      Seq(count(lit(1)).as("p_c")), Seq(sum(col("p_c")) -> "c"))
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count"),
-      s"map-side partial aggregate expected below the exchange:\n$plan")
-    assert(!plan.contains("Window"), s"no WindowExec may remain:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"attach join must be shuffled-hash on (key, salt):\n$plan")
+    // the only window left is the level-2 merge over the PARTIALS
+    // (groups <= Buckets by construction), never over the raw stream
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("Window", winIdx + 1) < 0,
+      s"exactly one bounded partial-side window expected:\n$plan")
+    // the hot key's rows really spread across salt buckets
+    val groups = fixture.withColumn("s", SaltedAgg.salt(col("id")))
+      .filter(col("k") === "HOT").select(col("s")).distinct().count()
+    assert(groups > 1, s"salt must split the hot key, got $groups group")
+  }
+
+  test("filterKeys equals filter-on-window-aggregate") {
+    val df = fixture
+    val win = df
+      .withColumn("mn", min(col("id")).over(Window.partitionBy(col("k"))))
+      .withColumn("mx", max(col("id")).over(Window.partitionBy(col("k"))))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("id"), col("k"))
+    val salted = SaltedAgg.filterKeys(df, "k", Seq(col("id")),
+        Seq(min(col("id")).as("p_mn"), max(col("id")).as("p_mx")),
+        Seq(min(col("p_mn")) -> "mn", max(col("p_mx")) -> "mx"),
+        col("mn") =!= col("mx"))
+      .select(col("id"), col("k"))
+    assert(salted.except(win).isEmpty && win.except(salted).isEmpty)
+    assert(salted.count() === win.count())
   }
 }
